@@ -1,13 +1,68 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory made executable: one entry per
+  * implemented operator (SURVEY.md §2 + the training-pipeline extensions);
+  * `oracleSql` carries the DuckDB-equivalent for every SQL-expressible one.
+  * Probabilistic operators (MinHash LSH, sign-LSH ANN, SimHash, heuristic
+  * language ID) are rows-only here and verified statistically in ScalaTest
+  * (recall/precision against their exact counterparts).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03RevenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      // reference applications, engine path + declarative path
+      "wc_maple_juice"    -> (TextOps.wcMapleJuice _),
+      "wc_dataframe"      -> (TextOps.wcDataFrame _),
+      "rwlg_maple_juice"  -> (TextOps.rwlgMapleJuice _),
+      "rwlg_dataframe"    -> (TextOps.rwlgDataFrame _),
+      // text analysis
+      "text_token_stats"  -> (TextOps.tokenStats _),
+      "text_quality_score" -> (TextOps.qualityScore _),
+      "text_fingerprint"  -> (TextOps.fingerprint _),
+      "text_langid"       -> (TextOps.langId _),
+      // deduplication
+      "dedup_exact"          -> (Dedup.exactDedup _),
+      "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
+      "dedup_minhash_lsh"    -> (Dedup.minhashLshPairs _),
+      "dedup_simhash"        -> (Dedup.simhashPairs _),
+      "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
+      // similarity search
+      "ann_brute_topk" -> (Similarity.annBruteTopK _),
+      "ann_lsh_topk"   -> (Similarity.annLshTopK _),
+      // multimodal plumbing
+      "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
+      // streaming
+      "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
+      "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
+    )
+
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Map(
+      "wc_maple_juice"   -> TextOps.wcOracle,
+      "wc_dataframe"     -> TextOps.wcOracle,
+      "rwlg_maple_juice" -> TextOps.rwlgOracle,
+      "rwlg_dataframe"   -> TextOps.rwlgOracle,
+      "text_token_stats" -> TextOps.tokenStatsOracle,
+      "text_quality_score" -> TextOps.qualityScoreOracle,
+      "text_fingerprint" -> TextOps.fingerprintOracle,
+      "dedup_exact"         -> Dedup.exactDedupOracle,
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+      "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
+      "ann_brute_topk" -> Similarity.annBruteTopKOracle,
+      "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
+      "stream_event_windows"    -> Relational.oracle("q20_event_windows"),
+      "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
+    )
 }

@@ -1,0 +1,88 @@
+package graft.functions
+
+/** Deterministic 64-bit hashing primitives for MinHash / SimHash / LSH.
+  *
+  * Everything here is pure, seed-stable across JVMs and executors (no
+  * `hashCode`, no `Random` state at call sites) — a signature computed on
+  * one executor must equal the one computed on another or LSH banding is
+  * silently broken.
+  */
+object Hashing {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, well-distributed base hash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SplitMix64 finalizer — turns (baseHash ^ seed) into an independent
+    * hash family member; the standard trick for k MinHash "permutations"
+    * without modular arithmetic. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** k deterministic seeds (a fixed splitmix64 stream). */
+  def seeds(k: Int): Array[Long] = {
+    val out = new Array[Long](k)
+    var s = 0x5dee2c77a33dL
+    var i = 0
+    while (i < k) { s = mix64(s); out(i) = s; i += 1 }
+    out
+  }
+
+  /** 64-bit SimHash: per-bit majority vote over the token hash stream. */
+  def simhash64(tokens: Iterator[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
+    * `n` planes × `dim` coefficients in [-1, 1). */
+  def hyperplanes(n: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
+    var s = seed
+    Array.fill(n) {
+      Array.fill(dim) {
+        s = mix64(s)
+        // top 53 bits → uniform double in [0,1) → shift to [-1,1)
+        (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Sign-LSH signature: bit i = (v · plane_i) > 0. */
+  def signSignature(v: Array[Double], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var dot = 0.0
+      var j = 0
+      while (j < p.length) { dot += v(j) * p(j); j += 1 }
+      if (dot > 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Deduplication operator family over the `documents` table — the core of a
+  * pre-training data pipeline (exact → fingerprint → MinHash-LSH → SimHash
+  * → n-gram Jaccard), each with the 100 TB strategy stated inline.
+  *
+  * Scale doctrine: anything pairwise must be *blocked* first (LSH bands,
+  * SimHash bands) so the shuffle key is the block id and candidate
+  * generation is an equi-join, never a cross join. Exact pairwise forms
+  * exist here as oracles/verifiers for the probabilistic paths.
+  */
+object Dedup {
+
+  private def tokensCol: Column = expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+
+  /** Distinct word-3-gram shingles per doc (1-based element_at to mirror
+    * the DuckDB oracle's 1-based list indexing exactly). */
+  private def gramsOf(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), tokensCol.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin)).as("grams"))
+  }
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup by full text: hash-groupBy on the text (at scale: on
+    * md5(text) so the shuffle carries a 128-bit key, not the document).
+    * Input is documents ∪ a doc_id-shifted copy, so the op provably
+    * collapses duplicates (the base table has none). */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val dup  = docs.select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    docs.union(dup)
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 100000, text FROM documents) u
+      |GROUP BY md5(text)""".stripMargin
+
+  // --------------------------------------------------- exact n-gram Jaccard
+  /** Exact near-dup pairs: word-3-gram Jaccard >= 0.5, computed by
+    * gram-inverted-index self-join. This IS quadratic in docs sharing a
+    * gram — at 100 TB this operator is the *verifier* behind the MinHash
+    * LSH prefilter below, run only on LSH candidates, plus ultra-common
+    * grams should be frequency-pruned before the join. */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = gramsOf(Tables.documents(s, d))
+      .select($"doc_id", explode($"grams").as("gram"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
+      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+  }
+
+  val ngramJaccardOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+      |  FROM t WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
+      |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+
+  // ------------------------------------------------------------ MinHash LSH
+  /** MinHash signatures (128 perms) + banded LSH (32 bands × 4 rows →
+    * s-curve threshold ≈ 0.42) + exact verification of candidates.
+    *
+    * Scale path: signature computation is embarrassingly parallel; banding
+    * turns candidate generation into an equi-join on (band, bucket) — the
+    * only shuffle keys — so no cross join ever materializes. Verification
+    * joins gram arrays for candidate pairs only.
+    *
+    * Probabilistic recall (≈0.87 at j=0.5, →1 as j→1) → rows-only oracle;
+    * DedupSpec asserts precision/recall against [[ngramJaccardPairs]]. */
+  val MinHashPerms = 128
+  val MinHashBands = 32
+  val MinHashRowsPerBand: Int = MinHashPerms / MinHashBands
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seeds = Hashing.seeds(MinHashPerms)
+    gramsOf(Tables.documents(s, d))
+      .as[(Long, Seq[String])]
+      .map { case (id, grams) =>
+        val gh = grams.map(Hashing.fnv1a64).toArray
+        val sig = seeds.map(seed => gh.map(h => Hashing.mix64(h ^ seed)).min)
+        (id, sig)
+      }
+      .toDF("doc_id", "sig")
+  }
+
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = MinHashRowsPerBand
+    val bands = minhashSignatures(s, d)
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until MinHashBands).map { b =>
+          val slice = sig.slice(b * r, (b + 1) * r)
+          (id, b, slice.foldLeft(1125899906842597L)((a, x) => Hashing.mix64(a ^ x)))
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
+    val cands = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    val grams = gramsOf(Tables.documents(s, d))
+    cands
+      .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")), "doc_a")
+      .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")), "doc_b")
+      .withColumn("c", size(array_intersect($"ga", $"gb")))
+      .withColumn("jac", $"c" / (size($"ga") + size($"gb") - $"c"))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash per doc (bit-majority over token hashes), near-dup
+    * pairs via 4×16-bit band blocking + Hamming distance <= 6. Banding
+    * guarantees recall for Hamming <= 3 (pigeonhole: 4 bands, <= 3 differing
+    * bits → one band intact) and is a high-recall heuristic to 6. */
+  def simhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Hashing.simhash64(
+        text.split("\\s+").iterator.filter(_.nonEmpty))) }
+      .toDF("doc_id", "simhash")
+  }
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = simhashes(s, d)
+    val bands = sh.select($"doc_id", $"simhash",
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> named_struct('band', b, 'chunk', (simhash >> (b * 16)) & 65535))")).as("bb"))
+      .select($"doc_id", $"simhash", $"bb.band", $"bb.chunk")
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+  /** Exact embedding-cosine near-dup pairs (cosine >= 0.35).
+    *
+    * Shape: broadcast the (small) vector matrix — exactly what a broadcast
+    * join does — and scan it per left row in a tight JVM loop via
+    * `mapPartitions`. An earlier form used a nested-loop join with
+    * `zip_with`/`aggregate` columns; Spark evaluates higher-order functions
+    * interpreted (no codegen), which made the O(N²) inner loop ~50× slower.
+    * Exact pairwise is only valid for bounded N by definition — the 100 TB
+    * path is LSH blocking ([[Similarity]]) with this as candidate verifier.
+    *
+    * Dot products accumulate left-to-right in double, matching the DuckDB
+    * oracle's `list_dot_product` bit-for-bit. */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      math.sqrt(ss)
+    }
+    val bc = s.sparkContext.broadcast((all, norms))
+    vecs.mapPartitions { rows =>
+      val (mat, nrm) = bc.value
+      rows.flatMap { case (ida, va) =>
+        var na = 0.0; var i = 0
+        while (i < va.length) { na += va(i) * va(i); i += 1 }
+        na = math.sqrt(na)
+        mat.iterator.zipWithIndex
+          .filter { case ((idb, _), _) => ida < idb }
+          .flatMap { case ((idb, vb), j) =>
+            var dot = 0.0; var k = 0
+            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+            val sim = dot / (na * nrm(j))
+            if (sim >= 0.35) Some((ida, idb, sim)) else None
+          }
+      }
+    }.toDF("vec_a", "vec_b", "sim")
+      .select($"vec_a", $"vec_b", round($"sim", 4).as("cos_sim"))
+  }
+
+  val embeddingPairsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35""".stripMargin
+}

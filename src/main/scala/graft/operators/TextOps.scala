@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.engine.{KV, MapleJuice}
+
+/** The reference's two shipped applications — word count and reverse
+  * web-link graph (SURVEY.md §2.3 A1–A4) — each expressed twice:
+  *
+  *   1. through the [[graft.engine.MapleJuice]] typed API (proving the
+  *      reference's Maple/Juice programming model runs on the engine), and
+  *   2. as a pure declarative DataFrame plan (the Spark-first form Catalyst
+  *      can fully optimize — partial aggregation, codegen'd split/explode).
+  *
+  * Both forms share one DuckDB oracle per app: identical results by
+  * construction is the point.
+  *
+  * Plus the text-analysis operator family a training-data pipeline needs
+  * (token stats, quality scoring, language ID, fingerprinting) — all
+  * builtin-function plans except language ID (heuristic, scored in Scala).
+  */
+object TextOps {
+
+  // ----------------------------------------------------------- word count
+  /** A1/A2 semantics (reference `applications/wc-maple.py:5-7`,
+    * `wc-juice.py:5-14`): whitespace-split, count per word. */
+  private def wcMaple: MapleJuice.MapleFn =
+    lines => lines.flatMap(_.split("\\s+")).filter(_.nonEmpty).map(w => KV(w, "1"))
+
+  private def wcJuice: MapleJuice.JuiceFn =
+    (key, values) => Iterator.single(KV(key, values.map(_.toLong).sum.toString))
+
+  /** Word count driven through the Maple/Juice engine (typed path). */
+  def wcMapleJuice(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mj = new MapleJuice(s)
+    val lines = Tables.documents(s, d).select($"text").as[String]
+    mj.runOn(lines, wcMaple, wcJuice)
+      .select($"key".as("word"), $"value".cast("long").as("cnt"))
+  }
+
+  /** Word count as the declarative plan (explode + hash aggregate with
+    * map-side partial counts — the combiner the reference lacked). */
+  def wcDataFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split($"text", "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val wcOracle: String =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  // ------------------------------------------------- reverse web-link graph
+  /** A3/A4 semantics (reference `applications/rwlg-maple.py:5-7`,
+    * `rwlg-juice.py:5-14`): reverse `source,target` edges, gather a sorted
+    * distinct adjacency list per target. Edge list here: lineitem's
+    * (part → supplier) pairs, stringly-typed exactly like the reference. */
+  private def rwlgMaple: MapleJuice.MapleFn =
+    lines => lines.flatMap { line =>
+      val i = line.indexOf(',')
+      if (i < 0) Iterator.empty
+      else Iterator.single(KV(line.substring(i + 1), line.substring(0, i)))
+    }
+
+  private def rwlgJuice: MapleJuice.JuiceFn =
+    (key, values) =>
+      Iterator.single(KV(key, values.toSet.toSeq.sorted.mkString(",")))
+
+  /** RWLG through the Maple/Juice engine. */
+  def rwlgMapleJuice(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mj = new MapleJuice(s)
+    val edges = Tables.lineitem(s, d)
+      .select(concat_ws(",", $"l_partkey", $"l_suppkey").as("line")).as[String]
+    mj.runOn(edges, rwlgMaple, rwlgJuice)
+      .select($"key".as("target"), $"value".as("sources"))
+  }
+
+  /** RWLG as the declarative plan: project-rename + collect_set +
+    * sort_array + array_join (SURVEY.md §2.3 A3/A4 Spark mapping). */
+  def rwlgDataFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_suppkey".cast("string").as("target"),
+        $"l_partkey".cast("string").as("source"))
+      .groupBy($"target")
+      .agg(array_join(sort_array(collect_set($"source")), ",").as("sources"))
+  }
+
+  val rwlgOracle: String =
+    """SELECT CAST(l_suppkey AS VARCHAR) AS target,
+      | array_to_string(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)))), ',') AS sources
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- token stats
+  /** Token counting: whitespace tokenization + a crude BPE-ish subword
+    * estimate (ceil(chars/4) per token, the common LLM rule of thumb). */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("n_token_chars"),
+        expr("aggregate(toks, 0L, (a, x) -> a + CAST(ceil(length(x) / 4.0) AS LONG))")
+          .as("n_subwords_est"),
+        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))") /
+          cast2d(size($"toks")), 4).as("avg_token_len"))
+  }
+
+  private def cast2d(c: org.apache.spark.sql.Column) = c.cast("double")
+
+  val tokenStatsOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      | len(toks) AS n_tokens,
+      | CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_token_chars,
+      | CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords_est,
+      | round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |       / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------- quality scoring
+  /** Document quality scoring: length / punctuation / stopword / digit
+    * ratios combined into one score — the standard pre-training text
+    * filter, all codegen'd builtins. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = "('the','a','of','and','to','in','is','it')"
+    Tables.documents(s, d)
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("n_toks", size($"toks"))
+      .withColumn("n_stop", expr(s"size(filter(toks, x -> x IN $stop))"))
+      .withColumn("n_punct",
+        length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+      .withColumn("n_digit",
+        length($"text") - length(regexp_replace($"text", "[0-9]", "")))
+      .select(
+        $"doc_id",
+        $"n_toks".as("n_tokens"),
+        round($"n_stop" / cast2d($"n_toks"), 4).as("stopword_ratio"),
+        round($"n_punct" / cast2d(length($"text")), 4).as("punct_ratio"),
+        round($"n_digit" / cast2d(length($"text")), 4).as("digit_ratio"),
+        round(
+          least(lit(1.0), $"n_toks" / 100.0) * 0.5 +
+            ($"n_stop" / cast2d($"n_toks")) * 0.3 +
+            (lit(1.0) - $"n_punct" / cast2d(length($"text"))) * 0.2, 4)
+          .as("quality_score"))
+  }
+
+  val qualityScoreOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id, text, len(toks) AS n_toks,
+      |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+      |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      |  FROM t)
+      |SELECT doc_id, n_toks AS n_tokens,
+      | round(n_stop / CAST(n_toks AS DOUBLE), 4) AS stopword_ratio,
+      | round(n_punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+      | round(n_digit / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+      | round(least(1.0, n_toks / 100.0) * 0.5
+      |   + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
+      |   + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------------- fingerprinting
+  /** Canonical document fingerprint: md5 of whitespace-normalized,
+    * lowercased text — the exact-dedup key at scale (hash the normal form
+    * once, group on the 128-bit digest, never shuffle full documents). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- language ID
+  /** Heuristic language ID: score each text against per-language marker
+    * token sets (n-gram/stopword profile approach). Deterministic but not
+    * SQL-expressible → rows-only oracle; LangIdSpec checks accuracy
+    * against the generator's `lang` column instead. */
+  private val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "with", "for", "that"),
+    "fr" -> Set("le", "la", "les", "et", "de", "des", "un", "une", "est"),
+    "es" -> Set("el", "los", "las", "y", "de", "que", "un", "una", "es"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein", "eine", "mit"),
+    "zh" -> Set("的", "是", "在", "了", "和", "有"))
+
+  def predictLang(text: String): String = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) "und"
+    else {
+      // char-level fallback: CJK presence dominates
+      if (text.exists(c => c >= 0x4E00 && c <= 0x9FFF)) "zh"
+      else {
+        val scores = langMarkers.map { case (lang, markers) =>
+          lang -> toks.count(markers.contains)
+        }
+        val (best, hits) = scores.maxBy { case (l, n) => (n, l) }
+        if (hits == 0) "und" else best
+      }
+    }
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => (id, predictLang(text), lang) }
+      .toDF("doc_id", "pred_lang", "actual_lang")
+  }
+}

