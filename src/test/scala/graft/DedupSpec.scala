@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+
+  test("exact dedup collapses the injected duplicate copy") {
+    val out = Dedup.exactDedup(spark, sf)
+    import spark.implicits._
+    val rows = out.select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every text appears exactly twice (base + shifted copy), keeper is base id
+    assert(rows.forall { case (keep, n) => n == 2L && keep < 100000L })
+  }
+
+  test("minhash LSH finds near-dup pairs with high recall vs exact jaccard") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction (candidates are exact-verified)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.85, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash pairs are near-dups by hamming and include planted dups") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(spark, sf)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 6))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("simhash signature is deterministic and order-sensitive only on multiset") {
+    val a = graft.functions.Hashing.simhash64(Iterator("x", "y", "z"))
+    val b = graft.functions.Hashing.simhash64(Iterator("z", "y", "x"))
+    val c = graft.functions.Hashing.simhash64(Iterator("x", "y"))
+    assert(a == b)   // order-independent
+    assert(a != c)   // content-sensitive
+  }
+
+  test("embedding cosine pairs match a driver-side recomputation") {
+    import spark.implicits._
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      s = cos(vecs(i)._2, vecs(j)._2) if s >= 0.35
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val got = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+}

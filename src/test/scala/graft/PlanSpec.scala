@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan assertions: the scale properties (pushdown, pruning,
+  * broadcast, partial aggregation, top-k without global sort) must hold —
+  * a correct result with the wrong plan is a 100 TB bug. */
+class PlanSpec extends SparkTestBase {
+
+  // formatted mode prints untruncated PushedFilters/ReadSchema; run the
+  // query first so AQE's final plan (not the initial placeholder) is shown
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val p = planOf(Relational.q02FilterProject(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // only the 5 needed columns are read (4 output + shipdate filter)
+    val read = "ReadSchema: struct<([^>\n]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length <= 5, read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("q03: dimension joins are broadcast, no shuffle of nation/customer") {
+    val p = planOf(Relational.q03RevenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val p = planOf(Relational.q01PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q05: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.q05TopOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 whole-stage codegen covers the aggregate") {
+    // formatted explain marks codegen'd operators with a leading '*'
+    val p = planOf(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("* HashAggregate"), p)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.{KV, MapleJuice}
+
+/** Property-based invariants (SURVEY.md §5): the engine's Maple/Juice
+  * composition must equal the declarative aggregate on arbitrary input.
+  * Plain ScalaCheck generators with fixed seeds (the scalatest-scalacheck
+  * bridge isn't in the offline dependency set). */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "y")
+  private val lineGen = Gen.listOf(wordGen).map(_.mkString(" "))
+  private val docGen  = Gen.listOfN(20, lineGen)
+
+  test("maple∘juice word count == in-memory groupBy count (property, 8 samples)") {
+    import spark.implicits._
+    val mj = new MapleJuice(spark)
+    samples(docGen, 8).foreach { lines =>
+      val expected = lines.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      val got = mj.runOn(lines.toDS(),
+          ls => ls.flatMap(_.split("\\s+")).filter(_.nonEmpty).map(w => KV(w, "1")),
+          (k, vs) => Iterator.single(KV(k, vs.map(_.toLong).sum.toString)))
+        .as[(String, String)].collect().map { case (k, v) => (k, v.toLong) }.toMap
+      assert(got === expected)
+    }
+  }
+
+  test("hashing: mix64 is stable and collision-free on sampled longs") {
+    import graft.functions.Hashing
+    samples(Gen.listOfN(500, Gen.long), 4).foreach { xs =>
+      val mixed = xs.map(Hashing.mix64)
+      assert(mixed === xs.map(Hashing.mix64))
+      assert(mixed.distinct.size === xs.distinct.size)
+    }
+    samples(Gen.alphaNumStr, 50).foreach { s =>
+      assert(Hashing.fnv1a64(s) === Hashing.fnv1a64(s))
+    }
+  }
+
+  test("sorted sink invariant: output keys are sorted for any kv set") {
+    import spark.implicits._
+    val mj = new MapleJuice(spark)
+    val kvGen = Gen.listOfN(30,
+      Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty), Gen.alphaNumStr))
+    samples(kvGen, 6).filter(_.nonEmpty).foreach { kvs =>
+      val sorted = mj.gatherSorted(kvs.map { case (k, v) => KV(k, v) }.toDS())
+        .select("key").as[String].collect().toSeq
+      assert(sorted === sorted.sorted)
+    }
+  }
+}

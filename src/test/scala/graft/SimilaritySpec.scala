@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("brute-force top-k: k results per query, self excluded, rank consistent") {
+    val rows = Similarity.annBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet === (0L until Similarity.NumQueries).toSet)
+    byQuery.values.foreach { g =>
+      assert(g.length === Similarity.TopK)
+      assert(g.forall(r => r._2 != r._1))            // no self match
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq.reverse === sorted.map(_._4).toSeq.sorted) // sim desc by rank
+    }
+  }
+
+  test("LSH ANN recall@10 vs brute force is useful") {
+    val brute = Similarity.annBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLshTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    // sign-LSH on 64-dim random embeddings with 16-bit signatures is an
+    // approximate method: require it clearly beats random neighbor picking
+    // (random recall ≈ k/N = 10/500 = 0.02).
+    assert(recall >= 0.30, s"recall@10 = $recall")
+  }
+
+  test("LSH signatures are deterministic across evaluations") {
+    val a = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
+    val b = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
+    assert(a === b)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.operators.Relational
+
+/** Structured Streaming results must equal their batch twins. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming windowed counts equal batch q20") {
+    val stream = EventStream.runWindowedCountsBatch(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Relational.q20EventWindows(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(stream === batch)
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) closed sessions are a prefix of batch sessions") {
+    // run the streaming sessionizer over the finite event set; the last
+    // (open) session per user is retained in state, all closed ones emitted
+    val events = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event]
+    val closed = EventStream.sessionize(events)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events, s.session_value)).toSet
+    val batch = EventStream.sessionizeBatchEquivalent(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val batchSet = batch.toSet
+    // closed ⊂ batch, and batch \ closed is exactly one (final) session per user
+    assert(closed.subsetOf(batchSet),
+      s"closed sessions disagree with batch: ${closed -- batchSet}")
+    val remaining = batch.filterNot(closed.contains)
+    val users = batch.map(_._1).distinct
+    assert(remaining.length === users.length)
+    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(remaining.toSet === lastPerUser)
+  }
+
+  test("batch sessionizer matches the SQL-window q21 result") {
+    val a = EventStream.sessionizeBatchEquivalent(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Relational.q21Sessionize(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.TextOps
+import graft.multimodal.Multimodal
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token stats: counts are consistent with raw text") {
+    val row = TextOps.tokenStats(spark, sf)
+      .select("doc_id", "n_tokens", "n_token_chars")
+      .as[(Long, Int, Long)].collect()
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    row.foreach { case (id, n, chars) =>
+      val toks = texts(id).split("\\s+").filter(_.nonEmpty)
+      assert(n === toks.length, s"doc $id")
+      assert(chars === toks.map(_.length.toLong).sum, s"doc $id")
+    }
+  }
+
+  test("quality score is within [0,1]-ish bounds and deterministic") {
+    val a = TextOps.qualityScore(spark, sf).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    val b = TextOps.qualityScore(spark, sf).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val fp = TextOps.fingerprint(spark, sf).as[(Long, String)].collect().toMap
+    val doc0 = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().head
+    // recompute with perturbed whitespace → same fingerprint
+    val perturbed = doc0._2.replaceAll(" ", "   ") + " "
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val norm = perturbed.replaceAll("\\s+", " ").trim.toLowerCase
+    val hex = md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp(doc0._1) === hex)
+  }
+
+  test("language ID is deterministic and covers all docs") {
+    val preds = TextOps.langId(spark, sf)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds.size === graft.core.Tables.documents(spark, sf).count())
+    val again = TextOps.langId(spark, sf)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds === again)
+    assert(preds.values.toSet.subsetOf(Set("en", "fr", "es", "de", "zh", "und")))
+  }
+
+  test("multimodal: payload roundtrips and fake codec is deterministic") {
+    val bt = Multimodal.binaryTable(spark, sf)
+    val row = bt.select("doc_id", "payload").as[(Long, Array[Byte])].collect().head
+    val text = graft.core.Tables.documents(spark, sf)
+      .filter($"doc_id" === row._1).select("text").as[String].collect().head
+    assert(new String(row._2, "UTF-8") === text)
+    val (w1, h1) = Multimodal.FakeCodec.dims(row._2)
+    val (w2, h2) = Multimodal.FakeCodec.dims(row._2)
+    assert((w1, h1) === (w2, h2))
+    val frames = Multimodal.FakeCodec.sampleFrames(row._2, 10)
+    assert(frames.length === (row._2.length + 9) / 10)
+  }
+
+  test("multimodal decode metadata agrees with payload lengths") {
+    val meta = Multimodal.decodeMeta(spark, sf)
+      .select("doc_id", "byte_len", "width", "height")
+      .as[(Long, Long, Int, Int)].collect()
+    meta.foreach { case (_, len, w, h) =>
+      assert(w === 64 + len % 512)
+      assert(h === 64 + (len * 7) % 512)
+    }
+  }
+}
