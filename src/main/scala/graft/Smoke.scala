@@ -14,6 +14,7 @@ object Smoke {
     graft.core.Tables.sessionDefaults.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val df = SparkEntry.entry(spark)
     df.explain("formatted")
     val n = df.count()

@@ -60,7 +60,8 @@ class MapleJuice(spark: SparkSession) {
     * listing, splitting and task assignment (D2); `maxPartitionBytes`
     * replaces the reference's count-based contiguous file split
     * (`src/MapReduceMaster.java:70-95`). */
-  def readLines(dir: String): Dataset[String] = spark.read.textFile(dir)
+  def readLines(dir: String): Dataset[String] =
+    spark.read.option("recursiveFileLookup", "true").textFile(dir)
 
   /** D3: the Maple phase. `strictBatching = true` reproduces the
     * reference's 10-line batch boundary including the short tail batch

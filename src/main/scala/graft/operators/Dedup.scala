@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Hashing
 
 /** Deduplication operator family over the `documents` table — the core of a
   * pre-training data pipeline (exact → fingerprint → MinHash-LSH → SimHash
@@ -103,31 +102,28 @@ object Dedup {
   val MinHashBands = 32
   val MinHashRowsPerBand: Int = MinHashPerms / MinHashBands
 
+  /** Signatures via the native codegen'd [[org.apache.spark.sql.graft
+    * .MinHashSignature]] expression — stays in Tungsten rows end to end
+    * (no Dataset encoder round-trip in the map-side scan). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val seeds = Hashing.seeds(MinHashPerms)
+    import org.apache.spark.sql.graft.GraftFunctions
     gramsOf(Tables.documents(s, d))
-      .as[(Long, Seq[String])]
-      .map { case (id, grams) =>
-        val gh = grams.map(Hashing.fnv1a64).toArray
-        val sig = seeds.map(seed => gh.map(h => Hashing.mix64(h ^ seed)).min)
-        (id, sig)
-      }
-      .toDF("doc_id", "sig")
+      .select($"doc_id", GraftFunctions.minhash($"grams", MinHashPerms).as("sig"))
   }
 
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val r = MinHashRowsPerBand
+    // band buckets with builtin murmur hash over each signature slice —
+    // codegen'd, and the only shuffle key of the candidate join
     val bands = minhashSignatures(s, d)
-      .as[(Long, Seq[Long])]
-      .flatMap { case (id, sig) =>
-        (0 until MinHashBands).map { b =>
-          val slice = sig.slice(b * r, (b + 1) * r)
-          (id, b, slice.foldLeft(1125899906842597L)((a, x) => Hashing.mix64(a ^ x)))
-        }
-      }
-      .toDF("doc_id", "band", "bucket")
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${MinHashBands - 1}),
+           |  b -> named_struct('band', b,
+           |                    'bucket', hash(slice(sig, b * $r + 1, $r))))"""
+          .stripMargin)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
     val cands = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
@@ -149,13 +145,13 @@ object Dedup {
     * pairs via 4×16-bit band blocking + Hamming distance <= 6. Banding
     * guarantees recall for Hamming <= 3 (pigeonhole: 4 bands, <= 3 differing
     * bits → one band intact) and is a high-recall heuristic to 6. */
+  /** Via the native codegen'd SimHash64 expression (same bit-majority
+    * formula as [[Hashing.simhash64]], asserted equal in ExpressionsSpec). */
   def simhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select($"doc_id", $"text")
-      .as[(Long, String)]
-      .map { case (id, text) => (id, Hashing.simhash64(
-        text.split("\\s+").iterator.filter(_.nonEmpty))) }
-      .toDF("doc_id", "simhash")
+    import org.apache.spark.sql.graft.GraftFunctions
+    Tables.documents(s, d)
+      .select($"doc_id", GraftFunctions.simhash64(tokensCol).as("simhash"))
   }
 
   def simhashPairs(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,175 @@
+// Shim package: ExpectsInputTypes' AbstractDataType and the Column/
+// ExpressionUtils bridge are private[sql] in Spark 4, so first-class
+// expression definitions live under org.apache.spark.sql.* — the same
+// technique third-party Spark extensions (e.g. connector libraries) use.
+package org.apache.spark.sql.graft
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/fingerprint hot path.
+  *
+  * Rationale (SURVEY.md §7.3 preference order): these run inside
+  * whole-stage codegen via static-call `doGenCode` — no Scala-closure UDF
+  * serialization, no Dataset encoder round-trip, no interpreted
+  * higher-order-function overhead. At 100 TB the signature computation is
+  * the map-side cost of near-dup detection; it must live in Tungsten.
+  *
+  * Registered for SQL + Column use by [[GraftFunctions]] /
+  * [[GraftExtensions]].
+  */
+object ExprHelpers {
+  /** FNV-1a over UTF8String bytes — identical result to
+    * [[Hashing.fnv1a64]] on the equivalent String (same UTF-8 bytes). */
+  def fnv1a64Utf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash64 over an array of token strings (null elements skipped). */
+  def simhash64Array(arr: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64Utf8(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** MinHash signature (k seeded mins) over an array of shingle strings.
+    * Formula identical to the engine's documented scheme:
+    * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
+  def minhashArray(arr: ArrayData, k: Int): ArrayData = {
+    val seeds = Hashing.seeds(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = fnv1a64Utf8(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = Hashing.mix64(base ^ seeds(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `graft_fnv64(str)` → bigint: codegen'd 64-bit content hash. */
+case class FnvHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv64"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.fnv1a64Utf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ExprHelpers.fnv1a64Utf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(array<string>)` → bigint: codegen'd SimHash. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.simhash64Array(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ExprHelpers.simhash64Array($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(array<string>, k)` → array<bigint>: codegen'd MinHash
+  * signature of a shingle set. k must be a foldable positive int. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.minhashArray(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ExprHelpers.minhashArray($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Column-API + SQL registration for the graft expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def fnv64(c: Column): Column = ExpressionUtils.column(FnvHash64(expression(c)))
+  def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64Expr(expression(c)))
+  def minhash(c: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(expression(c), k))
+
+  private def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** SQL names, e.g. `SELECT graft_fnv64(text) FROM docs`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fnv64",
+      exprs => FnvHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSignature(exprs.head, 128), "built-in")
+  }
+}
+
+/** Session-extension wiring: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or config `spark.sql.extensions=graft.functions.
+  * GraftExtensions` — makes the functions available in every session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[FnvHash64].getName, "graft_fnv64"),
+        (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64Expr].getName, "graft_simhash64"),
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSignature].getName, "graft_minhash"),
+        (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 128)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import graft.functions.Hashing
+
+/** Native Catalyst expressions: value parity with the Scala reference
+  * implementations, SQL registration, and null handling. */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_fnv64 expression equals Hashing.fnv1a64 for ascii and unicode") {
+    val inputs = Seq("", "hello", "héllo wörld", "的是在", "a b\tc")
+    val got = inputs.toDF("s")
+      .select(GraftFunctions.fnv64($"s")).as[Long].collect()
+    assert(got.toSeq === inputs.map(Hashing.fnv1a64))
+  }
+
+  test("graft_simhash64 expression equals Hashing.simhash64 on token arrays") {
+    val docs = Seq("the quick brown fox", "lorem ipsum dolor", "x")
+    val got = docs.toDF("text")
+      .select(GraftFunctions.simhash64(
+        expr("filter(split(text, ' '), t -> t <> '')")).as("sh"))
+      .as[Long].collect()
+    val expected = docs.map(t =>
+      Hashing.simhash64(t.split(" ").iterator.filter(_.nonEmpty)))
+    assert(got.toSeq === expected)
+  }
+
+  test("graft_minhash expression equals a direct Scala computation") {
+    val grams = Seq("aa bb", "bb cc", "cc dd")
+    val got = Seq(grams).toDF("g")
+      .select(GraftFunctions.minhash($"g", 16)).as[Seq[Long]].collect().head
+    val seeds = Hashing.seeds(16)
+    val expected = seeds.toSeq.map { seed =>
+      grams.map(g => Hashing.mix64(Hashing.fnv1a64(g) ^ seed)).min
+    }
+    assert(got === expected)
+  }
+
+  test("expressions are registered for SQL use") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_fnv64('x') AS a, graft_simhash64(array('x','y')) AS b, " +
+        "size(graft_minhash(array('x'))) AS c")
+      .as[(Long, Long, Int)].collect().head
+    assert(r._1 === Hashing.fnv1a64("x"))
+    assert(r._2 === Hashing.simhash64(Iterator("x", "y")))
+    assert(r._3 === 128)
+  }
+
+  test("null inputs propagate as null") {
+    val row = spark.sql("SELECT graft_fnv64(CAST(NULL AS STRING)) AS a").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    // two token sets with jaccard 0.5 → expect roughly half the slots equal
+    val a = (1 to 40).map(i => s"g$i")
+    val b = (21 to 60).map(i => s"g$i")
+    val df = Seq(a, b).toDF("g")
+      .select(GraftFunctions.minhash($"g", 128).as("sig")).as[Seq[Long]].collect()
+    val agree = df(0).zip(df(1)).count { case (x, y) => x == y } / 128.0
+    val jac = 20.0 / 60.0
+    assert(math.abs(agree - jac) < 0.15, s"minhash agreement $agree vs jaccard $jac")
+  }
+}
