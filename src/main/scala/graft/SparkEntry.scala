@@ -25,6 +25,7 @@ object SparkEntry {
       // reference applications, engine path + declarative path
       "wc_maple_juice"    -> (TextOps.wcMapleJuice _),
       "wc_dataframe"      -> (TextOps.wcDataFrame _),
+      "wc_maple_juice_agg" -> (TextOps.wcMapleJuiceAggregated _),
       "rwlg_maple_juice"  -> (TextOps.rwlgMapleJuice _),
       "rwlg_dataframe"    -> (TextOps.rwlgDataFrame _),
       // text analysis
@@ -52,6 +53,7 @@ object SparkEntry {
     Relational.oracle ++ Map(
       "wc_maple_juice"   -> TextOps.wcOracle,
       "wc_dataframe"     -> TextOps.wcOracle,
+      "wc_maple_juice_agg" -> TextOps.wcOracle,
       "rwlg_maple_juice" -> TextOps.rwlgOracle,
       "rwlg_dataframe"   -> TextOps.rwlgOracle,
       "text_token_stats" -> TextOps.tokenStatsOracle,

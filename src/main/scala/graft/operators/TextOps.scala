@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.engine.{KV, MapleJuice}
+import org.apache.spark.sql.Encoders
 
 /** The reference's two shipped applications — word count and reverse
   * web-link graph (SURVEY.md §2.3 A1–A4) — each expressed twice:
@@ -38,6 +39,26 @@ object TextOps {
     val lines = Tables.documents(s, d).select($"text").as[String]
     mj.runOn(lines, wcMaple, wcJuice)
       .select($"key".as("word"), $"value".cast("long").as("cnt"))
+  }
+
+  /** Word count through the engine's algebraic-juice fast path: a typed
+    * `Aggregator` gets map-side partial aggregation (the Hadoop-combiner
+    * analog, SURVEY.md §2.1 D4) instead of shipping every ("word","1")
+    * pair through the shuffle — the scale-correct form of A2. */
+  def wcMapleJuiceAggregated(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mj = new MapleJuice(s)
+    val lines = Tables.documents(s, d).select($"text").as[String]
+    val inter = mj.maple(lines, wcMaple)
+    val counts = new org.apache.spark.sql.expressions.Aggregator[KV, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, kv: KV): Long = b + kv.value.toLong
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(r: Long): Long = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    }
+    mj.juiceAggregated(inter, counts).toDF("word", "cnt")
   }
 
   /** Word count as the declarative plan (explode + hash aggregate with

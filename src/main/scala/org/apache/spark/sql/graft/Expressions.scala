@@ -60,6 +60,34 @@ object ExprHelpers {
     sig
   }
 
+  /** Distinct word n-gram shingles of a text: whitespace-split, drop empty
+    * tokens, join each n consecutive tokens with a single space, dedup
+    * keeping first occurrence. One tight JVM pass — replaces a
+    * split+filter+transform+concat_ws+array_distinct tree of interpreted
+    * lambda expressions that dominated near-dup runtime (each evaluation of
+    * that tree re-ran the whole pipeline; Catalyst re-evaluates the
+    * expression in filters and both join sides). */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split("\\s+")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    val nonEmpty = new java.util.ArrayList[String]()
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) nonEmpty.add(toks(i))
+      i += 1
+    }
+    val m = nonEmpty.size - n + 1
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder(nonEmpty.get(j))
+      var t = 1
+      while (t < n) { sb.append(' ').append(nonEmpty.get(j + t)); t += 1 }
+      seen.add(UTF8String.fromString(sb.toString))
+      j += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
@@ -128,6 +156,21 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `graft_wordgrams(text, n)` → array<string>: distinct word n-grams. */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && n <= 16, s"wordgrams n out of range: $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordgrams"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.wordGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ExprHelpers.wordGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL registration for the graft expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -136,6 +179,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64Expr(expression(c)))
   def minhash(c: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(expression(c), k))
+  def wordGrams(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordGrams(expression(c), n))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -148,6 +193,8 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSignature(exprs.head, 128), "built-in")
+    reg.createOrReplaceTempFunction("graft_wordgrams",
+      exprs => WordGrams(exprs.head, 3), "built-in")
   }
 }
 

@@ -49,6 +49,29 @@ class ExpressionsSpec extends SparkTestBase {
     assert(r._3 === 128)
   }
 
+  test("graft_wordgrams equals the builtin lambda pipeline it replaced") {
+    val docs = graft.core.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val viaExpr = docs.select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions.wordGrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().map { case (id, g) => (id, g.toSet) }.toMap
+    val viaLambda = docs
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin)).as("g"))
+      .as[(Long, Seq[String])].collect().map { case (id, g) => (id, g.toSet) }.toMap
+    assert(viaExpr.filter(_._2.nonEmpty) === viaLambda)
+    // edge cases: fewer tokens than n, empty string, extra whitespace
+    val edge = Seq("one two", "", "  a   b c  ").toDF("text")
+      .select(org.apache.spark.sql.graft.GraftFunctions.wordGrams($"text", 3))
+      .as[Seq[String]].collect()
+    assert(edge(0) === Seq.empty)
+    assert(edge(1) === Seq.empty)
+    assert(edge(2) === Seq("a b c"))
+  }
+
   test("null inputs propagate as null") {
     val row = spark.sql("SELECT graft_fnv64(CAST(NULL AS STRING)) AS a").collect().head
     assert(row.isNullAt(0))
