@@ -42,6 +42,7 @@ object SparkEntry {
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
+      "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       // streaming

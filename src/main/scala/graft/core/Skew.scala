@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives for hot keys at scale.
+  *
+  * AQE's skew-join splitting handles most runtime skew; these helpers cover
+  * the two cases it does not: (a) a single aggregation key so hot its
+  * partial-aggregate partition still overwhelms one task, and (b) a
+  * broadcast-ineligible join with a known hot-key set.
+  *
+  * Both are algebraic rewrites — results are identical to the unsalted
+  * forms (asserted in SkewSpec), only the shuffle layout changes.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (keys, salt) first so the hot
+    * key's rows spread across `saltBuckets` reducers, then merge the
+    * partials. Supports the algebraic aggregates (sum/count/min/max);
+    * avg = salted sum + salted count at the call site.
+    *
+    * The salt must be uncorrelated with the keys and need not be stable
+    * across runs (it never escapes the first shuffle): a seeded `rand` is
+    * the standard choice.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[(String, String)],
+                saltBuckets: Int = 16, seed: Long = 42L): DataFrame = {
+    val salted = df.withColumn("__salt",
+      (rand(seed) * saltBuckets).cast("int"))
+    val p1 = aggs.zipWithIndex.map { case ((c, f), i) => expr(s"$f($c)").as(s"__p$i") }
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(p1.head, p1.tail: _*)
+    val merge = aggs.zipWithIndex.map { case ((c, f), i) =>
+      val mergeFn = if (f == "count") "sum" else f // counts merge by summing
+      expr(s"$mergeFn(__p$i)").as(s"${f}_$c")
+    }
+    phase1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+
+  /** Hot-key replicated join: rows of `left` whose key is in `hotKeys` get
+    * a random salt in [0, saltBuckets); `right` is exploded `saltBuckets`×
+    * for those keys so every salted left row still finds its match. Cold
+    * keys join 1:1 with salt 0. Exact inner-join semantics, but the hot
+    * key's probe rows spread over `saltBuckets` tasks. */
+  def replicatedJoin(left: DataFrame, right: DataFrame, key: String,
+                     hotKeys: Seq[Any], saltBuckets: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    val hot = array(hotKeys.map(lit): _*) // Seq[Any] has no typedLit encoder
+    val l = left.withColumn("__salt",
+      when(array_contains(hot, col(key)),
+        (rand(seed) * saltBuckets).cast("int")).otherwise(lit(0)))
+    val r = right.withColumn("__salts",
+      when(array_contains(hot, col(key)),
+        sequence(lit(0), lit(saltBuckets - 1))).otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts"))).drop("__salts")
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

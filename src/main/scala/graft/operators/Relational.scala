@@ -332,7 +332,19 @@ object Relational {
         round(avg($"k"), 4).as("avg_k"))
   }
 
+  // ---------------------------------------------------------------- q23
+  /** Typed semi-structured parse: from_json with an explicit schema (the
+    * structured counterpart of q22's path extraction). */
+  def q23FromJsonTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_from_json_typed"   -> q23FromJsonTyped _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
     "q03_revenue_by_nation" -> q03RevenueByNation _,
@@ -360,6 +372,10 @@ object Relational {
   /** DuckDB-dialect oracles, value-identical to the Spark plans above
     * (same aliases, same rounding, same casts). */
   val oracle: Map[String, String] = Map(
+    "q23_from_json_typed" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -84,18 +84,49 @@ object Similarity {
       .toDF("vec_id", "sig")
   }
 
-  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+  /** IVF-style bucketed ANN: 16 deterministic seed centroids (the first 16
+    * vectors), every vector assigned to its nearest centroid (inverted
+    * file), queries probe their [[IvfProbes]] nearest cells, exact re-rank
+    * within the probed cells only.
+    *
+    * Scale shape: assignment is a broadcast-centroid map pass; the
+    * candidate join is an equi-join on cell id; cells bound the re-rank
+    * work to ~nprobe/ncells of the corpus. A production build would run a
+    * few Lloyd iterations for the centroids — the dataflow is identical
+    * (iterate: assign → mean per cell). */
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  private def cosTo(planes: Array[(Long, Array[Double])], v: Array[Double]): Array[(Long, Double)] =
+    planes.map { case (cid, c) =>
+      var dot = 0.0; var nc = 0.0; var nv = 0.0; var i = 0
+      while (i < v.length) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
+      (cid, dot / (math.sqrt(nc) * math.sqrt(nv)))
+    }
+
+  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mask = (1 << BandBits) - 1
-    val bands = signatures(s, d).select($"vec_id", $"sig",
-        explode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
-          s"b -> named_struct('band', b, 'chunk', (sig >> (b * $BandBits)) & $mask))")).as("bb"))
-      .select($"vec_id", $"bb.band", $"bb.chunk")
-    val qBands = bands.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"band", $"chunk")
-    val cands = bands.join(broadcast(qBands), Seq("band", "chunk"))
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = vecs.filter(_._1 < IvfCells).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) =>
+      (id, cosTo(bc.value, v).maxBy { case (cid, sim) => (sim, -cid) }._1)
+    }.toDF("vec_id", "cell")
+    val probes = vecs.filter(_._1 < NumQueries).flatMap { case (qid, v) =>
+      cosTo(bc.value, v).sortBy { case (cid, sim) => (-sim, cid) }
+        .take(IvfProbes).map { case (cid, _) => (qid, cid) }
+    }.toDF("query_id", "cell")
+    val cands = assigned.join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id").distinct()
+    rerank(s, d, cands)
+  }
+
+  /** Exact cosine re-rank of (query_id, vec_id) candidate pairs, top-k. */
+  private def rerank(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    import s.implicits._
     val e = withNorm(s, d)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
@@ -111,5 +142,20 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
         round($"sim", 4).as("cos_sim"))
+  }
+
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mask = (1 << BandBits) - 1
+    val bands = signatures(s, d).select($"vec_id", $"sig",
+        explode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
+          s"b -> named_struct('band', b, 'chunk', (sig >> (b * $BandBits)) & $mask))")).as("bb"))
+      .select($"vec_id", $"bb.band", $"bb.chunk")
+    val qBands = bands.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"band", $"chunk")
+    val cands = bands.join(broadcast(qBands), Seq("band", "chunk"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    rerank(s, d, cands)
   }
 }

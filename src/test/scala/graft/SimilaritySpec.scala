@@ -31,6 +31,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.30, s"recall@10 = $recall")
   }
 
+  test("IVF ANN recall@10 vs brute force is useful and beats random") {
+    val brute = Similarity.annBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // probing 4/16 cells scans ~25% of the corpus; random picking at that
+    // budget would land recall ≈ 0.25 — require clear headroom over that
+    assert(recall >= 0.35, s"IVF recall@10 = $recall")
+  }
+
   test("LSH signatures are deterministic across evaluations") {
     val a = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
     val b = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap

@@ -36,6 +36,24 @@ class StreamingSpec extends SparkTestBase {
     assert(remaining.toSet === lastPerUser)
   }
 
+  test("streaming exact dedup (dropDuplicates on a stream) keeps one row per key") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val events = EventStream.readEvents(spark, sf)
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select($"user_id", $"event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).as[(Long, String)].collect()
+    val expected = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct().as[(Long, String)].collect()
+    assert(got.length === expected.length)
+    assert(got.toSet === expected.toSet)
+  }
+
   test("batch sessionizer matches the SQL-window q21 result") {
     val a = EventStream.sessionizeBatchEquivalent(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
