@@ -112,19 +112,14 @@ object Dedup {
 
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val r = MinHashRowsPerBand
-    // band buckets with builtin murmur hash over each signature slice —
-    // codegen'd, and the only shuffle key of the candidate join
+    // band bucket hashes via the native LshBandBuckets expression (band
+    // index is baked into each hash, so the bucket alone is the join key)
     val bands = minhashSignatures(s, d)
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(0, ${MinHashBands - 1}),
-           |  b -> named_struct('band', b,
-           |                    'bucket', hash(slice(sig, b * $r + 1, $r))))"""
-          .stripMargin)).as("bb"))
-      .select($"doc_id", $"bb.band", $"bb.bucket")
+      .select($"doc_id",
+        explode(org.apache.spark.sql.graft.GraftFunctions
+          .lshBuckets($"sig", MinHashBands)).as("bucket"))
     val cands = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
-          $"a.doc_id" < $"b.doc_id")
+        $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     // exact verification of candidates only

@@ -88,6 +88,25 @@ object ExprHelpers {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Per-band bucket hashes of a MinHash signature: the signature is cut
+    * into `numBands` equal slices; each slice folds through splitmix64
+    * seeded with the band index. */
+  def lshBandBuckets(sig: ArrayData, numBands: Int): ArrayData = {
+    val k = sig.numElements()
+    val r = k / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = Hashing.mix64(0x9E3779B97F4A7C15L + b)
+      var i = b * r
+      val end = i + r
+      while (i < end) { h = Hashing.mix64(h ^ sig.getLong(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
@@ -156,6 +175,26 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `graft_lsh_buckets(sig, bands)` → array<bigint>: one bucket hash per
+  * signature band (band index folded into the hash so equal slices in
+  * different bands never collide). The LSH join key generator — one tight
+  * pass instead of an interpreted transform(slice(hash)) tree evaluated on
+  * both sides of the candidate self-join. */
+case class LshBandBuckets(child: Expression, numBands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBands > 0 && numBands <= 256, s"numBands out of range: $numBands")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.lshBandBuckets(input.asInstanceOf[ArrayData], numBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ExprHelpers.lshBandBuckets($c, $numBands)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
+    copy(child = newChild)
+}
+
 /** `graft_wordgrams(text, n)` → array<string>: distinct word n-grams. */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -181,6 +220,8 @@ object GraftFunctions {
     ExpressionUtils.column(MinHashSignature(expression(c), k))
   def wordGrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordGrams(expression(c), n))
+  def lshBuckets(c: Column, numBands: Int): Column =
+    ExpressionUtils.column(LshBandBuckets(expression(c), numBands))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
