@@ -134,16 +134,30 @@ class MapleJuice(spark: SparkSession) {
   * For juice, each stdin line is `key\tvalue` so one process can reduce
   * every key in its partition (keys arrive grouped after [[groupSorted]]).
   */
-class PipeRunner(spark: SparkSession) {
+object PipeRunner {
+  /** Parse one `key,value` stdout line. Default: value = everything after
+    * the first comma. `strictCsv = true` reproduces the reference's gather
+    * parse (`split(",")[1]`, `src/MapReduceMaster.java:148-149`): a value
+    * containing a comma is silently truncated at it — kept only as a
+    * compat/negative-test mode, documented divergence (FIXTURES.md A3). */
+  private[engine] def parseKv(line: String, strictCsv: Boolean): Option[KV] = {
+    val i = line.indexOf(',')
+    if (i < 0) None
+    else if (strictCsv) {
+      val rest = line.substring(i + 1)
+      val j = rest.indexOf(',')
+      Some(KV(line.substring(0, i), if (j < 0) rest else rest.substring(0, j)))
+    } else Some(KV(line.substring(0, i), line.substring(i + 1)))
+  }
+}
+
+class PipeRunner(spark: SparkSession, strictCsv: Boolean = false) {
   import spark.implicits._
 
   /** Maple via external command: stdin = input lines, stdout = `key,value`. */
   def mapleExe(lines: Dataset[String], cmd: Seq[String]): Dataset[KV] = {
-    val piped = lines.rdd.pipe(cmd)
-    piped.toDS().flatMap { line =>
-      val i = line.indexOf(',')
-      if (i < 0) None else Some(KV(line.substring(0, i), line.substring(i + 1)))
-    }
+    val strict = strictCsv // local copy: the closure must not capture `this`
+    lines.rdd.pipe(cmd).toDS().flatMap(PipeRunner.parseKv(_, strict))
   }
 
   /** Group KVs so each key's values are contiguous within a partition
@@ -154,12 +168,10 @@ class PipeRunner(spark: SparkSession) {
   /** Juice via external command: stdin = `key\tvalue` lines grouped by key,
     * stdout = `key,value` result lines. */
   def juiceExe(inter: Dataset[KV], cmd: Seq[String]): Dataset[KV] = {
-    val piped = groupSorted(inter)
+    val strict = strictCsv
+    groupSorted(inter)
       .map(kv => s"${kv.key}\t${kv.value}")
       .rdd.pipe(cmd)
-    piped.toDS().flatMap { line =>
-      val i = line.indexOf(',')
-      if (i < 0) None else Some(KV(line.substring(0, i), line.substring(i + 1)))
-    }
+      .toDS().flatMap(PipeRunner.parseKv(_, strict))
   }
 }
