@@ -125,6 +125,21 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"rn")
   }
 
+  /** Same semantics as q07 through the custom TopKPerKey whole-operator
+    * (LogicalPlan + Strategy + bounded-heap ExecNode — no per-group sort,
+    * no Window). Shares q07's oracle: the point is plan-shape change with
+    * value-identical output. */
+  def q07bTopKCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(s) // installs strategy; idempotent
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        Tables.orders(s, d),
+        keys = Seq($"o_custkey"),
+        orderBy = Seq($"o_orderdate".desc, $"o_orderkey".desc),
+        k = 3, rankName = "rn")
+      .select($"o_custkey", $"o_orderkey", $"rn")
+  }
+
   // ---------------------------------------------------------------- q08
   /** Running aggregate window: cumulative event value per user. */
   def q08RunningSum(s: SparkSession, d: String): DataFrame = {
@@ -352,6 +367,7 @@ object Relational {
     "q05_top_orders"        -> q05TopOrders _,
     "q06_forecast_revenue"  -> q06ForecastRevenue _,
     "q07_latest_orders_window" -> q07LatestOrdersPerCustomer _,
+    "q07b_topk_custom"      -> q07bTopKCustom _,
     "q08_running_sum_window" -> q08RunningSum _,
     "q09_distinct_partsupp" -> q09DistinctPartSupp _,
     "q10_set_ops"           -> q10SetOps _,
@@ -372,6 +388,12 @@ object Relational {
   /** DuckDB-dialect oracles, value-identical to the Spark plans above
     * (same aliases, same rounding, same casts). */
   val oracle: Map[String, String] = Map(
+    "q07b_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
     "q23_from_json_typed" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
@@ -414,6 +436,12 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
     "q07_latest_orders_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q07b_topk_custom" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey

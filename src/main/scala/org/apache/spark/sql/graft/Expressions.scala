@@ -225,8 +225,12 @@ object GraftFunctions {
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** SQL names, e.g. `SELECT graft_fnv64(text) FROM docs`. */
+  /** SQL names, e.g. `SELECT graft_fnv64(text) FROM docs`, plus the
+    * TopKPerKey planner strategy. */
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64",
       exprs => FnvHash64(exprs.head), "built-in")
@@ -244,6 +248,7 @@ object GraftFunctions {
   * GraftExtensions` — makes the functions available in every session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
