@@ -45,6 +45,7 @@ object SparkEntry {
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
+      "multimodal_features"    -> (Multimodal.extractFeatures _),
       // streaming
       "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),

@@ -65,6 +65,26 @@ object Multimodal {
       .toDF("doc_id", "byte_len", "width", "height")
   }
 
+  /** Feature-extraction stage over the binary column: per-payload mean
+    * byte (the per-pixel-reduction shape) and frame count at a fixed
+    * sampling stride — same per-partition batch pattern as [[decodeMeta]].
+    * Not SQL-expressible over blobs → rows-only; TextSpec re-computes the
+    * features in-JVM and asserts equality. */
+  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binaryTable(s, d)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val mean = BigDecimal(FakeCodec.meanByte(payload))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, mean, FakeCodec.sampleFrames(payload, 32).length)
+        }
+      }
+      .toDF("doc_id", "mean_byte", "n_frames")
+  }
+
   val decodeMetaOracle: String =
     """SELECT doc_id,
       | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -63,6 +63,24 @@ class TextSpec extends SparkTestBase {
     assert(frames.length === (row._2.length + 9) / 10)
   }
 
+  test("multimodal feature extraction matches in-JVM recomputation") {
+    val feats = Multimodal.extractFeatures(spark, sf)
+      .as[(Long, Double, Int)].collect().toMap2
+    val payloads = Multimodal.binaryTable(spark, sf)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    payloads.foreach { case (id, p) =>
+      val (mean, frames) = feats(id)
+      val expMean = BigDecimal(Multimodal.FakeCodec.meanByte(p))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean === expMean, s"doc $id")
+      assert(frames === Multimodal.FakeCodec.sampleFrames(p, 32).length)
+    }
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   test("multimodal decode metadata agrees with payload lengths") {
     val meta = Multimodal.decodeMeta(spark, sf)
       .select("doc_id", "byte_len", "width", "height")
