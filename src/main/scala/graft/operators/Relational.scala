@@ -358,7 +358,38 @@ object Relational {
           .getField("k").as("k_val"))
   }
 
+  // ---------------------------------------------------------------- q24
+  /** Date/time arithmetic: datediff, month bucketing, quarter/dow
+    * extraction — dialect-parity-checked against DuckDB. */
+  def q24DateArithmetic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      year($"o_orderdate").as("order_year"),
+      quarter($"o_orderdate").as("order_quarter"),
+      month($"o_orderdate").as("order_month"),
+      dayofweek($"o_orderdate").as("order_dow"),
+      datediff(to_date(lit("2002-01-01")), to_date($"o_orderdate")).as("days_to_2002"),
+      to_date(add_months($"o_orderdate", 3)).as("plus_quarter"),
+      last_day($"o_orderdate").as("month_end"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** Sketch aggregation: HyperLogLog++ distinct estimate next to the
+    * exact count. Estimators differ across engines → rows-only for the
+    * approx value; SketchSpec bounds its error against the exact count.
+    * The exact-count twin is what the oracle checks (q25 exact only). */
+  def q25ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_date_arithmetic"   -> q24DateArithmetic _,
+    "q25_approx_distinct"   -> q25ApproxDistinct _,
     "q23_from_json_typed"   -> q23FromJsonTyped _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
@@ -388,6 +419,18 @@ object Relational {
   /** DuckDB-dialect oracles, value-identical to the Spark plans above
     * (same aliases, same rounding, same casts). */
   val oracle: Map[String, String] = Map(
+    // q25 has no oracle: HLL estimators differ across engines (rows-only;
+    // SketchSpec bounds the estimate against the exact count instead)
+    "q24_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        | CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders""".stripMargin,
     "q07b_topk_custom" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
