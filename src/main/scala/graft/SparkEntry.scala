@@ -30,6 +30,7 @@ object SparkEntry {
       "rwlg_dataframe"    -> (TextOps.rwlgDataFrame _),
       // text analysis
       "text_token_stats"  -> (TextOps.tokenStats _),
+      "text_bpe_tokens"   -> (TextOps.bpeTokens _),
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_fingerprint"  -> (TextOps.fingerprint _),
       "text_langid"       -> (TextOps.langId _),
@@ -59,6 +60,7 @@ object SparkEntry {
       "rwlg_maple_juice" -> TextOps.rwlgOracle,
       "rwlg_dataframe"   -> TextOps.rwlgOracle,
       "text_token_stats" -> TextOps.tokenStatsOracle,
+      "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_fingerprint" -> TextOps.fingerprintOracle,
       "dedup_exact"         -> Dedup.exactDedupOracle,

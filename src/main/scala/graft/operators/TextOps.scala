@@ -150,6 +150,28 @@ object TextOps {
       |       / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
       |FROM t""".stripMargin
 
+  // ------------------------------------------------ BPE-ish pre-tokenizer
+  /** GPT-2-style pre-tokenization segments: letter runs / digit runs /
+    * punctuation runs, each optionally preceded by one space, plus
+    * whitespace runs — the standard first stage before BPE merges. Both
+    * engines use leftmost-first alternation, so counts agree exactly. */
+  private val bpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("segs", regexp_extract_all($"text", lit(bpePattern), lit(0)))
+      .select($"doc_id",
+        size($"segs").as("n_segments"),
+        size(array_distinct($"segs")).as("n_distinct_segments"))
+  }
+
+  val bpeTokensOracle: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_segments,
+      | len(list_distinct(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS n_distinct_segments
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------- quality scoring
   /** Document quality scoring: length / punctuation / stopword / digit
     * ratios combined into one score — the standard pre-training text

@@ -54,6 +54,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet === expected.toSet)
   }
 
+  test("watermark drops late events in append-mode windowed aggregation") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def writeBatch(file: String, rows: Seq[(Long, String, Double)]): Unit = {
+      // ns-long ts to match the events schema (hour offsets from a base)
+      val base = 1700000000L
+      rows.map { case (hourOff, et, v) =>
+        (hourOff, (base + hourOff * 3600) * 1000000000L, 1L, et, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/in/$file")
+    }
+    // batch 1: one event in window H0, one in H2 → watermark rises to H1
+    writeBatch("b1", Seq((0L, "a", 1.0), (2L, "a", 1.0)))
+    val name = s"graft_late_${System.nanoTime()}"
+    val q = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("ws"), $"event_type", $"n")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for window H0 (watermark already at H1) and
+      // a fresh H4 event that pushes the watermark to H3, closing H0-H2
+      writeBatch("b2", Seq((0L, "a", 1.0), (4L, "a", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[(Long, String, Long)].collect()
+      .map { case (ws, _, n) => ((ws - 1700000000L + 1800) / 3600, n) }.toMap
+    // H0's count must be 1: the late copy was dropped, not merged
+    assert(out.get(0L).contains(1L), s"windows emitted: $out")
+    assert(out.get(2L).contains(1L), s"windows emitted: $out")
+  }
+
   test("batch sessionizer matches the SQL-window q21 result") {
     val a = EventStream.sessionizeBatchEquivalent(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
