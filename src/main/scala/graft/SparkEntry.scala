@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Relational, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -47,6 +47,8 @@ object SparkEntry {
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
+      // as-of join
+      "asof_purchase_view" -> (AsOf.purchaseToLastView _),
       // streaming
       "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
@@ -68,6 +70,7 @@ object SparkEntry {
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
+      "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
     )
