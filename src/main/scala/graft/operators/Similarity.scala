@@ -39,6 +39,8 @@ object Similarity {
     val e = withNorm(s, d)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    // BroadcastNestedLoopJoin by design: the broadcast side is NumQueries
+    // rows; every corpus vector must score against each (brute force)
     val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .withColumn("sim",
         expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
