@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, Relational, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, RangeJoin, Relational, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -37,6 +37,7 @@ object SparkEntry {
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
+      "dedup_clusters"       -> (Dedup.dedupClusters _),
       "dedup_minhash_lsh"    -> (Dedup.minhashLshPairs _),
       "dedup_simhash"        -> (Dedup.simhashPairs _),
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
@@ -47,8 +48,9 @@ object SparkEntry {
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
-      // as-of join
+      // as-of + range joins
       "asof_purchase_view" -> (AsOf.purchaseToLastView _),
+      "range_join_events"  -> (RangeJoin.errorsNearClicks _),
       // streaming
       "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
@@ -67,10 +69,12 @@ object SparkEntry {
       "text_fingerprint" -> TextOps.fingerprintOracle,
       "dedup_exact"         -> Dedup.exactDedupOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+      "dedup_clusters"      -> Dedup.dedupClustersOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
+      "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
     )

@@ -133,6 +133,70 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
   }
 
+  // -------------------------------------------------- near-dup clustering
+  /** Connected components over the near-dup pair graph: every document in
+    * a component is labeled with the component's minimum doc_id — the
+    * "keep one representative per duplicate cluster" step of a dedup
+    * pipeline (pair lists alone over-delete on transitive chains a~b~c).
+    *
+    * Implementation: min-label propagation to fixpoint — a driver loop of
+    * dataflow steps (join + groupBy-min per iteration), lineage broken per
+    * iteration with localCheckpoint. Iterations are bounded by component
+    * diameter; at 100 TB scale the same loop runs with large-star/
+    * small-star contraction to keep diameters logarithmic. Edges here:
+    * the exact verified pairs from [[ngramJaccardPairs]], so the DuckDB
+    * oracle (recursive-CTE transitive closure) sees identical input. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = ngramJaccardPairs(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val sym = e.union(e.select($"dst", $"src")).distinct().cache()
+    var labels = sym.select($"src".as("node")).distinct()
+      .withColumn("label", $"node").localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("n2")).agg(min($"label").as("nlabel"))
+      val updated = labels.join(neighborMin, labels("node") === $"n2", "left")
+        .select($"node",
+          least($"label", coalesce($"nlabel", $"label")).as("newLabel"))
+      changed = updated.join(labels.select($"node".as("n3"), $"label"),
+          $"node" === $"n3")
+        .filter($"newLabel" =!= $"label").count()
+      labels = updated.withColumnRenamed("newLabel", "label").localCheckpoint()
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select($"node".as("doc_id"), $"label".as("cluster"))
+  }
+
+  val dedupClustersOracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH t AS (SELECT doc_id,
+      |      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |    FROM documents),
+      |  g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(len(toks) - 2),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+      |    FROM t WHERE len(toks) >= 3),
+      |  sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE c / (sa.n + sb.n - c) >= 0.5),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a)
+      |SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash per doc (bit-majority over token hashes), near-dup
     * pairs via 4×16-bit band blocking + Hamming distance <= 6. Banding

@@ -27,6 +27,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedup clusters are consistent: pair endpoints share a cluster, rep is min member") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min === rep, s"cluster $rep rep is not the min member")
+    }
+  }
+
   test("simhash pairs are near-dups by hamming and include planted dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(spark, sf)
