@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, RangeJoin, Relational, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, RangeJoin, Relational, Sampling, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -45,6 +45,9 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
+      // dataset curation
+      "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+      "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
@@ -72,6 +75,8 @@ object SparkEntry {
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
+      "sample_stratified" -> Sampling.stratifiedSampleOracle,
+      "train_shards"      -> Sampling.trainShardsOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
