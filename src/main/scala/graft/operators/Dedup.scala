@@ -157,13 +157,15 @@ object Dedup {
     while (changed > 0 && iter < 25) {
       val neighborMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("n2")).agg(min($"label").as("nlabel"))
-      val updated = labels.join(neighborMin, labels("node") === $"n2", "left")
-        .select($"node",
+      // checkpoint old+new together, then derive both the convergence count
+      // and the next labels from the materialized result — one evaluation
+      // of the join chain per iteration, not two
+      val step = labels.join(neighborMin, labels("node") === $"n2", "left")
+        .select($"node", $"label",
           least($"label", coalesce($"nlabel", $"label")).as("newLabel"))
-      changed = updated.join(labels.select($"node".as("n3"), $"label"),
-          $"node" === $"n3")
-        .filter($"newLabel" =!= $"label").count()
-      labels = updated.withColumnRenamed("newLabel", "label").localCheckpoint()
+        .localCheckpoint()
+      changed = step.filter($"newLabel" =!= $"label").count()
+      labels = step.select($"node", $"newLabel".as("label"))
       iter += 1
     }
     sym.unpersist()
