@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, RangeJoin, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -45,6 +45,9 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
+      // profiling + merge
+      "profile_lineitem" -> (Profiling.profileLineitem _),
+      "merge_upsert"     -> (Profiling.mergeUpsert _),
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
@@ -75,6 +78,8 @@ object SparkEntry {
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
+      "profile_lineitem" -> Profiling.profileLineitemOracle,
+      "merge_upsert"     -> Profiling.mergeUpsertOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Data-profiling and merge operators — the catalog/ETL surface of the
+  * engine (the reference's closest analogs: `ls`/`store` metadata verbs
+  * and `put`'s last-writer-wins update, SURVEY.md §2.2).
+  */
+object Profiling {
+
+  /** Column profile of lineitem: one row per column with non-null count,
+    * distinct count, and min/max (stringified for a uniform schema) — the
+    * SUMMARIZE/DESCRIBE analog, computed in ONE scan (all per-column
+    * aggregates in a single HashAggregate, then unpivoted). */
+  def profileLineitem(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cols = li.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dst_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // stack takes FLAT args (label, v1, v2, ...) per output row
+    val stacked = cols.map { c =>
+      s"'$c', cnt_$c, dst_$c, min_$c, max_$c"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) as (column_name, n_nonnull, n_distinct, min_value, max_value)")
+  }
+
+  val profileLineitemOracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_value,
+         | CAST(max($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Upsert/merge: a derived source batch (updated totalprice for even
+    * order keys, plus new keys beyond the current max) merged into orders
+    * with source-wins semantics — the engine-level form of the reference's
+    * last-writer-wins `put` (SDFSServer picks the max-timestamp replica).
+    * Full-outer join + coalesce: one shuffle, no driver involvement. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val target = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+    // +1000.0 not *1.1: multiplying makes exact .005 boundaries where
+    // Spark's BigDecimal rounding and DuckDB's fp rounding disagree;
+    // addition keeps the value away from rounding entirely
+    val source = target.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 1000.0).as("o_totalprice"))
+      .union(target.filter($"o_orderkey" < 100)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice"))
+    target.as("t").join(source.as("s"), Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"s.o_custkey", $"t.o_custkey").as("o_custkey"),
+        coalesce($"s.o_totalprice", $"t.o_totalprice").as("o_totalprice"))
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |  FROM orders),
+      |source AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM target WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM target WHERE o_orderkey < 100)
+      |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+      |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+      |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
+}
