@@ -35,6 +35,16 @@ object Multimodal {
     /** "Frame sampling" stub: every k-th byte as a frame marker. */
     def sampleFrames(payload: Array[Byte], k: Int): Array[Byte] =
       payload.grouped(k).map(_.head).toArray
+
+    /** "Resize" stub: nearest-neighbor downsample of the payload to a
+      * target length (stand-in for image resize; deterministic). */
+    def resize(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+      if (payload.isEmpty || targetLen <= 0) Array.emptyByteArray
+      else if (payload.length <= targetLen) payload
+      else Array.tabulate(targetLen) { i =>
+        payload((i.toLong * payload.length / targetLen).toInt)
+      }
+    }
   }
 
   /** Build a binary-payload table from documents (text bytes stand in for

@@ -12,25 +12,26 @@ object Profiling {
 
   /** Column profile of lineitem: one row per column with non-null count,
     * distinct count, and min/max (stringified for a uniform schema) — the
-    * SUMMARIZE/DESCRIBE analog, computed in ONE scan (all per-column
-    * aggregates in a single HashAggregate, then unpivoted). */
+    * SUMMARIZE/DESCRIBE analog.
+    *
+    * Shape: one single-column aggregation per column, unioned. The
+    * tempting all-in-one-agg form is a trap with exact distinct counts:
+    * N countDistincts in one HashAggregate become an Expand that
+    * duplicates every row N+1 times before the shuffle (measured 39 s vs
+    * ~2 s at sf0.1). Per-column scans of a columnar source each read one
+    * column — cheap, parallel, and shaped exactly like the oracle. */
   def profileLineitem(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    val cols = li.columns.toSeq
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"dst_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
-    }
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    // stack takes FLAT args (label, v1, v2, ...) per output row
-    val stacked = cols.map { c =>
-      s"'$c', cnt_$c, dst_$c, min_$c, max_$c"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stacked) as (column_name, n_nonnull, n_distinct, min_value, max_value)")
+    li.columns.toSeq.map { c =>
+      li.agg(
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), $"n_nonnull", $"n_distinct",
+          $"min_value", $"max_value")
+    }.reduce(_.unionByName(_))
   }
 
   val profileLineitemOracle: String = {

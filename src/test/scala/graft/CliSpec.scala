@@ -1,0 +1,27 @@
+package graft
+
+/** The reference-compatible command shell, driven end-to-end:
+  * put → maple → juice → get produces the sorted `key\tvalue` contract. */
+class CliSpec extends SparkTestBase {
+
+  test("cli script: put, maple builtin:wc, juice builtin:wc, get") {
+    val _ = spark // materialize shared session first so Cli reuses it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli")
+    val wh = tmp.resolve("wh").toString
+    val inFile = tmp.resolve("in.txt")
+    java.nio.file.Files.writeString(inFile, "b a\na c a\n")
+    val outFile = tmp.resolve("out.txt")
+    val script = tmp.resolve("script.txt")
+    java.nio.file.Files.writeString(script,
+      s"""put $inFile in/f1
+         |maple builtin:wc 4 wc1 in
+         |juice builtin:wc 4 wc1 out 1
+         |get out $outFile
+         |""".stripMargin)
+    // runs against the default warehouse (target/graft-warehouse);
+    // put/juice overwrite, so reruns are safe
+    Cli.main(Array(s"@$script"))
+    val out = java.nio.file.Files.readString(outFile)
+    assert(out === "a\t3\nb\t1\nc\t1")
+  }
+}
