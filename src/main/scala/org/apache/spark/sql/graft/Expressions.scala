@@ -231,6 +231,9 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(RewriteRowNumberTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRowNumberTopK
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64",
       exprs => FnvHash64(exprs.head), "built-in")
@@ -249,6 +252,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => RewriteRowNumberTopK)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

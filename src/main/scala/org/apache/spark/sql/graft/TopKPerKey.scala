@@ -11,6 +11,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => LP}
 
 /** Custom whole-operator: top-k rows per key with rank — the semantics of
   * `row_number() OVER (PARTITION BY keys ORDER BY order) <= k` without the
@@ -39,6 +40,48 @@ case class TopKPerKeyPlan(groupingKeys: Seq[Expression], sortOrder: Seq[SortOrde
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
+}
+
+/** Optimizer rule: rewrites the standard top-k idiom
+  * `Filter(rank <= k, Window(row_number() over (partition ... order ...)))`
+  * into [[TopKPerKeyPlan]] — users keep writing the window form and get the
+  * bounded-heap operator automatically. Deliberately conservative: fires
+  * only on a single row_number window expression with a plain `<`/`<=`
+  * literal bound on exactly that attribute. */
+object RewriteRowNumberTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(a @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(partitionSpec, orderSpec, _)), _)),
+          _, _, child, _)) =>
+      val rankAttr = a.toAttribute
+      val bound = cond match {
+        case LessThanOrEqual(r: Attribute, Literal(k: Int, IntegerType))
+          if r.exprId == rankAttr.exprId => Some(k)
+        case LessThan(r: Attribute, Literal(k: Int, IntegerType))
+          if r.exprId == rankAttr.exprId => Some(k - 1)
+        case _ => None
+      }
+      bound match {
+        case Some(k) if k > 0 && orderSpec.nonEmpty =>
+          // Spark's InferWindowGroupLimit may already have inserted a
+          // WindowGroupLimit (sort + per-group limit) under the Window —
+          // redundant below the heap operator, and its required sort is
+          // exactly the work this rewrite removes; strip it
+          val input = child match {
+            case WindowGroupLimit(p, o, _, _, grandChild)
+              if p == partitionSpec && o == orderSpec => grandChild
+            case other => other
+          }
+          TopKPerKeyPlan(partitionSpec, orderSpec, k,
+            rankAttr.asInstanceOf[AttributeReference], input)
+        case _ => f
+      }
+  }
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {

@@ -37,6 +37,40 @@ class TopKSpec extends SparkTestBase {
     assert(g === Set((3, 1), (2, 2)))
   }
 
+  test("optimizer rule rewrites the window row_number idiom to TopKPerKey automatically") {
+    register()
+    import org.apache.spark.sql.expressions.{Window => W}
+    val o = graft.core.Tables.orders(spark, sf)
+    val idiom = o.withColumn("rn", row_number().over(
+        W.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn")
+    idiom.collect()
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window ["), plan)          // no window operator
+    assert(!plan.contains("WindowGroupLimit"), plan)  // its sort+limit stripped
+    assert(!plan.contains("Sort "), plan)             // heap path needs no sort
+    // and the rewrite preserves results exactly
+    val direct = TopKOps.topKPerKey(o, Seq($"o_custkey"),
+        Seq($"o_orderdate".desc, $"o_orderkey".desc), 3, "rn")
+      .select($"o_custkey", $"o_orderkey", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(idiom.as[(Long, Long, Int)].collect().toSet === direct)
+  }
+
+  test("rule does NOT fire on rank-bound conditions it can't prove (other windows untouched)") {
+    register()
+    import org.apache.spark.sql.expressions.{Window => W}
+    val e = graft.core.Tables.events(spark, sf)
+    // lag/sum windows must keep planning as Window
+    val running = e.withColumn("rv",
+        sum($"value").over(W.partitionBy($"user_id").orderBy($"ts")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    running.collect()
+    assert(running.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("physical plan uses TopKPerKeyExec with a single hash exchange, no sort") {
     register()
     val o = graft.core.Tables.orders(spark, sf)
