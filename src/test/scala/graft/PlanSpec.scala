@@ -41,6 +41,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("as-of join: no nested loop, single hash exchange on the key") {
+    val p = planOf(graft.operators.AsOf.purchaseToLastView(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).length <= 1, p)
+  }
+
+  test("range join: equi-join on (user, bin), no nested loop") {
+    val p = planOf(graft.operators.RangeJoin.errorsNearClicks(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     // formatted explain marks codegen'd operators with a leading '*'
     val p = planOf(Relational.q01PricingSummary(spark, sf))
