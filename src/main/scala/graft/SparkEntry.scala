@@ -33,6 +33,7 @@ object SparkEntry {
       "text_bpe_tokens"   -> (TextOps.bpeTokens _),
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_fingerprint"  -> (TextOps.fingerprint _),
+      "text_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
       "text_langid"       -> (TextOps.langId _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),

@@ -58,6 +58,53 @@ object Hashing {
     sig
   }
 
+  /** Rabin-Karp rolling hashes of all k-grams of a char sequence:
+    * h(i) = c_i*B^(k-1) + ... + c_(i+k-1), 64-bit wraparound arithmetic,
+    * each successive hash computed in O(1) from the previous. */
+  def rollingHashes(s: String, k: Int): Array[Long] = {
+    if (s.length < k) return Array.empty
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](s.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= s.length - k) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme): the minimum k-gram rolling
+    * hash of every window of `w` consecutive k-grams, consecutive
+    * duplicates collapsed. Guarantee: any shared substring of length
+    * >= w + k - 1 between two documents yields a shared fingerprint.
+    * Ties broken by rightmost position (standard robust winnowing). */
+  def winnow(s: String, k: Int, w: Int): Set[Long] = {
+    val hs = rollingHashes(s, k)
+    if (hs.isEmpty) return Set.empty
+    if (hs.length <= w) return Set(hs.min)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    while (i + w <= hs.length) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (hs(j) <= hs(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      out += hs(minIdx)
+      i += 1
+    }
+    out.toSet
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH:
     * `n` planes × `dim` coefficients in [-1, 1). */
   def hyperplanes(n: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {

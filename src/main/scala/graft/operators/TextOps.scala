@@ -234,6 +234,28 @@ object TextOps {
       | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------- winnowing fingerprints
+  /** Rolling-hash document fingerprints (MOSS winnowing, k=8 chars,
+    * window 16): the plagiarism/near-dup detection classic — any shared
+    * substring of >= 23 chars between two docs guarantees a shared
+    * fingerprint. Emitted sorted for determinism; rows-only oracle
+    * (the scheme is hash-defined, not SQL-expressible) with the guarantee
+    * property asserted in TextSpec. */
+  val WinnowK = 8
+  val WinnowWindow = 16
+
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (k, w) = (WinnowK, WinnowWindow)
+    Tables.documents(s, d)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val fps = graft.functions.Hashing.winnow(text, k, w).toSeq.sorted
+        (id, fps.length, fps)
+      }
+      .toDF("doc_id", "n_fingerprints", "fingerprints")
+  }
+
   // ----------------------------------------------------------- language ID
   /** Heuristic language ID: score each text against per-language marker
     * token sets (n-gram/stopword profile approach). Deterministic but not

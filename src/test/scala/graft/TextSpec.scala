@@ -40,6 +40,29 @@ class TextSpec extends SparkTestBase {
     assert(fp(doc0._1) === hex)
   }
 
+  test("winnowing: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
+    import graft.functions.Hashing
+    val common = "SHAREDSEGMENTOFTEXTTHATISLONGENOUGH" // 35 > 16+8-1
+    val a = "prefix one two three " + common + " suffix alpha"
+    val b = "totally different lead-in " + common + " other tail"
+    val fa = Hashing.winnow(a, 8, 16)
+    val fb = Hashing.winnow(b, 8, 16)
+    assert(fa.intersect(fb).nonEmpty)
+    // and unrelated texts (same alphabet, no long shared run) do not collide
+    val c = Hashing.winnow("the quick brown fox jumps over the lazy dog", 8, 16)
+    val e = Hashing.winnow("pack my box with five dozen liquor jugs today", 8, 16)
+    assert(c.intersect(e).isEmpty)
+    // fingerprints are a subset of all k-gram rolling hashes
+    assert(fa.subsetOf(Hashing.rollingHashes(a, 8).toSet))
+    // operator runs over documents and is deterministic
+    val r1 = TextOps.winnowFingerprints(spark, sf)
+      .select("doc_id", "n_fingerprints").as[(Long, Int)].collect().toMap
+    val r2 = TextOps.winnowFingerprints(spark, sf)
+      .select("doc_id", "n_fingerprints").as[(Long, Int)].collect().toMap
+    assert(r1 === r2)
+    assert(r1.values.forall(_ > 0))
+  }
+
   test("language ID is deterministic and covers all docs") {
     val preds = TextOps.langId(spark, sf)
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
