@@ -93,6 +93,29 @@ class StreamingSpec extends SparkTestBase {
     assert(out.get(2L).contains(1L), s"windows emitted: $out")
   }
 
+  test("stream-static join: streaming events enriched with a static dimension") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    // static dimension derived from the same data: each user's first event type
+    val profile = graft.core.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min_by($"event_type", $"ts").as("first_type"))
+    val name = s"graft_ss_join_${System.nanoTime()}"
+    val q = EventStream.readEvents(spark, sf)
+      .join(profile, "user_id") // stream-static equi-join (no watermark needed)
+      .groupBy($"first_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).as[(String, Long)].collect().toSet
+    val batch = graft.core.Tables.events(spark, sf)
+      .join(profile, "user_id")
+      .groupBy($"first_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("batch sessionizer matches the SQL-window q21 result") {
     val a = EventStream.sessionizeBatchEquivalent(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
