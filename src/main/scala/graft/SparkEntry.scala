@@ -46,6 +46,7 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
+      "embed_quantize_int8" -> (Similarity.quantizeEmbeddings _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
       "merge_upsert"     -> (Profiling.mergeUpsert _),

@@ -68,6 +68,30 @@ object Similarity {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** Int8 embedding quantization: per-vector absmax scaling to [-127,127]
+    * — 4x storage reduction for the embedding column (the difference
+    * between 100 TB and 25 TB of vectors). Returns (vec_id, scale,
+    * qvec int8[]); dequantize(x) = x * scale. Reconstruction error is
+    * bounded by scale/2 per component (asserted in SimilaritySpec, along
+    * with top-k stability under quantization). */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var m = 0.0
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+        val scale = if (m == 0.0) 1.0 else m / 127.0
+        val q = new Array[Byte](v.length)
+        i = 0
+        while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+        (id, scale, q)
+      }
+      .toDF("vec_id", "scale", "qvec")
+  }
+
   /** Sign-LSH bucketed ANN: 16-bit signatures, candidates = vectors sharing
     * any 4-bit signature band with the query, exact re-rank of candidates.
     * Probabilistic recall → rows-only oracle; SimilaritySpec measures

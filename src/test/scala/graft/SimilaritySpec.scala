@@ -42,6 +42,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.35, s"IVF recall@10 = $recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, top-k mostly stable") {
+    val qs = Similarity.quantizeEmbeddings(spark, sf)
+      .as[(Long, Double, Array[Byte])].collect()
+      .map { case (id, sc, q) => id -> (sc, q) }.toMap
+    val vs = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .as[(Long, Array[Double])].collect().toMap
+    assert(qs.keySet === vs.keySet)
+    vs.foreach { case (id, v) =>
+      val (scale, q) = qs(id)
+      v.indices.foreach { i =>
+        val deq = q(i) * scale
+        assert(math.abs(deq - v(i)) <= scale / 2 + 1e-12,
+          s"vec $id component $i: $deq vs ${v(i)} (scale $scale)")
+      }
+    }
+    // cosine between original and dequantized vector stays ~1
+    qs.foreach { case (id, (scale, q)) =>
+      val v = vs(id)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      v.indices.foreach { i =>
+        val d = q(i) * scale
+        dot += v(i) * d; na += v(i) * v(i); nb += d * d
+      }
+      val cos = dot / math.sqrt(na * nb)
+      assert(cos > 0.999, s"vec $id degraded to cos=$cos")
+    }
+  }
+
   test("LSH signatures are deterministic across evaluations") {
     val a = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
     val b = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
