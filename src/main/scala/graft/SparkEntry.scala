@@ -46,7 +46,7 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
-      "embed_quantize_int8" -> (Similarity.quantizeEmbeddings _),
+      "embed_quantize_int8" -> (Similarity.quantizeStats _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
       "merge_upsert"     -> (Profiling.mergeUpsert _),
@@ -80,6 +80,8 @@ object SparkEntry {
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
+      "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
+      "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,
       "merge_upsert"     -> Profiling.mergeUpsertOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,

@@ -78,8 +78,11 @@ object Multimodal {
   /** Feature-extraction stage over the binary column: per-payload mean
     * byte (the per-pixel-reduction shape) and frame count at a fixed
     * sampling stride — same per-partition batch pattern as [[decodeMeta]].
-    * Not SQL-expressible over blobs → rows-only; TextSpec re-computes the
-    * features in-JVM and asserts equality. */
+    * The closure emits raw integer sums; the mean is rounded in SQL-land
+    * so the rounding semantics are Spark's `round` (= DuckDB's on these
+    * values), making the query fully hash-checkable against
+    * [[extractFeaturesOracle]] (byte values recovered in DuckDB from the
+    * hex expansion of the blob). */
   def extractFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     binaryTable(s, d)
@@ -87,13 +90,34 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val mean = BigDecimal(FakeCodec.meanByte(payload))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (id, mean, FakeCodec.sampleFrames(payload, 32).length)
+          var sum = 0L
+          var i = 0
+          while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+          (id, sum, payload.length, FakeCodec.sampleFrames(payload, 32).length)
         }
       }
-      .toDF("doc_id", "mean_byte", "n_frames")
+      .toDF("doc_id", "byte_sum", "byte_len", "n_frames")
+      .select($"doc_id",
+        when($"byte_len" === 0, 0.0)
+          .otherwise(round($"byte_sum" / $"byte_len".cast("double"), 4))
+          .as("mean_byte"),
+        $"n_frames")
   }
+
+  /** DuckDB equivalent of [[extractFeatures]]: byte values come from the
+    * hex expansion of the UTF-8 blob (two nibbles per byte via strpos on
+    * the hex alphabet) — pure SQL, no codec. */
+  val extractFeaturesOracle: String =
+    """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+      |                  octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id,
+      | CASE WHEN n = 0 THEN 0.0 ELSE
+      |   round(list_sum(list_transform(range(n), i ->
+      |     (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16 +
+      |     (strpos('0123456789ABCDEF', h[2*i+2]) - 1)))
+      |     / CAST(n AS DOUBLE), 4) END AS mean_byte,
+      | CAST(ceil(n / 32.0) AS INT) AS n_frames
+      |FROM t""".stripMargin
 
   val decodeMetaOracle: String =
     """SELECT doc_id,

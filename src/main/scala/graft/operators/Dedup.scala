@@ -232,44 +232,31 @@ object Dedup {
   // ----------------------------------------------------- embedding near-dup
   /** Exact embedding-cosine near-dup pairs (cosine >= 0.35).
     *
-    * Shape: broadcast the (small) vector matrix — exactly what a broadcast
-    * join does — and scan it per left row in a tight JVM loop via
-    * `mapPartitions`. An earlier form used a nested-loop join with
-    * `zip_with`/`aggregate` columns; Spark evaluates higher-order functions
-    * interpreted (no codegen), which made the O(N²) inner loop ~50× slower.
-    * Exact pairwise is only valid for bounded N by definition — the 100 TB
-    * path is LSH blocking ([[Similarity]]) with this as candidate verifier.
+    * Shape: a Spark-managed `broadcast()` nested-loop join — the build
+    * side is the (bounded) vector table, the stream side scans it per row
+    * inside whole-stage codegen via the native [[org.apache.spark.sql
+    * .graft.ArrayDotProduct]] expression. No driver-side materialization:
+    * Spark builds and ships the broadcast relation itself, so the driver
+    * heap is never the limit and the plan contains no driver-fed
+    * ExistingRDD. (An earlier form `collect()`ed the matrix to work
+    * around interpreted `zip_with`/`aggregate` higher-order functions —
+    * the codegen'd dot product removes that need.)
     *
-    * Dot products accumulate left-to-right in double, matching the DuckDB
-    * oracle's `list_dot_product` bit-for-bit. */
+    * Exact pairwise is only valid for bounded N by definition — the
+    * 100 TB path is LSH blocking ([[Similarity]]) with this as the
+    * candidate verifier. Dot products accumulate left-to-right in double,
+    * matching the DuckDB oracle's `list_dot_product` bit-for-bit. */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.dot
     val vecs = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    val all = vecs.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) =>
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i) * v(i); i += 1 }
-      math.sqrt(ss)
-    }
-    val bc = s.sparkContext.broadcast((all, norms))
-    vecs.mapPartitions { rows =>
-      val (mat, nrm) = bc.value
-      rows.flatMap { case (ida, va) =>
-        var na = 0.0; var i = 0
-        while (i < va.length) { na += va(i) * va(i); i += 1 }
-        na = math.sqrt(na)
-        mat.iterator.zipWithIndex
-          .filter { case ((idb, _), _) => ida < idb }
-          .flatMap { case ((idb, vb), j) =>
-            var dot = 0.0; var k = 0
-            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-            val sim = dot / (na * nrm(j))
-            if (sim >= 0.35) Some((ida, idb, sim)) else None
-          }
-      }
-    }.toDF("vec_a", "vec_b", "sim")
+      .withColumn("norm", sqrt(dot($"v", $"v")))
+    val a = vecs.select($"vec_id".as("vec_a"), $"v".as("va"), $"norm".as("na"))
+    val b = vecs.select($"vec_id".as("vec_b"), $"v".as("vb"), $"norm".as("nb"))
+    a.join(broadcast(b), $"vec_a" < $"vec_b")
+      .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"sim" >= 0.35)
       .select($"vec_a", $"vec_b", round($"sim", 4).as("cos_sim"))
   }
 

@@ -484,12 +484,6 @@ object Relational {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) t WHERE rn <= 3""".stripMargin,
-    "q07b_topk_custom" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
-        |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |  FROM orders) t WHERE rn <= 3""".stripMargin,
     "q08_running_sum_window" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -28,9 +28,10 @@ object Similarity {
 
   private def withNorm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.dot
     Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
   }
 
   /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors. */
@@ -43,7 +44,7 @@ object Similarity {
     // rows; every corpus vector must score against each (brute force)
     val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .withColumn("sim",
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        org.apache.spark.sql.graft.GraftFunctions.dot($"qv", $"v") /
           ($"qnorm" * $"norm"))
     val w = Window.partitionBy($"query_id")
       .orderBy(round($"sim", 6).desc, $"vec_id".asc)
@@ -91,6 +92,47 @@ object Similarity {
       }
       .toDF("vec_id", "scale", "qvec")
   }
+
+  /** Scalar-column digest of [[quantizeEmbeddings]] for the external
+    * correctness gate: per vector, the rounded scale plus dim / sum / min /
+    * max / L1 of the int8 components — deterministic arithmetic DuckDB
+    * reproduces exactly (see [[quantizeStatsOracle]]), so the quantization
+    * is hash-checked, not just row-counted. (The qvec itself is binary and
+    * array-typed outputs crash the gate's canonicalizer.) */
+  def quantizeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantizeEmbeddings(s, d)
+      .as[(Long, Double, Array[Byte])]
+      .map { case (id, scale, q) =>
+        var sum = 0L; var l1 = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < q.length) {
+          val x = q(i).toInt
+          sum += x; l1 += math.abs(x)
+          if (x < mn) mn = x
+          if (x > mx) mx = x
+          i += 1
+        }
+        (id, scale, q.length.toLong, sum, mn, mx, l1)
+      }
+      .toDF("vec_id", "scale_raw", "dim", "q_sum", "q_min", "q_max", "q_l1")
+      .select($"vec_id", round($"scale_raw", 6).as("scale_r"), $"dim",
+        $"q_sum", $"q_min", $"q_max", $"q_l1")
+  }
+
+  val quantizeStatsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |sc AS (SELECT vec_id, v,
+      |  CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+      |q AS (SELECT vec_id, scale,
+      |  list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv FROM sc)
+      |SELECT vec_id, round(scale, 6) AS scale_r, CAST(len(qv) AS BIGINT) AS dim,
+      | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      | CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
+      | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+      |FROM q""".stripMargin
 
   /** Sign-LSH bucketed ANN: 16-bit signatures, candidates = vectors sharing
     * any 4-bit signature band with the query, exact re-rank of candidates.
@@ -160,7 +202,7 @@ object Similarity {
       .join(e, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("sim",
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        org.apache.spark.sql.graft.GraftFunctions.dot($"qv", $"v") /
           ($"qnorm" * $"norm"))
     val w = Window.partitionBy($"query_id")
       .orderBy(round($"sim", 6).desc, $"vec_id".asc)

@@ -238,9 +238,12 @@ object TextOps {
   /** Rolling-hash document fingerprints (MOSS winnowing, k=8 chars,
     * window 16): the plagiarism/near-dup detection classic — any shared
     * substring of >= 23 chars between two docs guarantees a shared
-    * fingerprint. Emitted sorted for determinism; rows-only oracle
-    * (the scheme is hash-defined, not SQL-expressible) with the guarantee
-    * property asserted in TextSpec. */
+    * fingerprint. Emitted exploded as one (doc_id, fingerprint) row per
+    * selected hash — scalar columns only, so the external gate can
+    * row/schema-check it (the scheme is hash-defined, not SQL-expressible,
+    * so it stays rows-only; the guarantee property is asserted in
+    * TextSpec). The exploded form is also the shape the downstream
+    * fingerprint-join (find docs sharing a fingerprint) wants at scale. */
   val WinnowK = 8
   val WinnowWindow = 16
 
@@ -249,11 +252,10 @@ object TextOps {
     val (k, w) = (WinnowK, WinnowWindow)
     Tables.documents(s, d)
       .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val fps = graft.functions.Hashing.winnow(text, k, w).toSeq.sorted
-        (id, fps.length, fps)
+      .flatMap { case (id, text) =>
+        graft.functions.Hashing.winnow(text, k, w).toSeq.sorted.map(fp => (id, fp))
       }
-      .toDF("doc_id", "n_fingerprints", "fingerprints")
+      .toDF("doc_id", "fingerprint")
   }
 
   // ----------------------------------------------------------- language ID

@@ -6,7 +6,7 @@ package org.apache.spark.sql.graft
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -107,6 +107,19 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** Dot product of two double arrays, accumulated left-to-right in
+    * double — the same association order as DuckDB's `list_dot_product`
+    * and Spark's `aggregate(zip_with(...))` form, so results are
+    * bit-identical to both. Lengths are expected equal (embedding dim);
+    * the min is taken defensively. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
@@ -195,6 +208,26 @@ case class LshBandBuckets(child: Expression, numBands: Int)
     copy(child = newChild)
 }
 
+/** `graft_dot(array<double>, array<double>)` → double: codegen'd dot
+  * product. The similarity-search hot path — Spark's higher-order
+  * `aggregate`/`zip_with` run interpreted and are re-evaluated per
+  * filter/join side; this stays inside whole-stage codegen. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.ExprHelpers.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_wordgrams(text, n)` → array<string>: distinct word n-grams. */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -222,8 +255,25 @@ object GraftFunctions {
     ExpressionUtils.column(WordGrams(expression(c), n))
   def lshBuckets(c: Column, numBands: Int): Column =
     ExpressionUtils.column(LshBandBuckets(expression(c), numBands))
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayDotProduct(expression(a), expression(b)))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** SQL-side int parameter: must be a foldable integer expression (e.g. a
+    * literal) — anything else is an error, never a silent default. */
+  private def foldableInt(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: parameter must be a foldable integer literal, got $e")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: parameter must be an integer literal, got $other")
+    }
+  }
 
   /** SQL names, e.g. `SELECT graft_fnv64(text) FROM docs`, plus the
     * TopKPerKey planner strategy. */
@@ -239,10 +289,22 @@ object GraftFunctions {
       exprs => FnvHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64Expr(exprs.head), "built-in")
+    // optional second arg is honored (foldable int) — a non-literal k/n is
+    // an error, never a silently-ignored parameter
     reg.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSignature(exprs.head, 128), "built-in")
+      exprs => MinHashSignature(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_minhash", exprs(1)) else 128),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_wordgrams",
-      exprs => WordGrams(exprs.head, 3), "built-in")
+      exprs => WordGrams(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_wordgrams", exprs(1)) else 3),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_buckets",
+      exprs => LshBandBuckets(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_lsh_buckets", exprs(1)) else 32),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -268,5 +330,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinHashSignature].getName, "graft_minhash"),
         (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 128)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayDotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))))
   }
 }

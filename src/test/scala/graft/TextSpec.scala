@@ -54,13 +54,15 @@ class TextSpec extends SparkTestBase {
     assert(c.intersect(e).isEmpty)
     // fingerprints are a subset of all k-gram rolling hashes
     assert(fa.subsetOf(Hashing.rollingHashes(a, 8).toSet))
-    // operator runs over documents and is deterministic
+    // operator runs over documents, emits exploded (doc_id, fingerprint)
+    // rows, and is deterministic
     val r1 = TextOps.winnowFingerprints(spark, sf)
-      .select("doc_id", "n_fingerprints").as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val r2 = TextOps.winnowFingerprints(spark, sf)
-      .select("doc_id", "n_fingerprints").as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(r1 === r2)
-    assert(r1.values.forall(_ > 0))
+    assert(r1.values.forall(_.nonEmpty))
+    assert(r1.size === graft.core.Tables.documents(spark, sf).count())
   }
 
   test("language ID is deterministic and covers all docs") {
