@@ -21,20 +21,27 @@ object Bench {
     try graft.core.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
+    // n repeats per query, report the min — a single run at n=1 let a stray
+    // GC/JIT pause land on one query (q17 showed 22 s for a 0.2 MB
+    // projection in round 1; re-measured at ~0.5 s)
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: computes every output column (a count() would let
-      // Catalyst prune the aggregates being benchmarked)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: computes every output column (a count() would let
+        // Catalyst prune the aggregates being benchmarked)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,16 +9,22 @@ import graft.sources.Sdfs
   * single command via args.
   *
   *   put <local> <name>          get <name> <local>      delete <name>
-  *   ls <name>                   store
+  *   ls <name>                   store                   get-dir <dir> <local>
   *   maple <exe|builtin:wc|builtin:rwlg> <num> <prefix> <srcDir>
   *   juice <exe|builtin:wc|builtin:rwlg> <num> <prefix> <dest> <del=0|1>
   *
   * Cluster verbs of the reference (join/leave/list/id) are no-ops here —
   * membership is the cluster manager's job (SURVEY.md §1.4). External
-  * executables follow the pipe contract (lines on stdin, `key,value` on
-  * stdout); the two builtin apps match the reference's shipped ones.
-  * `num_tasks` is accepted for CLI compat but Spark sizes tasks itself
-  * (reference's count-based splitting is D2, superseded).
+  * executables follow the reference's argv contract (maple: the 10-line
+  * batch as one argv string; juice: `(key, valuesFile)` — see
+  * [[graft.engine.ExeRunner]]), so the reference's unmodified Python apps
+  * run as-is; the two builtin apps match them in-JVM. `num_tasks` is
+  * accepted for CLI compat but Spark sizes tasks itself (reference's
+  * count-based splitting is D2, superseded).
+  *
+  * `get`/`get-dir` collect to the driver to write a LOCAL file — that is
+  * the verb's meaning (fetch to my machine), acceptable for a CLI fetch,
+  * never a pipeline step.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -59,12 +65,17 @@ object Cli {
         java.nio.file.Files.write(java.nio.file.Paths.get(local),
           lines.mkString("\n").getBytes("UTF-8"))
         println(s"got ${lines.length} lines")
+      case Seq("get-dir", dir, local) =>
+        val lines = sdfs.getDir(dir).collect()
+        java.nio.file.Files.write(java.nio.file.Paths.get(local),
+          lines.mkString("\n").getBytes("UTF-8"))
+        println(s"got-dir ${lines.length} lines")
       case Seq("delete", name) => println(s"deleted=${sdfs.delete(name)}")
       case Seq("ls", name)     => println(sdfs.ls(name).mkString(" "))
       case Seq("store")        => println(sdfs.store().mkString(" "))
       case Seq("maple", exe, _num, prefix, srcDir) =>
         val n = runner.submit(runner.MapleJob(s"${sdfsPath(sdfs, srcDir)}",
-          mapleFn(spark, exe), prefix))
+          mapleFn(spark, exe), prefix, strictBatching = !exe.startsWith("builtin:")))
         println(s"maple done, $n intermediate pairs")
       case Seq("juice", exe, _num, prefix, dest, del) =>
         val n = runner.submit(runner.JuiceJob(prefix, juiceFn(spark, exe),
@@ -82,7 +93,18 @@ object Cli {
   }
 
   /** builtin:wc / builtin:rwlg run in-JVM; anything else is an external
-    * executable on the pipe contract. */
+    * executable on the reference's argv contract via [[graft.engine
+    * .ExeRunner]]: maple gets each 10-line batch as one argv string, juice
+    * gets `(key, valuesFile)` — so the reference's unmodified Python apps
+    * run as-is. `interp:` prefix picks the interpreter (default python3),
+    * e.g. `interp:/usr/bin/python2:wc-maple.py`. */
+  private[graft] def splitExe(exe: String): (Seq[String], String) =
+    if (exe.startsWith("interp:")) {
+      val rest = exe.stripPrefix("interp:")
+      val i = rest.lastIndexOf(':')
+      (Seq(rest.substring(0, i)), rest.substring(i + 1))
+    } else (Seq("python3"), exe)
+
   private def mapleFn(spark: SparkSession, exe: String): graft.engine.MapleJuice.MapleFn =
     exe match {
       case "builtin:wc" =>
@@ -94,24 +116,8 @@ object Cli {
           else Iterator.single(KV(l.substring(i + 1), l.substring(0, i)))
         }
       case _ =>
-        // external exe handled via PipeRunner at the Dataset level is the
-        // fast path; inside a MapleFn we spawn per-partition processes
-        ls => {
-          val pb = new ProcessBuilder(exe)
-          pb.redirectErrorStream(true)
-          val p = pb.start()
-          val out = new java.io.PrintWriter(p.getOutputStream)
-          ls.foreach(out.println)
-          out.close()
-          val res = scala.io.Source.fromInputStream(p.getInputStream)
-            .getLines().flatMap { line =>
-              val i = line.indexOf(',')
-              if (i < 0) None
-              else Some(KV(line.substring(0, i), line.substring(i + 1)))
-            }.toVector
-          p.waitFor()
-          res.iterator
-        }
+        val (interp, path) = splitExe(exe)
+        new graft.engine.ExeRunner(spark, interp).mapleFn(path)
     }
 
   private def juiceFn(spark: SparkSession, exe: String): graft.engine.MapleJuice.JuiceFn =
@@ -121,20 +127,7 @@ object Cli {
       case "builtin:rwlg" =>
         (k, vs) => Iterator.single(KV(k, vs.toSet.toSeq.sorted.mkString(",")))
       case _ =>
-        (k, vs) => {
-          val tmp = java.nio.file.Files.createTempFile("graft_juice", ".txt")
-          java.nio.file.Files.write(tmp, vs.mkString("\n").getBytes("UTF-8"))
-          // reference juice contract: exe(key, valuesFile) → key,value lines
-          val p = new ProcessBuilder(exe, k, tmp.toString).start()
-          val res = scala.io.Source.fromInputStream(p.getInputStream)
-            .getLines().flatMap { line =>
-              val i = line.indexOf(',')
-              if (i < 0) None
-              else Some(KV(line.substring(0, i), line.substring(i + 1)))
-            }.toVector
-          p.waitFor()
-          java.nio.file.Files.deleteIfExists(tmp)
-          res.iterator
-        }
+        val (interp, path) = splitExe(exe)
+        new graft.engine.ExeRunner(spark, interp).juiceFn(path)
     }
 }

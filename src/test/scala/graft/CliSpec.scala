@@ -11,17 +11,22 @@ class CliSpec extends SparkTestBase {
     val inFile = tmp.resolve("in.txt")
     java.nio.file.Files.writeString(inFile, "b a\na c a\n")
     val outFile = tmp.resolve("out.txt")
+    val dirFile = tmp.resolve("dir.txt")
     val script = tmp.resolve("script.txt")
     java.nio.file.Files.writeString(script,
       s"""put $inFile in/f1
          |maple builtin:wc 4 wc1 in
          |juice builtin:wc 4 wc1 out 1
          |get out $outFile
+         |get-dir in $dirFile
          |""".stripMargin)
     // runs against the default warehouse (target/graft-warehouse);
     // put/juice overwrite, so reruns are safe
     Cli.main(Array(s"@$script"))
     val out = java.nio.file.Files.readString(outFile)
     assert(out === "a\t3\nb\t1\nc\t1")
+    // get-dir fetches every line under the prefix directory
+    val dirLines = java.nio.file.Files.readString(dirFile).split("\n").toSet
+    assert(dirLines === Set("b a", "a c a"))
   }
 }

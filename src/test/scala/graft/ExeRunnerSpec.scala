@@ -1,0 +1,133 @@
+package graft
+
+import graft.engine.{ExeRunner, KV, MapleJuice}
+
+/** The reference's shipped applications, run UNMODIFIED through the
+  * argv-contract adapter ([[graft.engine.ExeRunner]]): maple gets each
+  * 10-line batch as one argv string, juice gets `(key, valuesFile)` —
+  * exactly `src/MapReduceWorker.java:114-123,235-247`. Results must match
+  * the in-JVM engine path bit for bit (same oracle as `wc_maple_juice`).
+  *
+  * The apps are Python 2 (`print x` statements); a real python2 is
+  * preferred when present, else a temp copy gets the minimal
+  * print-statement shim — the argv CONTRACT is what's under test either
+  * way.
+  */
+class ExeRunnerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val refApps = java.nio.file.Paths.get("/root/reference/applications")
+
+  /** Locate a python2, or shim the app to python3. */
+  private def interpreterFor(app: String): (Seq[String], String) = {
+    val py2 = {
+      val pyenv = java.nio.file.Paths.get("/root/.pyenv/versions")
+      val fromPyenv =
+        if (java.nio.file.Files.isDirectory(pyenv))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            java.nio.file.Files.list(pyenv).iterator()).asScala
+            .filter(_.getFileName.toString.startsWith("2."))
+            .map(_.resolve("bin/python2"))
+            .find(java.nio.file.Files.isExecutable(_))
+        else None
+      fromPyenv
+    }
+    py2 match {
+      case Some(p) => (Seq(p.toString), refApps.resolve(app).toString)
+      case None =>
+        // py3 shim: `print expr` → `print(expr)` on a temp copy
+        val src = java.nio.file.Files.readString(refApps.resolve(app))
+        val shimmed = src.replaceAll("(?m)^(\\s*)print (.+)$", "$1print($2)")
+        val tmp = java.nio.file.Files.createTempFile("graft_app_", ".py")
+        java.nio.file.Files.writeString(tmp, shimmed)
+        (Seq("python3"), tmp.toString)
+    }
+  }
+
+  private def runApp(lines: Seq[String], mapleApp: String, juiceApp: String): Map[String, String] = {
+    val (mInterp, mPath) = interpreterFor(mapleApp)
+    val (jInterp, jPath) = interpreterFor(juiceApp)
+    val mj = new MapleJuice(spark)
+    val runner = new ExeRunner(spark, mInterp)
+    val juiceRunner = new ExeRunner(spark, jInterp)
+    val inter = mj.maple(lines.toDS(), runner.mapleFn(mPath), strictBatching = true)
+    mj.gatherSorted(mj.juice(inter, juiceRunner.juiceFn(jPath)))
+      .as[(String, String)].collect().toMap
+  }
+
+  test("reference wc-maple.py + wc-juice.py run unmodified, match engine path") {
+    val lines = Seq("b a", "a c a", "b b", "x", "a b x y", "z z z",
+      "one two", "two one", "three", "four five", "tail line after batch")
+    val viaExe = runApp(lines, "wc-maple.py", "wc-juice.py")
+    // in-JVM twin (same semantics: whitespace split, count per word)
+    val mj = new MapleJuice(spark)
+    val expected = mj.runOn(lines.toDS(),
+        ls => ls.flatMap(_.split("\\s+")).filter(_.nonEmpty).map(w => KV(w, "1")),
+        (k, vs) => Iterator.single(KV(k, vs.map(_.toLong).sum.toString)))
+      .as[(String, String)].collect().toMap
+    assert(viaExe === expected)
+    assert(viaExe("a") === "4")
+  }
+
+  test("reference rwlg-maple.py + rwlg-juice.py run unmodified (faithful including the newline quirk)") {
+    // rwlg-juice.py never strips newlines from the values it reads
+    // (`value = value + "," + line` with `line` still ending in \n), so its
+    // stdout is MULTI-LINE: `key,v1`, then `,v2`, `,v3`, ... — and the
+    // reference's gather parses those continuation lines as empty-key
+    // pairs. The adapter reproduces the reference's observable output
+    // exactly, so assert the structural facts that survive shuffle order.
+    val edges = Seq("1,10", "2,10", "3,10", "1,20", "4,20", "5,30")
+    val (mInterp, mPath) = interpreterFor("rwlg-maple.py")
+    val (jInterp, jPath) = interpreterFor("rwlg-juice.py")
+    val mj = new MapleJuice(spark)
+    val inter = mj.maple(edges.toDS(),
+      new ExeRunner(spark, mInterp).mapleFn(mPath), strictBatching = true)
+    val rows = mj.juice(inter, new ExeRunner(spark, jInterp).juiceFn(jPath))
+      .collect().toSeq
+    // every reversed edge's source appears exactly once as a value
+    assert(rows.map(_.value).sorted === Seq("1", "1", "2", "3", "4", "5"))
+    // each target key leads exactly one output line; continuation lines
+    // carry the empty key (the reference's observable behavior)
+    val byKey = rows.groupBy(_.key)
+    assert(byKey.keySet === Set("", "10", "20", "30"))
+    assert(byKey("10").size === 1 && byKey("20").size === 1 && byKey("30").size === 1)
+    assert(byKey("").size === 3)
+    assert(byKey("30").head.value === "5")
+  }
+
+  test("exe failure fails the job loudly (no silent empty output)") {
+    val bad = java.nio.file.Files.createTempFile("graft_bad_", ".py")
+    java.nio.file.Files.writeString(bad, "import sys\nsys.exit(3)\n")
+    val mj = new MapleJuice(spark)
+    val runner = new ExeRunner(spark, Seq("python3"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      mj.maple(Seq("x").toDS(), runner.mapleFn(bad.toString),
+        strictBatching = true).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("cli external-exe verbs run the argv contract end to end") {
+    val _ = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_exe")
+    val inFile = tmp.resolve("in.txt")
+    java.nio.file.Files.writeString(inFile, "b a\na c a\n")
+    val outFile = tmp.resolve("out.txt")
+    val (interp, maplePath) = interpreterFor("wc-maple.py")
+    val (_, juicePath) = interpreterFor("wc-juice.py")
+    val mapleExe =
+      if (interp == Seq("python3")) maplePath else s"interp:${interp.head}:$maplePath"
+    val juiceExe =
+      if (interp == Seq("python3")) juicePath else s"interp:${interp.head}:$juicePath"
+    val script = tmp.resolve("script.txt")
+    java.nio.file.Files.writeString(script,
+      s"""put $inFile exein/f1
+         |maple $mapleExe 4 exewc1 exein
+         |juice $juiceExe 4 exewc1 exeout 1
+         |get exeout $outFile
+         |""".stripMargin)
+    Cli.main(Array(s"@$script"))
+    val out = java.nio.file.Files.readString(outFile)
+    assert(out === "a\t3\nb\t1\nc\t1")
+  }
+}
