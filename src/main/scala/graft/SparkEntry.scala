@@ -39,7 +39,7 @@ object SparkEntry {
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
       "dedup_clusters"       -> (Dedup.dedupClusters _),
-      "dedup_minhash_lsh"    -> (Dedup.minhashLshPairs _),
+      "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d)),
       "dedup_simhash"        -> (Dedup.simhashPairs _),
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
       // similarity search

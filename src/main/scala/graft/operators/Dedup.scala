@@ -110,20 +110,28 @@ object Dedup {
       .select($"doc_id", GraftFunctions.minhash($"grams", MinHashPerms).as("sig"))
   }
 
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+  /** `cacheGrams`: the gram arrays are needed twice — once to minhash,
+    * once to exact-verify candidates. Caching skips the second tokenize
+    * pass (default — right for bounded corpora and the bench scale); at
+    * 100 TB set false: the gram column is far larger than cluster memory
+    * and recomputing a scan is cheaper than spilling a cache. */
+  def minhashLshPairs(s: SparkSession, d: String,
+                      cacheGrams: Boolean = true): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions
+    val grams0 = gramsOf(Tables.documents(s, d))
+    val grams = if (cacheGrams) grams0.cache() else grams0
     // band bucket hashes via the native LshBandBuckets expression (band
     // index is baked into each hash, so the bucket alone is the join key)
-    val bands = minhashSignatures(s, d)
+    val bands = grams
+      .select($"doc_id", GraftFunctions.minhash($"grams", MinHashPerms).as("sig"))
       .select($"doc_id",
-        explode(org.apache.spark.sql.graft.GraftFunctions
-          .lshBuckets($"sig", MinHashBands)).as("bucket"))
+        explode(GraftFunctions.lshBuckets($"sig", MinHashBands)).as("bucket"))
     val cands = bands.as("a").join(bands.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     // exact verification of candidates only
-    val grams = gramsOf(Tables.documents(s, d))
     cands
       .join(grams.select($"doc_id".as("doc_a"), $"grams".as("ga")), "doc_a")
       .join(grams.select($"doc_id".as("doc_b"), $"grams".as("gb")), "doc_b")
@@ -139,37 +147,69 @@ object Dedup {
     * "keep one representative per duplicate cluster" step of a dedup
     * pipeline (pair lists alone over-delete on transitive chains a~b~c).
     *
-    * Implementation: min-label propagation to fixpoint — a driver loop of
-    * dataflow steps (join + groupBy-min per iteration), lineage broken per
-    * iteration with localCheckpoint. Iterations are bounded by component
-    * diameter; at 100 TB scale the same loop runs with large-star/
-    * small-star contraction to keep diameters logarithmic. Edges here:
-    * the exact verified pairs from [[ngramJaccardPairs]], so the DuckDB
-    * oracle (recursive-CTE transitive closure) sees identical input. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    * 100 TB shape on both axes:
+    *   - **edges** come from [[minhashLshPairs]] (banded LSH candidates,
+    *     exact-verified) — never the quadratic all-pairs join. LSH-vs-exact
+    *     pair parity at test scale is asserted in DedupSpec, so the DuckDB
+    *     oracle (recursive-CTE closure over the exact pairs) sees an
+    *     identical graph.
+    *   - **contraction** is the alternating large-star/small-star
+    *     algorithm (Kiveris et al., "Connected Components in MapReduce and
+    *     Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    *     component diameter, where plain min-label propagation is
+    *     O(diameter) rounds — the difference between 5 and 500 shuffles on
+    *     a chain-shaped component. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(s,
+      minhashLshPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
+  /** Alternating star contraction to a fixpoint. Input: undirected edges
+    * (src, dst); output: (doc_id, cluster = min node of its component) for
+    * every node incident to an edge.
+    *
+    * Each round is two shuffle stages over the (shrinking) edge set;
+    * lineage is cut once per round with localCheckpoint. Exceeding
+    * `maxIter` throws — unconverged labels are wrong labels, and the
+    * failure must be loud, never a silent partial result. */
+  def connectedComponents(s: SparkSession, edgesIn: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
     import s.implicits._
-    val e = ngramJaccardPairs(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val sym = e.union(e.select($"dst", $"src")).distinct().cache()
-    var labels = sym.select($"src".as("node")).distinct()
-      .withColumn("label", $"node").localCheckpoint()
-    var changed = 1L
+    // canonical orientation (u > v), no self-loops, deduped
+    var edges = edgesIn.filter($"src" =!= $"dst")
+      .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select($"u".as("node"))
+      .union(edges.select($"v".as("node"))).distinct().localCheckpoint()
     var iter = 0
-    while (changed > 0 && iter < 25) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("n2")).agg(min($"label").as("nlabel"))
-      // checkpoint old+new together, then derive both the convergence count
-      // and the next labels from the materialized result — one evaluation
-      // of the join chain per iteration, not two
-      val step = labels.join(neighborMin, labels("node") === $"n2", "left")
-        .select($"node", $"label",
-          least($"label", coalesce($"nlabel", $"label")).as("newLabel"))
-        .localCheckpoint()
-      changed = step.filter($"newLabel" =!= $"label").count()
-      labels = step.select($"node", $"newLabel".as("label"))
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star: every node attaches its strictly-larger neighbors to
+      // the minimum of its closed neighborhood
+      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val largeMin = sym.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
+      val large = sym.join(largeMin, "u").filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+      // small-star: over (big → small) edges, connect each node and its
+      // smaller neighbors to the smallest of them
+      val smallMin = large.groupBy($"u").agg(min($"v").as("m"))
+      val stepped = large.join(smallMin, "u")
+        .filter($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
+        .union(smallMin.select($"u", $"m".as("v")))
+        .distinct().localCheckpoint()
+      val grew = stepped.count() != edges.count()
+      done = !grew && stepped.except(edges).isEmpty
+      edges = stepped
       iter += 1
     }
-    sym.unpersist()
-    labels.select($"node".as("doc_id"), $"label".as("cluster"))
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds")
+    // fixpoint is a star forest: edges point non-roots at their component
+    // min; roots (and only roots) never appear on the left
+    val labels = edges.select($"u".as("doc_id"), $"v".as("cluster"))
+    val roots = nodes.join(labels, nodes("node") === labels("doc_id"), "left_anti")
+      .select($"node".as("doc_id"), $"node".as("cluster"))
+    labels.union(roots)
   }
 
   val dedupClustersOracle: String =

@@ -152,18 +152,23 @@ object Similarity {
       .toDF("vec_id", "sig")
   }
 
-  /** IVF-style bucketed ANN: 16 deterministic seed centroids (the first 16
-    * vectors), every vector assigned to its nearest centroid (inverted
-    * file), queries probe their [[IvfProbes]] nearest cells, exact re-rank
-    * within the probed cells only.
+  /** IVF-style bucketed ANN: [[IvfCells]] centroids refined by
+    * [[IvfLloydIters]] Lloyd iterations (seeded deterministically from the
+    * first 16 vectors), every vector assigned to its nearest centroid
+    * (inverted file), queries probe their [[IvfProbes]] nearest cells,
+    * exact re-rank within the probed cells only.
     *
-    * Scale shape: assignment is a broadcast-centroid map pass; the
-    * candidate join is an equi-join on cell id; cells bound the re-rank
-    * work to ~nprobe/ncells of the corpus. A production build would run a
-    * few Lloyd iterations for the centroids — the dataflow is identical
-    * (iterate: assign → mean per cell). */
+    * Scale shape: each Lloyd iteration is one broadcast-centroid
+    * assignment pass + one groupBy-mean — the centroid table itself is
+    * [[IvfCells]] rows, so the per-iteration collect is constant-size.
+    * The candidate join is an equi-join on cell id; cells bound the
+    * re-rank work to ~nprobe/ncells of the corpus. Per-cell means sum in
+    * vec_id order so centroids (and thus recall numbers) are
+    * deterministic run to run — at 100 TB you'd trade that determinism
+    * for a two-phase float aggregation and accept last-ulp drift. */
   val IvfCells = 16
   val IvfProbes = 4
+  val IvfLloydIters = 3
 
   private def cosTo(planes: Array[(Long, Array[Double])], v: Array[Double]): Array[(Long, Double)] =
     planes.map { case (cid, c) =>
@@ -172,16 +177,45 @@ object Similarity {
       (cid, dot / (math.sqrt(nc) * math.sqrt(nv)))
     }
 
+  private def nearestCell(cs: Array[(Long, Array[Double])], v: Array[Double]): Long =
+    cosTo(cs, v).maxBy { case (cid, sim) => (sim, -cid) }._1
+
+  /** Lloyd-refined centroids: assign → per-cell mean, [[IvfLloydIters]]
+    * times. Empty cells keep their previous centroid. */
+  private def lloydCentroids(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    var centroids = vecs.filter(_._1 < IvfCells).collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to IvfLloydIters) {
+      val bc = s.sparkContext.broadcast(centroids)
+      val means = vecs
+        .map { case (id, v) => (nearestCell(bc.value, v), id, v) }
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          val sorted = rows.toArray.sortBy(_._2) // deterministic sum order
+          val acc = new Array[Double](sorted.head._3.length)
+          sorted.foreach { case (_, _, v) =>
+            var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
+          }
+          var i = 0
+          while (i < acc.length) { acc(i) /= sorted.length; i += 1 }
+          (cell, acc)
+        }.collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids
+  }
+
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val centroids = vecs.filter(_._1 < IvfCells).collect().sortBy(_._1)
+    val centroids = lloydCentroids(s, vecs)
     val bc = s.sparkContext.broadcast(centroids)
-    val assigned = vecs.map { case (id, v) =>
-      (id, cosTo(bc.value, v).maxBy { case (cid, sim) => (sim, -cid) }._1)
-    }.toDF("vec_id", "cell")
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
     val probes = vecs.filter(_._1 < NumQueries).flatMap { case (qid, v) =>
       cosTo(bc.value, v).sortBy { case (cid, sim) => (-sim, cid) }
         .take(IvfProbes).map { case (cid, _) => (qid, cid) }

@@ -72,9 +72,16 @@ object EventStream {
 
   /** Custom session state: 30-minute-gap sessions per user via
     * flatMapGroupsWithState — the streaming twin of Relational.q21.
-    * Emits a session row whenever a gap closes a session; state per user is
-    * O(1). (Event-time ordering within a group is assumed, which holds for
-    * the single-batch test harness; production would buffer by watermark.) */
+    * Emits a session row whenever a gap closes a session; the persistent
+    * state per user is O(1).
+    *
+    * The in-batch `toSeq.sortBy` buffers one user's arrivals *within one
+    * micro-batch* (flatMapGroupsWithState exposes no sorted group
+    * iterator): bounded by the trigger size (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`), NOT by the user's full history — size
+    * triggers so a hot user's per-batch slice fits the executor; the
+    * batch twin [[sessionizeBatchEquivalent]] shows the unbounded-input
+    * form via secondary sort. */
   def sessionize(events: Dataset[Event]): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events
@@ -102,28 +109,56 @@ object EventStream {
   /** Final open sessions from state — combined with the emitted closed
     * sessions this equals the batch q21 result (asserted in StreamingSpec
     * by running the stream then flushing). For the finite test harness we
-    * instead run sessionize over one batch and flush via a sentinel. */
+    * instead run sessionize over one batch and flush via a sentinel.
+    *
+    * Memory shape: secondary sort — hash-repartition by user, sort within
+    * partitions on (user, ts, event_id), then a single streaming fold per
+    * partition. No per-user buffering anywhere: a user with a billion
+    * events costs the sort's spillable machinery, never executor heap
+    * (the earlier `rows.toSeq.sortBy` form materialized each user's whole
+    * history). */
   def sessionizeBatchEquivalent(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = graft.core.Tables.events(s, d)
+    graft.core.Tables.events(s, d)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
       .as[Event]
-    // batch path through the same state logic: group, sort, fold
-    events.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-      var sessionId = 0L; var lastTs = Long.MinValue
-      var n = 0L; var sum = 0.0
-      sorted.foreach { e =>
-        val t = e.ts.getTime / 1000
-        if (n == 0L) { sessionId = 1L; lastTs = t; n = 1L; sum = e.value }
-        else if (t - lastTs > 1800) {
-          out += SessionAgg(uid, sessionId, n, roundHalfUp2(sum))
-          sessionId += 1; lastTs = t; n = 1L; sum = e.value
-        } else { lastTs = t; n += 1; sum += e.value }
+      .mapPartitions { rows =>
+        new scala.collection.AbstractIterator[SessionAgg] {
+          // (user, sessionId, lastTs, n, sum) of the open session — O(1)
+          private var open: Option[(Long, Long, Long, Long, Double)] = None
+          private var pending: Option[SessionAgg] = None
+          private def close(u: Long, sid: Long, n: Long, sum: Double): Unit =
+            pending = Some(SessionAgg(u, sid, n, roundHalfUp2(sum)))
+          private def advance(): Unit = {
+            while (pending.isEmpty && rows.hasNext) {
+              val e = rows.next()
+              val t = e.ts.getTime / 1000
+              open match {
+                case None =>
+                  open = Some((e.user_id, 1L, t, 1L, e.value))
+                case Some((u, sid, lastTs, n, sum)) =>
+                  if (e.user_id != u) {
+                    close(u, sid, n, sum)
+                    open = Some((e.user_id, 1L, t, 1L, e.value))
+                  } else if (t - lastTs > 1800) {
+                    close(u, sid, n, sum)
+                    open = Some((u, sid + 1, t, 1L, e.value))
+                  } else open = Some((u, sid, t, n + 1, sum + e.value))
+              }
+            }
+            if (pending.isEmpty && !rows.hasNext) open.foreach { case (u, sid, _, n, sum) =>
+              close(u, sid, n, sum); open = None
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): SessionAgg = {
+            advance()
+            val h = pending.get; pending = None; h
+          }
+        }
       }
-      if (n > 0) out += SessionAgg(uid, sessionId, n, roundHalfUp2(sum))
-      out.iterator
-    }.toDF("user_id", "session_id", "n_events", "session_value")
+      .toDF("user_id", "session_id", "n_events", "session_value")
   }
 }

@@ -27,6 +27,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("LSH pair set EQUALS the exact pair set at spec scale (oracle parity guard)") {
+    // dedupClusters drives its edges from minhashLshPairs while the DuckDB
+    // oracle closes over the exact pairs — this equality is what keeps the
+    // correctness gate exact (deterministic: hashes and data are fixed)
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("star contraction labels chain, triangle and isolated pair with component minima") {
+    import spark.implicits._
+    // a 64-node chain (diameter 63 — label propagation would need 63
+    // rounds; star contraction needs O(log)), a triangle, a lone pair
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L)))
+      .toDF("src", "dst")
+    val out = Dedup.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 64L).foreach(n => assert(out(n) === 1L, s"chain node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(out(n) === 100L))
+    assert(out(200L) === 200L && out(201L) === 200L)
+    assert(out.size === 64 + 3 + 2)
+  }
+
+  test("unconverged star contraction fails loudly instead of returning partial labels") {
+    import spark.implicits._
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(spark, chain, maxIter = 1)
+    }
+  }
+
   test("dedup clusters are consistent: pair endpoints share a cluster, rep is min member") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, sf)

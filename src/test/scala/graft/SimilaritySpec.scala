@@ -38,8 +38,10 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     // probing 4/16 cells scans ~25% of the corpus; random picking at that
-    // budget would land recall ≈ 0.25 — require clear headroom over that
-    assert(recall >= 0.35, s"IVF recall@10 = $recall")
+    // budget would land recall ≈ 0.25. With 3 Lloyd iterations the measured
+    // recall is 0.86 (deterministic) — bound at 0.70 for headroom, far
+    // above both random and the 0.35 the unrefined seed centroids gave
+    assert(recall >= 0.70, s"IVF recall@10 = $recall")
   }
 
   test("int8 quantization: bounded reconstruction error, top-k mostly stable") {
