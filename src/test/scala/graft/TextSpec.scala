@@ -65,6 +65,34 @@ class TextSpec extends SparkTestBase {
     assert(r1.size === graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("winnow near-dup pairs score correctly and overlap the ngram-jaccard dups") {
+    import graft.functions.Hashing
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val pairs = TextOps.winnowCandidates(spark, sf)
+      .select("doc_a", "doc_b", "winnow_jac").as[(Long, Long, Double)].collect()
+    // every emitted pair's score matches an in-JVM recomputation
+    pairs.foreach { case (a, b, jac) =>
+      val fa = Hashing.winnow(docs(a), TextOps.WinnowK, TextOps.WinnowWindow)
+      val fb = Hashing.winnow(docs(b), TextOps.WinnowK, TextOps.WinnowWindow)
+      val c = fa.intersect(fb).size.toDouble
+      val expect = BigDecimal(c / (fa.size + fb.size - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(jac === expect, s"pair ($a,$b)")
+      assert(jac >= TextOps.WinnowJaccard)
+    }
+    // the two near-dup detectors agree on the planted duplicates: most
+    // word-3-gram dups are also winnow dups (different granularity, so
+    // exact equality is not expected — but the overlap must dominate)
+    val ngram = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val winnow = pairs.map(p => (p._1, p._2)).toSet
+    if (ngram.nonEmpty) {
+      val overlap = winnow.intersect(ngram).size.toDouble / ngram.size
+      assert(overlap >= 0.6, s"winnow found only ${overlap * 100}% of ngram dups")
+    }
+  }
+
   test("language ID is deterministic and covers all docs") {
     val preds = TextOps.langId(spark, sf)
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
