@@ -14,24 +14,40 @@ object Profiling {
     * distinct count, and min/max (stringified for a uniform schema) — the
     * SUMMARIZE/DESCRIBE analog.
     *
-    * Shape: one single-column aggregation per column, unioned. The
-    * tempting all-in-one-agg form is a trap with exact distinct counts:
-    * N countDistincts in one HashAggregate become an Expand that
-    * duplicates every row N+1 times before the shuffle (measured 39 s vs
-    * ~2 s at sf0.1). Per-column scans of a columnar source each read one
-    * column — cheap, parallel, and shaped exactly like the oracle. */
+    * Shape: exactly two scans, regardless of column count.
+    *   1. counts + typed min/max for every column in ONE aggregation (no
+    *      distincts → no Expand), reshaped long with `stack`.
+    *   2. all exact distinct counts in ONE aggregation: melt to
+    *      (column_name, value-as-string) and countDistinct per column —
+    *      a single distinct aggregate plans as a plain two-phase
+    *      hash aggregation. The trap this dodges: N countDistinct columns
+    *      in one agg become an Expand duplicating every row N+1 times
+    *      (measured 39 s vs 2 s at sf0.1); the earlier
+    *      one-job-per-column form dodged Expand but paid 11 scans and
+    *      ~3.4 s of job scheduling.
+    * Stringified distinct counts are exact here: long/double/date/string
+    * all stringify injectively. min/max compare TYPED (then cast) — a
+    * lexicographic "99" > "100" can never happen. */
   def profileLineitem(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    li.columns.toSeq.map { c =>
-      li.agg(
-        count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("column_name"), $"n_nonnull", $"n_distinct",
-          $"min_value", $"max_value")
-    }.reduce(_.unionByName(_))
+    val cols = li.columns.toSeq
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_cnt"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")) }
+    val stats = li.agg(aggs.head, aggs.tail: _*).selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', ${c}_cnt, ${c}_min, ${c}_max").mkString(", ") +
+        ") as (column_name, n_nonnull, min_value, max_value)")
+    val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select($"kv.column_name", $"kv.v")
+    val distincts = melted.groupBy($"column_name")
+      .agg(countDistinct($"v").as("n_distinct"))
+    stats.join(distincts, "column_name")
+      .select($"column_name", $"n_nonnull", $"n_distinct",
+        $"min_value", $"max_value")
   }
 
   val profileLineitemOracle: String = {

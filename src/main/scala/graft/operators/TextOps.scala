@@ -273,7 +273,10 @@ object TextOps {
 
   def winnowCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val fps = winnowFingerprints(s, d)
+    // cache: the fingerprint table feeds the counts aggregate and both
+    // self-join sides (3 evaluations of the winnow closure otherwise);
+    // same bounded-corpus default as minhashLshPairs' gram cache
+    val fps = winnowFingerprints(s, d).cache()
     val counts = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val withN = fps.join(counts, "doc_id")
     withN.as("a").join(withN.as("b"),

@@ -60,4 +60,25 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(Relational.q01PricingSummary(spark, sf))
     assert(p.contains("* HashAggregate"), p)
   }
+
+  test("embedding cosine pairs: Spark-managed broadcast, no driver-fed scan") {
+    val p = planOf(graft.operators.Dedup.embeddingPairs(spark, sf))
+    // the build side must be a Spark BroadcastExchange (the operator's
+    // deliberate bounded-N shape), never driver-collected data fed back
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("LocalTableScan"), p)
+  }
+
+  test("winnow near-dup pairs: candidate generation is an equi-join on the fingerprint") {
+    val p = planOf(graft.operators.TextOps.winnowCandidates(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash LSH pairs: candidate generation is an equi-join on the bucket") {
+    val p = planOf(graft.operators.Dedup.minhashLshPairs(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }
