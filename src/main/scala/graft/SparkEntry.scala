@@ -36,6 +36,8 @@ object SparkEntry {
       "text_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
       "dedup_winnow_candidates"  -> (TextOps.winnowCandidates _),
       "text_langid"       -> (TextOps.langId _),
+      "text_redact_pii"   -> ((s, d) => TextOps.redactPii(s, d)),
+      "text_repetition"   -> (TextOps.repetitionSignals _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -43,6 +45,7 @@ object SparkEntry {
       "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLshPairs(s, d)),
       "dedup_simhash"        -> (Dedup.simhashPairs _),
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
+      "dedup_keep_list"        -> (Dedup.keepList _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -79,6 +82,9 @@ object SparkEntry {
       "dedup_exact"         -> Dedup.exactDedupOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
+      "dedup_keep_list"     -> Dedup.keepListOracle,
+      "text_redact_pii"     -> TextOps.redactPiiOracle,
+      "text_repetition"     -> TextOps.repetitionSignalsOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,

@@ -23,6 +23,9 @@ import org.apache.spark.sql.Encoders
   */
 object TextOps {
 
+  private def tokensCol: org.apache.spark.sql.Column =
+    expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+
   // ----------------------------------------------------------- word count
   /** A1/A2 semantics (reference `applications/wc-maple.py:5-7`,
     * `wc-juice.py:5-14`): whitespace-split, count per word. */
@@ -287,6 +290,70 @@ object TextOps {
       .filter($"jac" >= WinnowJaccard)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
   }
+
+  // ------------------------------------------------------- PII redaction
+  /** PII redaction — the standard pre-training curation pass: mask email
+    * addresses and IPv4 literals, count what was masked. Pure codegen'd
+    * regexp builtins; patterns are written to the common subset of Java
+    * regex (Spark) and RE2 (DuckDB) so the oracle exercises engine parity.
+    * TextSpec verifies the actual masking on planted PII. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      $"doc_id",
+      size(regexp_extract_all($"text", lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all($"text", lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").as("redacted"))
+  }
+
+  def redactPii(s: SparkSession, d: String): DataFrame =
+    redactPii(Tables.documents(s, d))
+
+  val redactPiiOracle: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
+       | regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |   '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------- repetition signals
+  /** Gopher-style repetition quality signals: type/token ratio and
+    * top-word mass fraction per document — the filters that catch
+    * degenerate/looping generations in training data. Shape: explode →
+    * two-phase hash aggregations; no per-document array lambdas, so the
+    * same plan runs at 100 TB (shuffle keys are (doc, word) then doc). */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select($"doc_id", explode(tokensCol).as("word"))
+    words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("freq"))
+      .groupBy($"doc_id")
+      .agg(sum($"freq").as("n_words"), count(lit(1)).as("n_distinct_words"),
+        max($"freq").as("max_freq"))
+      .select($"doc_id", $"n_words", $"n_distinct_words",
+        round($"n_distinct_words" / $"n_words".cast("double"), 4)
+          .as("type_token_ratio"),
+        round($"max_freq" / $"n_words".cast("double"), 4)
+          .as("top_word_ratio"))
+  }
+
+  val repetitionSignalsOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |f AS (SELECT doc_id, word, count(*) AS freq FROM w GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(sum(freq) AS BIGINT) AS n_words,
+      |        count(*) AS n_distinct_words, CAST(max(freq) AS BIGINT) AS max_freq
+      |      FROM f GROUP BY 1)
+      |SELECT doc_id, n_words, n_distinct_words,
+      | round(n_distinct_words / CAST(n_words AS DOUBLE), 4) AS type_token_ratio,
+      | round(max_freq / CAST(n_words AS DOUBLE), 4) AS top_word_ratio
+      |FROM m""".stripMargin
 
   // ----------------------------------------------------------- language ID
   /** Heuristic language ID: score each text against per-language marker

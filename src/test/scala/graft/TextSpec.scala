@@ -93,6 +93,37 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("PII redaction masks planted emails and IPs and counts them") {
+    val planted = Seq(
+      (1L, "contact bob.smith+dev@example-corp.io or 10.0.255.3 today"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.co and c.d@e.org; servers 192.168.1.1 1.2.3.4"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(planted)
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1, 1, "contact <EMAIL> or <IP> today")))
+    assert(out(1) === ((2L, 0, 0, "no pii here at all")))
+    assert(out(2) === ((3L, 2, 2, "<EMAIL> and <EMAIL>; servers <IP> <IP>")))
+  }
+
+  test("repetition signals match an in-JVM recomputation") {
+    val rows = TextOps.repetitionSignals(spark, sf)
+      .select("doc_id", "n_words", "n_distinct_words", "top_word_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, n, nd, top) =>
+      val toks = texts(id).split("\\s+").filter(_.nonEmpty)
+      assert(n === toks.length.toLong, s"doc $id")
+      assert(nd === toks.distinct.length.toLong, s"doc $id")
+      val expTop = BigDecimal(
+        toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(top === expTop, s"doc $id")
+    }
+  }
+
   test("language ID is deterministic and covers all docs") {
     val preds = TextOps.langId(spark, sf)
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
