@@ -49,6 +49,24 @@ class ExpressionsSpec extends SparkTestBase {
     assert(r._3 === 128)
   }
 
+  test("SQL int parameters are honored, non-literal parameters error") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(graft_minhash(array('x'), 64)) AS k, " +
+        "size(graft_wordgrams('a b c d', 2)) AS g, " +
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[(Int, Int, Double)].collect().head
+    assert(r._1 === 64)   // k=64 honored, not the 128 default
+    assert(r._2 === 3)    // bigrams of 4 tokens
+    assert(r._3 === 11.0) // 1*3 + 2*4
+    // a non-foldable k must fail loudly, never silently default
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(x), cast(rand() * 4 AS INT)) " +
+        "FROM (SELECT 'a' AS x)").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("graft_wordgrams equals the builtin lambda pipeline it replaced") {
     val docs = graft.core.Tables.documents(spark, sf).select($"doc_id", $"text")
     val viaExpr = docs.select($"doc_id",
