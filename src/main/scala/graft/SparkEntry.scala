@@ -57,6 +57,7 @@ object SparkEntry {
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
+      "curation_pipeline" -> ((s, d) => Sampling.curationPipeline(s, d)),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
@@ -93,6 +94,7 @@ object SparkEntry {
       "merge_upsert"     -> Profiling.mergeUpsertOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
+      "curation_pipeline" -> Sampling.curationPipelineOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,

@@ -81,12 +81,27 @@ class TextSpec extends SparkTestBase {
       assert(jac === expect, s"pair ($a,$b)")
       assert(jac >= TextOps.WinnowJaccard)
     }
+    // recall vs the UNPRUNED truth (full quadratic in-JVM): the df-pruned
+    // candidate index must recover essentially all true pairs
+    val ids = docs.keys.toSeq.sorted
+    val sets = ids.map(id =>
+      id -> Hashing.winnow(docs(id), TextOps.WinnowK, TextOps.WinnowWindow)).toMap
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      c = sets(a).intersect(sets(b)).size.toDouble
+      if c / (sets(a).size + sets(b).size - c) >= TextOps.WinnowJaccard
+    } yield (a, b)).toSet
+    val winnow = pairs.map(p => (p._1, p._2)).toSet
+    if (truth.nonEmpty) {
+      val recall = winnow.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.9, s"pruned-index recall $recall over ${truth.size} true pairs")
+    }
     // the two near-dup detectors agree on the planted duplicates: most
     // word-3-gram dups are also winnow dups (different granularity, so
     // exact equality is not expected — but the overlap must dominate)
     val ngram = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val winnow = pairs.map(p => (p._1, p._2)).toSet
     if (ngram.nonEmpty) {
       val overlap = winnow.intersect(ngram).size.toDouble / ngram.size
       assert(overlap >= 0.6, s"winnow found only ${overlap * 100}% of ngram dups")
