@@ -387,9 +387,44 @@ object Relational {
         countDistinct($"l_partkey").as("exact_parts"))
   }
 
+  // ---------------------------------------------------------------- q26
+  /** Pivot: event value sums per user-bucket × event_type — Spark's
+    * `pivot` with explicit pivot values (explicit values keep the plan a
+    * single pass: Spark skips the extra distinct-collection job, and the
+    * output schema is static — the only form that scales). The DuckDB
+    * oracle uses conditional aggregation, the dialect-neutral spelling of
+    * the same plan. */
+  def q26Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(round(sum($"value"), 2))
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Percentile profile: exact interpolated p25/p50/p95 of order totals
+    * per order priority (Spark `percentile` = DuckDB `quantile_cont`,
+    * both exact linear interpolation — parity-checked by the oracle).
+    * Exact percentiles sort within each group under the hood; at 100 TB
+    * swap to `approx_percentile` (KLL-style sketch, rows-only check). */
+  def q27Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_date_arithmetic"   -> q24DateArithmetic _,
     "q25_approx_distinct"   -> q25ApproxDistinct _,
+    "q26_pivot"             -> q26Pivot _,
+    "q27_percentiles"       -> q27Percentiles _,
     "q23_from_json_typed"   -> q23FromJsonTyped _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
@@ -419,6 +454,20 @@ object Relational {
   /** DuckDB-dialect oracles, value-identical to the Spark plans above
     * (same aliases, same rounding, same casts). */
   val oracle: Map[String, String] = Map(
+    "q26_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     // q25 has no oracle: HLL estimators differ across engines (rows-only;
     // SketchSpec bounds the estimate against the exact count instead)
     "q24_date_arithmetic" ->
