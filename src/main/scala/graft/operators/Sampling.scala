@@ -60,7 +60,13 @@ object Sampling {
     * ∘ deterministic shard+position assignment. Every stage is one of the
     * already-verified operators; the composition itself is what this query
     * verifies (the oracle recomputes all three stages in SQL). Shard
-    * positions are assigned AFTER filtering, so shards stay dense. */
+    * positions are assigned AFTER filtering, so shards stay dense.
+    *
+    * Scale note: the position window sorts per shard, so `shards` must
+    * grow with the corpus (rule of thumb: one shard per few GB — the
+    * default 8 is the test-scale setting, the parameter is the knob). The
+    * keep-list join broadcasts only cluster members; quality joins are
+    * co-partitioned on doc_id. */
   def curationPipeline(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
     import s.implicits._
     val quality = TextOps.qualityScore(s, d).select($"doc_id", $"quality_score")

@@ -252,13 +252,13 @@ object TextOps {
 
   def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (k, w) = (WinnowK, WinnowWindow)
+    // native codegen'd expression + explode: the text and the fingerprint
+    // array never leave Tungsten rows (the earlier typed flatMap paid a
+    // Dataset encoder round-trip per document)
     Tables.documents(s, d)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.Hashing.winnow(text, k, w).toSeq.sorted.map(fp => (id, fp))
-      }
-      .toDF("doc_id", "fingerprint")
+      .select($"doc_id",
+        explode(org.apache.spark.sql.graft.GraftFunctions
+          .winnow($"text", WinnowK, WinnowWindow)).as("fingerprint"))
   }
 
   // ------------------------------------------ winnowing near-dup detection

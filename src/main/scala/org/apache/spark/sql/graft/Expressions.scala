@@ -107,6 +107,15 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints of a text, sorted ascending — delegates to
+    * [[Hashing.winnow]] (identical hashes), returning ArrayData so the
+    * value never leaves Tungsten rows. */
+  def winnowSorted(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val fps = Hashing.winnow(s.toString, k, w).toArray
+    java.util.Arrays.sort(fps)
+    new GenericArrayData(fps)
+  }
+
   /** Dot product of two double arrays, accumulated left-to-right in
     * double — the same association order as DuckDB's `list_dot_product`
     * and Spark's `aggregate(zip_with(...))` form, so results are
@@ -208,6 +217,25 @@ case class LshBandBuckets(child: Expression, numBands: Int)
     copy(child = newChild)
 }
 
+/** `graft_winnow(text, k, w)` → array<bigint>: codegen'd MOSS winnowing
+  * fingerprints (sorted). Replaces a Dataset-encoder flatMap round-trip in
+  * the winnow query family — the text stays a UTF8String, the result an
+  * unsafe array. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 256 && w > 0 && w <= 1024, s"winnow k/w out of range: $k/$w")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.winnowSorted(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ExprHelpers.winnowSorted($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** `graft_dot(array<double>, array<double>)` → double: codegen'd dot
   * product. The similarity-search hot path — Spark's higher-order
   * `aggregate`/`zip_with` run interpreted and are re-evaluated per
@@ -257,6 +285,8 @@ object GraftFunctions {
     ExpressionUtils.column(LshBandBuckets(expression(c), numBands))
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayDotProduct(expression(a), expression(b)))
+  def winnow(c: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(expression(c), k, w))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -305,6 +335,11 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowFingerprints(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_winnow", exprs(1)) else 8,
+        if (exprs.length > 2) foldableInt("graft_winnow", exprs(2)) else 16),
+      "built-in")
   }
 }
 
