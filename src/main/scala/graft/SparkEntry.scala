@@ -67,6 +67,9 @@ object SparkEntry {
       // streaming
       "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
+      "stream_dedup"            -> (EventStream.streamingDedupBatch _),
+      // skew mitigation
+      "skew_salted_agg" -> (graft.core.Skew.saltedAggQuery _),
     )
 
   def oracleSql: Map[String, String] =
@@ -100,5 +103,7 @@ object SparkEntry {
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
+      "stream_dedup"            -> EventStream.streamingDedupOracle,
+      "skew_salted_agg"         -> graft.core.Skew.saltedAggOracle,
     )
 }

@@ -38,6 +38,25 @@ object Skew {
     phase1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
   }
 
+  /** [[saltedAgg]] over the events table, externally verified: sum/count/
+    * min/max of value per event_type through the salted two-phase rewrite
+    * must equal the plain GROUP BY (the DuckDB oracle IS the unsalted
+    * form — algebraic-identity proof at the gate, not just in SkewSpec). */
+  def saltedAggQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    saltedAgg(graft.core.Tables.events(s, d).select($"event_type", $"value"),
+        Seq("event_type"),
+        Seq(("value", "sum"), ("value", "count"), ("value", "min"), ("value", "max")))
+      .select($"event_type", round($"sum_value", 2).as("sum_value"),
+        $"count_value", $"min_value", $"max_value")
+  }
+
+  val saltedAggOracle: String =
+    """SELECT event_type, round(sum(value), 2) AS sum_value,
+      | count(value) AS count_value, min(value) AS min_value,
+      | max(value) AS max_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Hot-key replicated join: rows of `left` whose key is in `hotKeys` get
     * a random salt in [0, saltBuckets); `right` is exploded `saltBuckets`×
     * for those keys so every salted left row still finds its match. Cold

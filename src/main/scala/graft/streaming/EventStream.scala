@@ -63,6 +63,28 @@ object EventStream {
     s.table(name)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` over the event stream with a
+    * watermark bounding the dedup state (keys older than the watermark are
+    * evicted — the only way streaming dedup survives unbounded input).
+    * Run to completion over the finite test stream via a memory sink so
+    * the batch-oriented gate verifies a genuinely streaming plan; the
+    * oracle is the batch DISTINCT. */
+  def streamingDedupBatch(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_stream_dd_${System.nanoTime()}"
+    val q = readEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val streamingDedupOracle: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   // ------------------------------------------------- stateful sessionization
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
