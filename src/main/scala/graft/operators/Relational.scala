@@ -420,11 +420,27 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q28
+  /** RANGE interval window frame: trailing 30-day spend per customer —
+    * the time-based sliding frame (vs q08's ROWS frame). RANGE frames
+    * include value peers, so same-day orders always see the same total
+    * and the result is deterministic under any tie order. */
+  def q28RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey", $"o_custkey", $"o_orderdate",
+      round(expr(
+        "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"), 2)
+        .as("trailing_30d_spend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_date_arithmetic"   -> q24DateArithmetic _,
     "q25_approx_distinct"   -> q25ApproxDistinct _,
     "q26_pivot"             -> q26Pivot _,
     "q27_percentiles"       -> q27Percentiles _,
+    "q28_range_frame"       -> q28RangeFrame _,
     "q23_from_json_typed"   -> q23FromJsonTyped _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
@@ -468,6 +484,12 @@ object Relational {
         | round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q28_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+        |   AS trailing_30d_spend
+        |FROM orders""".stripMargin,
     // q25 has no oracle: HLL estimators differ across engines (rows-only;
     // SketchSpec bounds the estimate against the exact count instead)
     "q24_date_arithmetic" ->
