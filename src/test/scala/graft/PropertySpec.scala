@@ -17,6 +17,41 @@ class PropertySpec extends SparkTestBase {
   private val lineGen = Gen.listOf(wordGen).map(_.mkString(" "))
   private val docGen  = Gen.listOfN(20, lineGen)
 
+  test("star contraction == union-find on random graphs (property, 6 seeds)") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(5, 60)                    // node id space
+      m <- Gen.choose(0, 80)                    // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    samples(edgeGen, 6).foreach { edges =>
+      // brute-force union-find truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val real = edges.filter(e => e._1 != e._2)
+      real.foreach { case (a, b) => union(a, b) }
+      val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+      // component min == union-find root chain min
+      val truth = nodes.map { x =>
+        val root = find(x)
+        x -> nodes.filter(y => find(y) == root).min
+      }.toMap
+      val got =
+        if (real.isEmpty) Map.empty[Long, Long]
+        else graft.operators.Dedup.connectedComponents(spark, real.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+      assert(got === truth, s"edges: $real")
+    }
+  }
+
   test("maple∘juice word count == in-memory groupBy count (property, 8 samples)") {
     import spark.implicits._
     val mj = new MapleJuice(spark)
