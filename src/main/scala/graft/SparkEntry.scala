@@ -61,6 +61,7 @@ object SparkEntry {
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
+      "multimodal_resize"      -> (Multimodal.resizePayloads _),
       // as-of + range joins
       "asof_purchase_view" -> (AsOf.purchaseToLastView _),
       "range_join_events"  -> (RangeJoin.errorsNearClicks _),
@@ -99,6 +100,7 @@ object SparkEntry {
       "train_shards"      -> Sampling.trainShardsOracle,
       "curation_pipeline" -> Sampling.curationPipelineOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
+      "multimodal_resize"      -> Multimodal.resizePayloadsOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),

@@ -104,6 +104,48 @@ object Multimodal {
         $"n_frames")
   }
 
+  /** Resize stage: nearest-neighbor downsample of every payload to
+    * [[ResizeTarget]] bytes (the image-resize shape: fixed output size,
+    * deterministic source-index arithmetic), emitting the resized length
+    * and byte sum so the external gate hash-verifies the exact bytes the
+    * stub selected. Same per-partition batch pattern as [[decodeMeta]]. */
+  val ResizeTarget = 256
+
+  def resizePayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binaryTable(s, d)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = FakeCodec.resize(payload, ResizeTarget)
+          var sum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i) & 0xff; i += 1 }
+          (id, out.length, sum)
+        }
+      }
+      .toDF("doc_id", "out_len", "out_sum")
+  }
+
+  /** DuckDB twin of [[resizePayloads]]: the nearest-neighbor source index
+    * is integer arithmetic, the byte values come from the hex expansion. */
+  val resizePayloadsOracle: String =
+    """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+      |                  octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id,
+      | CAST(CASE WHEN n <= 256 THEN n ELSE 256 END AS INT) AS out_len,
+      | CAST(coalesce(CASE WHEN n <= 256 THEN
+      |   list_sum(list_transform(range(n), i ->
+      |     (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16 +
+      |     (strpos('0123456789ABCDEF', h[2*i+2]) - 1)))
+      | ELSE
+      |   list_sum(list_transform(range(256), i ->
+      |     (strpos('0123456789ABCDEF', h[2*((i*n)//256)+1]) - 1) * 16 +
+      |     (strpos('0123456789ABCDEF', h[2*((i*n)//256)+2]) - 1)))
+      | END, 0) AS BIGINT) AS out_sum
+      |FROM t""".stripMargin
+
   /** DuckDB equivalent of [[extractFeatures]]: byte values come from the
     * hex expansion of the UTF-8 blob (two nibbles per byte via strpos on
     * the hex alphabet) — pure SQL, no codec. */

@@ -180,6 +180,19 @@ class TextSpec extends SparkTestBase {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("multimodal resize selects the exact nearest-neighbor bytes") {
+    val out = Multimodal.resizePayloads(spark, sf)
+      .as[(Long, Int, Long)].collect().toMap2
+    val payloads = Multimodal.binaryTable(spark, sf)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    payloads.foreach { case (id, p) =>
+      val expect = Multimodal.FakeCodec.resize(p, Multimodal.ResizeTarget)
+      val (len, sum) = out(id)
+      assert(len === expect.length, s"doc $id")
+      assert(sum === expect.foldLeft(0L)((a, b) => a + (b & 0xff)), s"doc $id")
+    }
+  }
+
   test("multimodal decode metadata agrees with payload lengths") {
     val meta = Multimodal.decodeMeta(spark, sf)
       .select("doc_id", "byte_len", "width", "height")
