@@ -41,7 +41,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }
