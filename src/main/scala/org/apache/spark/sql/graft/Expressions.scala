@@ -129,11 +129,17 @@ object ExprHelpers {
     acc
   }
 
+  // seeds are deterministic per k and read-only — memoized so the per-row
+  // hot path never reallocates/recomputes the 128-long seed stream
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def cachedSeeds(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk => Hashing.seeds(kk))
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
   def minhashArray(arr: ArrayData, k: Int): ArrayData = {
-    val seeds = Hashing.seeds(k)
+    val seeds = cachedSeeds(k)
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
