@@ -17,6 +17,25 @@ class PropertySpec extends SparkTestBase {
   private val lineGen = Gen.listOf(wordGen).map(_.mkString(" "))
   private val docGen  = Gen.listOfN(20, lineGen)
 
+  test("winnowing guarantee holds on random docs with planted shared substrings (property, 12 seeds)") {
+    import graft.functions.Hashing
+    import graft.operators.TextOps.{WinnowK, WinnowWindow}
+    val alpha = Gen.alphaLowerChar
+    val textGen = for {
+      na <- Gen.choose(0, 40); nb <- Gen.choose(0, 40)
+      a <- Gen.listOfN(na, alpha).map(_.mkString)
+      b <- Gen.listOfN(nb, alpha).map(_.mkString)
+      shared <- Gen.listOfN(WinnowWindow + WinnowK - 1, alpha).map(_.mkString)
+    } yield (a + shared + b, b + shared + a)
+    samples(textGen, 12).foreach { case (da, db) =>
+      val fa = Hashing.winnow(da, WinnowK, WinnowWindow)
+      val fb = Hashing.winnow(db, WinnowK, WinnowWindow)
+      // any shared substring of >= w + k - 1 chars guarantees one shared
+      // selected fingerprint (the MOSS theorem) — on ANY surrounding text
+      assert(fa.intersect(fb).nonEmpty, s"docs: '$da' / '$db'")
+    }
+  }
+
   test("star contraction == union-find on random graphs (property, 6 seeds)") {
     import spark.implicits._
     val edgeGen = for {
