@@ -84,6 +84,7 @@ object SparkEntry {
       "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_fingerprint" -> TextOps.fingerprintOracle,
+      "text_langid"      -> TextOps.langIdOracle,
       "dedup_exact"         -> Dedup.exactDedupOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
       "dedup_clusters"      -> Dedup.dedupClustersOracle,

@@ -411,4 +411,32 @@ object TextOps {
       .map { case (id, text, lang) => (id, predictLang(text), lang) }
       .toDF("doc_id", "pred_lang", "actual_lang")
   }
+
+  /** DuckDB twin of [[predictLang]]: per-language marker counts with the
+    * argmax (ties → lexicographically larger language, exactly Scala's
+    * `maxBy((n, l))`) done via struct-list max — the heuristic turns out
+    * to be fully SQL-expressible, so language ID is hash-matched, not
+    * rows-only. */
+  val langIdOracle: String =
+    """WITH t AS (SELECT doc_id, text, lang,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, lang, toks,
+      |  len(list_filter(toks, x -> x IN ('the','and','of','to','is','with','for','that'))) AS n_en,
+      |  len(list_filter(toks, x -> x IN ('le','la','les','et','de','des','un','une','est'))) AS n_fr,
+      |  len(list_filter(toks, x -> x IN ('el','los','las','y','de','que','un','una','es'))) AS n_es,
+      |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','mit'))) AS n_de,
+      |  len(list_filter(toks, x -> x IN ('的','是','在','了','和','有'))) AS n_zh
+      | FROM t),
+      |m AS (SELECT doc_id, text, lang, toks,
+      |  list_max([{'n': n_en, 'l': 'en'}, {'n': n_fr, 'l': 'fr'}, {'n': n_es, 'l': 'es'},
+      |            {'n': n_de, 'l': 'de'}, {'n': n_zh, 'l': 'zh'}]) AS best
+      | FROM c)
+      |SELECT doc_id,
+      | CASE WHEN len(toks) = 0 THEN 'und'
+      |      WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+      |      WHEN best.n = 0 THEN 'und'
+      |      ELSE best.l END AS pred_lang,
+      | lang AS actual_lang
+      |FROM m""".stripMargin
 }
