@@ -26,23 +26,30 @@ object Bench {
     // projection in round 1; re-measured at ~0.5 s)
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to n).map { _ =>
+      // only SUCCESSFUL runs may contribute to the min — a failed run's
+      // fast abort must never report as a fast query; a fully-failed
+      // query reports -1 and is listed in "failed"
+      val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a count() would let
         // Catalyst prune the aggregates being benchmarked)
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.engine.{JobRunner, KV, PipeRunner}
+import graft.engine.{JobRunner, KV}
 import graft.sources.Sdfs
 
 /** Reference-compatible command shell (reference README.md:53-92 command
@@ -101,7 +101,11 @@ object Cli {
   private[graft] def splitExe(exe: String): (Seq[String], String) =
     if (exe.startsWith("interp:")) {
       val rest = exe.stripPrefix("interp:")
-      val i = rest.lastIndexOf(':')
+      // split at the FIRST colon: the interpreter name/path cannot contain
+      // one, while the script path may (and a missing colon is a usage
+      // error, not an index crash)
+      val i = rest.indexOf(':')
+      require(i > 0, s"usage: interp:<interpreter>:<script-path>, got '$exe'")
       (Seq(rest.substring(0, i)), rest.substring(i + 1))
     } else (Seq("python3"), exe)
 

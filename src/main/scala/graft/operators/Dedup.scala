@@ -100,21 +100,25 @@ object Dedup {
   val MinHashBands = 32
   val MinHashRowsPerBand: Int = MinHashPerms / MinHashBands
 
-  /** Signatures via the native codegen'd [[org.apache.spark.sql.graft
+  /** (doc_id, sig) via the native codegen'd [[org.apache.spark.sql.graft
     * .MinHashSignature]] expression — stays in Tungsten rows end to end
-    * (no Dataset encoder round-trip in the map-side scan). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.graft.GraftFunctions
-    gramsOf(Tables.documents(s, d))
-      .select($"doc_id", GraftFunctions.minhash($"grams", MinHashPerms).as("sig"))
-  }
+    * (no Dataset encoder round-trip in the map-side scan). Single source
+    * of the signature construction: both the public form and the LSH
+    * pipeline go through here, so they cannot drift. */
+  private def signaturesOf(grams: DataFrame): DataFrame =
+    grams.select(col("doc_id"),
+      org.apache.spark.sql.graft.GraftFunctions.minhash(col("grams"), MinHashPerms).as("sig"))
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(gramsOf(Tables.documents(s, d)))
 
   /** `cacheGrams`: the gram arrays are needed twice — once to minhash,
     * once to exact-verify candidates. Caching skips the second tokenize
-    * pass (default — right for bounded corpora and the bench scale); at
-    * 100 TB set false: the gram column is far larger than cluster memory
-    * and recomputing a scan is cheaper than spilling a cache. */
+    * pass (default — right for bounded corpora and the bench scale; the
+    * cache is MEMORY_AND_DISK and evictable under the unified memory
+    * manager, so it borrows, never starves, execution memory); at 100 TB
+    * set false: the gram column is far larger than cluster memory and
+    * recomputing a scan is cheaper than churning a cache. */
   def minhashLshPairs(s: SparkSession, d: String,
                       cacheGrams: Boolean = true): DataFrame = {
     import s.implicits._
@@ -123,8 +127,7 @@ object Dedup {
     val grams = if (cacheGrams) grams0.cache() else grams0
     // band bucket hashes via the native LshBandBuckets expression (band
     // index is baked into each hash, so the bucket alone is the join key)
-    val bands = grams
-      .select($"doc_id", GraftFunctions.minhash($"grams", MinHashPerms).as("sig"))
+    val bands = signaturesOf(grams)
       .select($"doc_id",
         explode(GraftFunctions.lshBuckets($"sig", MinHashBands)).as("bucket"))
     val cands = bands.as("a").join(bands.as("b"),

@@ -87,7 +87,14 @@ object Similarity {
         val scale = if (m == 0.0) 1.0 else m / 127.0
         val q = new Array[Byte](v.length)
         i = 0
-        while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+        while (i < v.length) {
+          // round half AWAY FROM ZERO (matches DuckDB/C round(); Scala's
+          // math.round rounds half toward +inf and diverges on negative
+          // exact halves — e.g. -63.5 → -63 vs -64)
+          val x = v(i) / scale
+          q(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+          i += 1
+        }
         (id, scale, q)
       }
       .toDF("vec_id", "scale", "qvec")

@@ -322,24 +322,31 @@ object TextOps {
 
   def redactPii(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(
-      $"doc_id",
-      size(regexp_extract_all($"text", lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all($"text", lit(Ipv4Re), lit(0))).as("n_ips"),
-      regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>").as("redacted"))
+    // counts follow the masking order: n_ips counts matches in the
+    // email-masked text, so an IP consumed inside an email match (e.g.
+    // `x@1.2.3.4.com`) is never counted as a masked IP — every count
+    // corresponds to a mask actually present in `redacted`
+    docs
+      .withColumn("after_email", regexp_replace($"text", EmailRe, "<EMAIL>"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"after_email", lit(Ipv4Re), lit(0))).as("n_ips"),
+        regexp_replace($"after_email", Ipv4Re, "<IP>").as("redacted"))
   }
 
   def redactPii(s: SparkSession, d: String): DataFrame =
     redactPii(Tables.documents(s, d))
 
   val redactPiiOracle: String =
-    s"""SELECT doc_id,
+    s"""WITH m AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email
+       |  FROM documents)
+       |SELECT doc_id,
        | CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
-       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
-       | regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
-       |   '$Ipv4Re', '<IP>', 'g') AS redacted
-       |FROM documents""".stripMargin
+       | CAST(len(regexp_extract_all(after_email, '$Ipv4Re')) AS INT) AS n_ips,
+       | regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM m""".stripMargin
 
   // ------------------------------------------------- repetition signals
   /** Gopher-style repetition quality signals: type/token ratio and

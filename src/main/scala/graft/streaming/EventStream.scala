@@ -63,17 +63,20 @@ object EventStream {
     s.table(name)
   }
 
-  /** Streaming exact dedup: `dropDuplicates` over the event stream with a
-    * watermark bounding the dedup state (keys older than the watermark are
-    * evicted — the only way streaming dedup survives unbounded input).
-    * Run to completion over the finite test stream via a memory sink so
-    * the batch-oriented gate verifies a genuinely streaming plan; the
-    * oracle is the batch DISTINCT. */
+  /** Streaming exact dedup over the event stream with state actually
+    * bounded by the watermark: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes it — plain `dropDuplicates`
+    * on non-event-time keys NEVER evicts (state grows with every distinct
+    * key forever; the unbounded-input scale claim would be false). Within
+    * the watermark the dedup is exact, which for the finite test stream
+    * equals the batch DISTINCT oracle. Run to completion via a memory
+    * sink so the batch-oriented gate verifies a genuinely streaming
+    * plan. */
   def streamingDedupBatch(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_stream_dd_${System.nanoTime()}"
     val q = readEvents(s, d)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name)

@@ -302,7 +302,10 @@ object GraftFunctions {
     require(e.foldable, s"$fn: parameter must be a foldable integer literal, got $e")
     e.eval() match {
       case i: Int  => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$fn: parameter $l out of int range")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other =>

@@ -112,7 +112,8 @@ class TextSpec extends SparkTestBase {
     val planted = Seq(
       (1L, "contact bob.smith+dev@example-corp.io or 10.0.255.3 today"),
       (2L, "no pii here at all"),
-      (3L, "a@b.co and c.d@e.org; servers 192.168.1.1 1.2.3.4"))
+      (3L, "a@b.co and c.d@e.org; servers 192.168.1.1 1.2.3.4"),
+      (4L, "mail x@1.2.3.4.com now")) // IP-shaped text inside an email match
       .toDF("doc_id", "text")
     val out = TextOps.redactPii(planted)
       .select("doc_id", "n_emails", "n_ips", "redacted")
@@ -120,6 +121,9 @@ class TextSpec extends SparkTestBase {
     assert(out(0) === ((1L, 1, 1, "contact <EMAIL> or <IP> today")))
     assert(out(1) === ((2L, 0, 0, "no pii here at all")))
     assert(out(2) === ((3L, 2, 2, "<EMAIL> and <EMAIL>; servers <IP> <IP>")))
+    // the IP was consumed by the email mask — it must NOT be counted as a
+    // masked IP (counts always correspond to masks present in `redacted`)
+    assert(out(3) === ((4L, 1, 0, "mail <EMAIL> now")))
   }
 
   test("repetition signals match an in-JVM recomputation") {
