@@ -70,7 +70,8 @@ object SparkEntry {
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
       "stream_dedup"            -> (EventStream.streamingDedupBatch _),
       // skew mitigation
-      "skew_salted_agg" -> (graft.core.Skew.saltedAggQuery _),
+      "skew_salted_agg"      -> (graft.core.Skew.saltedAggQuery _),
+      "skew_replicated_join" -> (graft.core.Skew.replicatedJoinQuery _),
     )
 
   def oracleSql: Map[String, String] =
@@ -108,5 +109,6 @@ object SparkEntry {
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
       "stream_dedup"            -> EventStream.streamingDedupOracle,
       "skew_salted_agg"         -> graft.core.Skew.saltedAggOracle,
+      "skew_replicated_join"    -> graft.core.Skew.replicatedJoinOracle,
     )
 }

@@ -57,6 +57,28 @@ object Skew {
       | max(value) AS max_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** [[replicatedJoin]] over lineitem ⋈ orders, externally verified: the
+    * hot-key replicated join must equal the plain inner join (the DuckDB
+    * oracle IS the unsalted join — same algebraic-identity-at-the-gate
+    * treatment as [[saltedAggQuery]]). Hot keys: the first three order
+    * keys, standing in for a measured hot-key set. */
+  def replicatedJoinQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = graft.core.Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val o = graft.core.Tables.orders(s, d)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    replicatedJoin(li, o, "l_orderkey", hotKeys = Seq(1L, 2L, 3L))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("sum_qty"))
+  }
+
+  val replicatedJoinOracle: String =
+    """SELECT o_custkey, count(*) AS n_items,
+      | round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Hot-key replicated join: rows of `left` whose key is in `hotKeys` get
     * a random salt in [0, saltBuckets); `right` is exploded `saltBuckets`×
     * for those keys so every salted left row still finds its match. Cold
