@@ -95,6 +95,36 @@ class ExeRunnerSpec extends SparkTestBase {
     assert(byKey("30").head.value === "5")
   }
 
+  test("argv batching edge cases: empty input and an exact-10-line batch") {
+    val (mInterp, mPath) = interpreterFor("wc-maple.py")
+    val mj = new MapleJuice(spark)
+    val runner = new ExeRunner(spark, mInterp)
+    // empty input → no process spawned, no output
+    assert(mj.maple(Seq.empty[String].toDS(), runner.mapleFn(mPath),
+      strictBatching = true).collect().isEmpty)
+    // exactly 10 lines → one full batch, all words counted
+    val ten = (1 to 10).map(i => s"w$i")
+    val inter = mj.maple(ten.toDS(), runner.mapleFn(mPath), strictBatching = true)
+      .collect()
+    assert(inter.map(_.key).sorted.toSeq === ten.sorted)
+    assert(inter.forall(_.value == "1"))
+  }
+
+  test("juice values file is cleaned up after the exe runs") {
+    val (jInterp, jPath) = interpreterFor("wc-juice.py")
+    val before = tmpJuiceFiles()
+    val out = new ExeRunner(spark, jInterp).juiceFn(jPath)("k", Iterator("1", "2", "3")).toList
+    assert(out === List(KV("k", "6")))
+    assert(tmpJuiceFiles() === before) // no leaked graft_juice_ temp files
+  }
+
+  private def tmpJuiceFiles(): Set[String] = {
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(dir).iterator()).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_juice_")).toSet
+  }
+
   test("exe failure fails the job loudly (no silent empty output)") {
     val bad = java.nio.file.Files.createTempFile("graft_bad_", ".py")
     java.nio.file.Files.writeString(bad, "import sys\nsys.exit(3)\n")
