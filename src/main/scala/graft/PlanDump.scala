@@ -39,7 +39,13 @@ object PlanDump {
           "Scan ExistingRDD (driver-fed? or checkpoint)" ->
             plan.contains("Scan ExistingRDD"),
         ).collect { case (f, true) => f }
-        println(f"[plan] $name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(", ")}")
+        // shuffle/broadcast census of the AQE-final plan — the number to
+        // re-check after any operator change ("did I add a shuffle?")
+        val finalPlan = plan.split("== Initial Plan ==")(0)
+        val nEx = raw"\(\d+\) Exchange\b".r.findAllIn(finalPlan).length
+        val nBc = raw"\(\d+\) BroadcastExchange\b".r.findAllIn(finalPlan).length
+        println(f"[plan] $name%-28s ${nEx}x shuffle ${nBc}x broadcast  " +
+          (if (flags.isEmpty) "ok" else flags.mkString(", ")))
       } catch { case e: Throwable =>
         println(s"[plan] $name FAILED: ${e.getMessage.take(100)}")
       }
