@@ -41,6 +41,10 @@ object Bench {
           None
         }
       }
+      // release operator-level caches (grams/fingerprints) between
+      // queries: repeats above keep the intra-query steady-state benefit,
+      // but no query's storage lingers under the rest of the suite
+      spark.catalog.clearCache()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -95,9 +95,15 @@ object Cli {
   /** builtin:wc / builtin:rwlg run in-JVM; anything else is an external
     * executable on the reference's argv contract via [[graft.engine
     * .ExeRunner]]: maple gets each 10-line batch as one argv string, juice
-    * gets `(key, valuesFile)` — so the reference's unmodified Python apps
-    * run as-is. `interp:` prefix picks the interpreter (default python3),
-    * e.g. `interp:/usr/bin/python2:wc-maple.py`. */
+    * gets `(key, valuesFile)`.
+    *
+    *   - bare path            → run with python3 (the reference hardcodes
+    *                            `python <exe>`, so its unmodified apps
+    *                            work with zero spelling)
+    *   - `interp:<cmd>:<path>` → run with an explicit interpreter
+    *   - `exec:<path>`         → run the file DIRECTLY (compiled binary or
+    *                            shebang script), no interpreter
+    */
   private[graft] def splitExe(exe: String): (Seq[String], String) =
     if (exe.startsWith("interp:")) {
       val rest = exe.stripPrefix("interp:")
@@ -107,6 +113,8 @@ object Cli {
       val i = rest.indexOf(':')
       require(i > 0, s"usage: interp:<interpreter>:<script-path>, got '$exe'")
       (Seq(rest.substring(0, i)), rest.substring(i + 1))
+    } else if (exe.startsWith("exec:")) {
+      (Seq.empty, exe.stripPrefix("exec:"))
     } else (Seq("python3"), exe)
 
   private def mapleFn(spark: SparkSession, exe: String): graft.engine.MapleJuice.MapleFn =

@@ -23,6 +23,10 @@ object PlanDump {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // execute first: AQE only finalizes the plan (broadcast
+        // conversions, coalesced shuffles) after a run — explaining an
+        // unexecuted query would audit the pre-AQE placeholder
+        df.write.mode("overwrite").format("noop").save()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         sb.append(s"===== $name =====\n$plan\n")

@@ -36,6 +36,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * comma (rwlg-juice emits comma-joined adjacency values, so a strict CSV
   * split would truncate them).
   */
+/** @param interpreter command prefix the exe path is appended to —
+  *   `Seq("python3")` (default, the reference hardcodes `python <exe>`),
+  *   an explicit `Seq("/path/to/python2")`, or `Seq.empty` to exec the
+  *   file directly (compiled binary / shebang script). */
 class ExeRunner(spark: SparkSession,
                 interpreter: Seq[String] = Seq("python3")) {
   import spark.implicits._

@@ -215,53 +215,12 @@ object Dedup {
     labels.union(roots)
   }
 
-  val dedupClustersOracle: String =
-    """WITH RECURSIVE pairs AS (
-      |  WITH t AS (SELECT doc_id,
-      |      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-      |    FROM documents),
-      |  g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |      range(len(toks) - 2),
-      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
-      |    FROM t WHERE len(toks) >= 3),
-      |  sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2)
-      |  SELECT doc_a, doc_b
-      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |  WHERE c / (sa.n + sb.n - c) >= 0.5),
-      |sym AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs
-      |  UNION SELECT doc_b, doc_b FROM pairs),
-      |reach(x, y) AS (
-      |  SELECT a, b FROM sym
-      |  UNION
-      |  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a)
-      |SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x""".stripMargin
-
-  // ------------------------------------------------------- dedup keep-list
-  /** The dedup pipeline's final product: every document labeled with its
-    * cluster and a `keep` flag (true iff it IS the cluster representative
-    * — the minimum doc_id — or belongs to no near-dup cluster at all).
-    * Downstream training jobs filter `keep`; the drop set is the
-    * complement. One left join of documents against the (small) cluster
-    * labels — broadcastable at any corpus scale since labels only exist
-    * for documents that had a near-dup. */
-  def keepList(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val clusters = dedupClusters(s, d)
-    Tables.documents(s, d).select($"doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"cluster", $"doc_id").as("cluster"),
-        (coalesce($"cluster", $"doc_id") === $"doc_id").as("keep"))
-  }
-
-  val keepListOracle: String =
-    """WITH RECURSIVE t AS (SELECT doc_id,
+  /** Shared oracle fragments — the ONE copy of the gram construction,
+    * 0.5-Jaccard pair predicate, and transitive-closure SQL that every
+    * closure-based oracle (clusters, keep-list, curation pipeline)
+    * composes from, so a threshold change is one edit, not four. */
+  private[operators] val closureCtes: String =
+    """t AS (SELECT doc_id,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -284,12 +243,40 @@ object Dedup {
       |reach(x, y) AS (
       |  SELECT a, b FROM sym
       |  UNION
-      |  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
-      |clusters AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)
-      |SELECT d.doc_id,
-      |  coalesce(c.cluster, d.doc_id) AS cluster,
-      |  (coalesce(c.cluster, d.doc_id) = d.doc_id) AS keep
-      |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
+      |  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a)""".stripMargin
+
+  private[operators] val clustersCte: String =
+    "clusters AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)"
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x""".stripMargin
+
+  // ------------------------------------------------------- dedup keep-list
+  /** The dedup pipeline's final product: every document labeled with its
+    * cluster and a `keep` flag (true iff it IS the cluster representative
+    * — the minimum doc_id — or belongs to no near-dup cluster at all).
+    * Downstream training jobs filter `keep`; the drop set is the
+    * complement. One left join of documents against the (small) cluster
+    * labels — broadcastable at any corpus scale since labels only exist
+    * for documents that had a near-dup. */
+  def keepList(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters(s, d)
+    Tables.documents(s, d).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster", $"doc_id").as("cluster"),
+        (coalesce($"cluster", $"doc_id") === $"doc_id").as("keep"))
+  }
+
+  val keepListOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |$clustersCte
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster, d.doc_id) AS cluster,
+       |  (coalesce(c.cluster, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
 
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash per doc (bit-majority over token hashes), near-dup

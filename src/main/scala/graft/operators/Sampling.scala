@@ -82,50 +82,31 @@ object Sampling {
       .select($"doc_id", $"quality_score", $"shard", $"pos")
   }
 
+  // closure fragments come from Dedup (one copy of the pair/closure
+  // semantics); the quality formula mirrors TextOps.qualityScore — an SQL
+  // fragment shared with qualityScoreOracle would need its CTE names
+  // parameterized, so the formula is asserted equal by the gate instead
   val curationPipelineOracle: String =
-    """WITH RECURSIVE t AS (SELECT doc_id,
-      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-      |  FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(len(toks) - 2),
-      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
-      |  FROM t WHERE len(toks) >= 3),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |  WHERE c / (sa.n + sb.n - c) >= 0.5),
-      |sym AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs
-      |  UNION SELECT doc_a, doc_a FROM pairs
-      |  UNION SELECT doc_b, doc_b FROM pairs),
-      |reach(x, y) AS (
-      |  SELECT a, b FROM sym
-      |  UNION
-      |  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
-      |clusters AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x),
-      |q AS (SELECT doc_id, text,
-      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks,
-      |    len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-      |        x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
-      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
-      |  FROM documents),
-      |scored AS (SELECT doc_id, text,
-      |    round(least(1.0, n_toks / 100.0) * 0.5
-      |      + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
-      |      + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
-      |  FROM q),
-      |kept AS (
-      |  SELECT s.doc_id, s.text, s.quality_score
-      |  FROM scored s LEFT JOIN clusters c ON s.doc_id = c.doc_id
-      |  WHERE coalesce(c.cluster, s.doc_id) = s.doc_id
-      |    AND s.quality_score >= 0.5)
-      |SELECT doc_id, quality_score, CAST(doc_id % 8 AS INTEGER) AS shard,
-      |  row_number() OVER (PARTITION BY doc_id % 8
-      |                     ORDER BY md5(text) ASC, doc_id ASC) AS pos
-      |FROM kept""".stripMargin
+    s"""WITH RECURSIVE ${Dedup.closureCtes},
+       |${Dedup.clustersCte},
+       |q AS (SELECT doc_id, text,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_toks,
+       |    len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+       |        x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+       |  FROM documents),
+       |scored AS (SELECT doc_id, text,
+       |    round(least(1.0, n_toks / 100.0) * 0.5
+       |      + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
+       |      + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
+       |  FROM q),
+       |kept AS (
+       |  SELECT s.doc_id, s.text, s.quality_score
+       |  FROM scored s LEFT JOIN clusters c ON s.doc_id = c.doc_id
+       |  WHERE coalesce(c.cluster, s.doc_id) = s.doc_id
+       |    AND s.quality_score >= 0.5)
+       |SELECT doc_id, quality_score, CAST(doc_id % 8 AS INTEGER) AS shard,
+       |  row_number() OVER (PARTITION BY doc_id % 8
+       |                     ORDER BY md5(text) ASC, doc_id ASC) AS pos
+       |FROM kept""".stripMargin
 }

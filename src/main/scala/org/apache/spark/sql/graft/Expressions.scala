@@ -298,7 +298,7 @@ object GraftFunctions {
 
   /** SQL-side int parameter: must be a foldable integer expression (e.g. a
     * literal) — anything else is an error, never a silent default. */
-  private def foldableInt(fn: String, e: Expression): Int = {
+  private[graft] def foldableInt(fn: String, e: Expression): Int = {
     require(e.foldable, s"$fn: parameter must be a foldable integer literal, got $e")
     e.eval() match {
       case i: Int  => i
@@ -343,7 +343,10 @@ object GraftFunctions {
         if (exprs.length > 1) foldableInt("graft_lsh_buckets", exprs(1)) else 32),
       "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
-      exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+        ArrayDotProduct(exprs.head, exprs(1))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowFingerprints(exprs.head,
         if (exprs.length > 1) foldableInt("graft_winnow", exprs(1)) else 8,
@@ -353,31 +356,43 @@ object GraftFunctions {
 }
 
 /** Session-extension wiring: `SparkSession.builder().withExtensions(new
-  * GraftExtensions)` or config `spark.sql.extensions=graft.functions.
-  * GraftExtensions` — makes the functions available in every session. */
+  * GraftExtensions)` or config
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` —
+  * makes the functions available in every session, with IDENTICAL
+  * parameter semantics to [[GraftFunctions.register]] (honored-or-error,
+  * never a silently-ignored argument). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions.foldableInt
+
+  private def inject(ext: SparkSessionExtensions, name: String, cls: Class[_],
+                     builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => RewriteRowNumberTopK)
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fnv64"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[FnvHash64].getName, "graft_fnv64"),
-        (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimHash64Expr].getName, "graft_simhash64"),
-        (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[MinHashSignature].getName, "graft_minhash"),
-        (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 128)))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[ArrayDotProduct].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))))
+    inject(ext, "graft_fnv64", classOf[FnvHash64], exprs => FnvHash64(exprs.head))
+    inject(ext, "graft_simhash64", classOf[SimHash64Expr],
+      exprs => SimHash64Expr(exprs.head))
+    inject(ext, "graft_minhash", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_minhash", exprs(1)) else 128))
+    inject(ext, "graft_wordgrams", classOf[WordGrams],
+      exprs => WordGrams(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_wordgrams", exprs(1)) else 3))
+    inject(ext, "graft_lsh_buckets", classOf[LshBandBuckets],
+      exprs => LshBandBuckets(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_lsh_buckets", exprs(1)) else 32))
+    inject(ext, "graft_winnow", classOf[WinnowFingerprints],
+      exprs => WinnowFingerprints(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_winnow", exprs(1)) else 8,
+        if (exprs.length > 2) foldableInt("graft_winnow", exprs(2)) else 16))
+    inject(ext, "graft_dot", classOf[ArrayDotProduct], exprs => {
+      require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+      ArrayDotProduct(exprs.head, exprs(1))
+    })
   }
 }
