@@ -125,6 +125,22 @@ class ExeRunnerSpec extends SparkTestBase {
       .map(_.getFileName.toString).filter(_.startsWith("graft_juice_")).toSet
   }
 
+  test("exec: form runs a non-Python executable directly on the argv contract") {
+    // a shebang shell script standing in for a compiled binary: echoes one
+    // `line,1` pair per batch line (argv[1] = the whole batch)
+    val sh = java.nio.file.Files.createTempFile("graft_exe_", ".sh")
+    java.nio.file.Files.writeString(sh,
+      "#!/bin/sh\nprintf '%s\\n' \"$1\" | while read -r l; do echo \"$l,1\"; done\n")
+    sh.toFile.setExecutable(true)
+    val (interp, path) = Cli.splitExe(s"exec:$sh")
+    assert(interp.isEmpty)
+    val mj = new MapleJuice(spark)
+    val out = mj.maple(Seq("aa", "bb", "aa").toDS(),
+        new ExeRunner(spark, interp).mapleFn(path), strictBatching = true)
+      .collect().toSeq
+    assert(out.sortBy(_.key) === Seq(KV("aa", "1"), KV("aa", "1"), KV("bb", "1")))
+  }
+
   test("exe failure fails the job loudly (no silent empty output)") {
     val bad = java.nio.file.Files.createTempFile("graft_bad_", ".py")
     java.nio.file.Files.writeString(bad, "import sys\nsys.exit(3)\n")
