@@ -17,6 +17,17 @@ class PropertySpec extends SparkTestBase {
   private val lineGen = Gen.listOf(wordGen).map(_.mkString(" "))
   private val docGen  = Gen.listOfN(20, lineGen)
 
+  test("driver contract: every oracle key has a query; rows-only set is the known 7") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracle keys without a query: ${os -- qs}")
+    // rows-only must stay the deliberate probabilistic/hash-defined set —
+    // a new query accidentally shipped without its oracle fails here
+    assert((qs -- os) === Set("ann_ivf_topk", "ann_lsh_topk",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_winnow_candidates",
+      "q25_approx_distinct", "text_winnow_fingerprints"))
+  }
+
   test("winnowing guarantee holds on random docs with planted shared substrings (property, 12 seeds)") {
     import graft.functions.Hashing
     import graft.operators.TextOps.{WinnowK, WinnowWindow}
