@@ -26,9 +26,9 @@ object Bench {
     // projection in round 1; re-measured at ~0.5 s)
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // only SUCCESSFUL runs may contribute to the min — a failed run's
-      // fast abort must never report as a fast query; a fully-failed
-      // query reports -1 and is listed in "failed"
+      // only SUCCESSFUL runs may contribute — a failed run's fast abort
+      // must never report as a fast query; a fully-failed query reports
+      // -1 and is listed in "failed"
       val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a count() would let
@@ -45,15 +45,36 @@ object Bench {
       // queries: repeats above keep the intra-query steady-state benefit,
       // but no query's storage lingers under the rest of the suite
       spark.catalog.clearCache()
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    // dispersion guard: a min is only trustworthy if the runs agree — a
+    // 3x max/min spread means co-tenant noise / GC landed on this query
+    // (round 2's committed artifact recorded an 8.5 s min for a 0.3 s
+    // query that way); re-run on a quiet machine before trusting it
+    results.foreach { case (name, ts) =>
+      if (ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 3.0 && ts.max - ts.min > 1.0)
+        System.err.println(
+          f"[bench] WARNING: $name dispersion ${ts.max / ts.min}%.1fx " +
+            f"(min ${ts.min}%.2fs max ${ts.max}%.2fs over ${ts.length} runs) " +
+            "— environment noise suspected, re-run on a quiet machine")
+    }
+    val qs = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
+    }.mkString("{", ",", "}")
+    // per-query {min,max,n_ok}: makes cross-run dispersion visible in the
+    // committed artifact itself (min alone hides that ALL runs were slow)
+    val spread = results.map { case (k, ts) =>
+      val (mn, mx) = if (ts.nonEmpty) (ts.min, ts.max) else (-1.0, -1.0)
+      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${ts.length}}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val maxDisp = results.collect {
+      case (_, ts) if ts.nonEmpty && ts.min > 0 => ts.max / ts.min
+    }.foldLeft(1.0)(math.max)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":${f"$maxDisp%.2f"},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)

@@ -120,10 +120,24 @@ object Dedup {
     * set false: the gram column is far larger than cluster memory and
     * recomputing a scan is cheaper than churning a cache. */
   def minhashLshPairs(s: SparkSession, d: String,
-                      cacheGrams: Boolean = true): DataFrame = {
+                      cacheGrams: Boolean = true): DataFrame =
+    minhashLshPairsOf(Tables.documents(s, d), cacheGrams)
+
+  /** [[minhashLshPairs]] over an arbitrary documents frame
+    * (doc_id, text) — the form [[dedupClusters]]'s identical-copy guard
+    * and the planted-duplicate specs compose on.
+    *
+    * NOTE the m² caveat: a cluster of m IDENTICAL documents shares all
+    * [[MinHashBands]] band buckets, so candidate generation alone is
+    * m²/2 pairs — unavoidable here because those pairs (jac = 1.0) ARE
+    * the operator's output. Callers that only need *connectivity* (the
+    * clustering path) must collapse identical copies to one
+    * representative first — [[clusterEdges]] does exactly that. */
+  def minhashLshPairsOf(docs: DataFrame, cacheGrams: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.graft.GraftFunctions
-    val grams0 = gramsOf(Tables.documents(s, d))
+    val grams0 = gramsOf(docs)
     val grams = if (cacheGrams) grams0.cache() else grams0
     // band bucket hashes via the native LshBandBuckets expression (band
     // index is baked into each hash, so the bucket alone is the join key)
@@ -161,10 +175,46 @@ object Dedup {
     *     Beyond", SoCC'14): converges in O(log n) rounds regardless of
     *     component diameter, where plain min-label propagation is
     *     O(diameter) rounds — the difference between 5 and 500 shuffles on
-    *     a chain-shaped component. */
+    *     a chain-shaped component.
+    *   - **identical copies never reach LSH** ([[clusterEdges]]): m copies
+    *     of one document share all 32 band buckets, so unguarded candidate
+    *     generation is m²/2 pairs per identical cluster (1,000 copies →
+    *     ~500k candidates). Copies are collapsed to their md5
+    *     representative first (one shuffle keyed on the 128-bit digest);
+    *     only representatives enter LSH, and each copy contributes exactly
+    *     one copy→rep edge — connectivity, and therefore cluster labels,
+    *     are unchanged (a copy's near-dups are its rep's near-dups:
+    *     identical text ⇒ identical gram set). Asserted on a planted
+    *     1,000-copy corpus in DedupSpec. */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(s,
-      minhashLshPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    dedupClustersOf(Tables.documents(s, d))
+
+  /** [[dedupClusters]] over an arbitrary (doc_id, text) frame. */
+  def dedupClustersOf(docs: DataFrame): DataFrame =
+    connectedComponents(docs.sparkSession, clusterEdges(docs))
+
+  /** Near-dup graph edges with the identical-copy guard: md5-collapse to
+    * representatives, LSH candidates among representatives only, plus one
+    * copy→rep edge per duplicate copy. Edge count is |rep LSH pairs| +
+    * |copies| — linear in copies, never quadratic (the planted-duplicate
+    * spec asserts this count directly). */
+  private[graft] def clusterEdges(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val withH = docs.select($"doc_id", md5($"text").as("h"))
+    // shuffle carries (128-bit digest, id) — never the document text
+    val groups = withH.groupBy($"h")
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("m"))
+    val repDocs = docs.join(
+      groups.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
+    val lshEdges = minhashLshPairsOf(repDocs)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val copyEdges = withH
+      .join(groups.filter($"m" > 1).select($"h", $"rep_id"), "h")
+      .filter($"doc_id" =!= $"rep_id")
+      .select($"doc_id".as("src"), $"rep_id".as("dst"))
+    lshEdges.union(copyEdges)
+  }
 
   /** Alternating star contraction to a fixpoint. Input: undirected edges
     * (src, dst); output: (doc_id, cluster = min node of its component) for
@@ -285,27 +335,59 @@ object Dedup {
     * bits → one band intact) and is a high-recall heuristic to 6. */
   /** Via the native codegen'd SimHash64 expression (same bit-majority
     * formula as [[Hashing.simhash64]], asserted equal in ExpressionsSpec). */
-  def simhashes(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def simhashes(s: SparkSession, d: String): DataFrame =
+    simhashesOf(Tables.documents(s, d))
+
+  private[graft] def simhashesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.graft.GraftFunctions
-    Tables.documents(s, d)
-      .select($"doc_id", GraftFunctions.simhash64(tokensCol).as("simhash"))
+    docs.select($"doc_id", GraftFunctions.simhash64(tokensCol).as("simhash"))
   }
 
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sh = simhashes(s, d)
-    val bands = sh.select($"doc_id", $"simhash",
+  /** Near-dup SIMHASH VALUE pairs: band-join over DISTINCT 64-bit values
+    * — the hot-bucket guard. m documents sharing one simhash contribute a
+    * single row per band here, so an identical-document cluster can never
+    * blow up the band join (unguarded, m copies share all 4 chunks → m²/2
+    * join rows per band ×4 amplification before the distinct; asserted
+    * bounded on a planted 1,000-copy corpus in DedupSpec). Emits
+    * (sh_a, sh_b, hamming) with sh_a < sh_b and 0 < hamming <= 6. */
+  private[graft] def simhashValuePairs(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val vals = sh.select($"simhash").distinct()
+    val bands = vals.select($"simhash",
         explode(expr("transform(sequence(0, 3), " +
           "b -> named_struct('band', b, 'chunk', (simhash >> (b * 16)) & 65535))")).as("bb"))
-      .select($"doc_id", $"simhash", $"bb.band", $"bb.chunk")
+      .select($"simhash", $"bb.band", $"bb.chunk")
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+          $"a.simhash" < $"b.simhash")
+      .select($"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
       .distinct()
+      .withColumn("hamming",
+        bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("int"))
       .filter($"hamming" <= 6)
+  }
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsOf(simhashes(s, d))
+
+  /** Doc-level near-dup pairs from [[simhashValuePairs]]: re-attach doc
+    * ids to the (small) value-pair set, then add equal-simhash doc pairs
+    * through ONE output-bound equi-join on the value (those pairs are the
+    * operator's own output — hamming 0 — so the work is linear in the
+    * result, with no ×4 band amplification and no distinct over m² rows). */
+  private[graft] def simhashPairsOf(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val crossPairs = simhashValuePairs(sh)
+      .join(sh.select($"doc_id".as("id_a"), $"simhash".as("sh_a")), "sh_a")
+      .join(sh.select($"doc_id".as("id_b"), $"simhash".as("sh_b")), "sh_b")
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"hamming")
+    val equalPairs = sh.as("a").join(sh.as("b"),
+        $"a.simhash" === $"b.simhash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    crossPairs.union(equalPairs)
   }
 
   // ----------------------------------------------------- embedding near-dup

@@ -15,10 +15,15 @@ import graft.core.Tables
   * sets, scalar functions — each as a declarative Spark plan so Catalyst
   * does pushdown/pruning/join-strategy selection (SURVEY.md §4).
   *
-  * Scale notes: small dimensions (region/nation/supplier/part/customer at
-  * TPC-H proportions) are explicitly `broadcast()` — at 100 TB the fact
-  * tables shuffle-hash-join each other only where the key cardinality
-  * demands it, and AQE re-plans skew at runtime.
+  * Scale notes: only FIXED-cardinality dimensions (region = 5 rows,
+  * nation = 25 rows at every scale factor) carry explicit `broadcast()`
+  * hints. SF-proportional tables (customer/supplier/part and derived
+  * per-customer aggregates) deliberately do NOT: a hard-coded hint
+  * disables Spark's size check, and at 100 TB those sides are hundreds of
+  * GB — a forced broadcast is a guaranteed driver/executor OOM. Unhinted,
+  * AQE's runtime size check still picks BroadcastHashJoin at bench scale
+  * (asserted in PlanSpec) and degrades gracefully to a shuffle join at
+  * 100 TB instead of failing.
   *
   * Every aggregate double is `round`ed (2dp for money sums, 4dp for ratios)
   * in BOTH the Spark plan and the DuckDB oracle so the driver's value-hash
@@ -60,8 +65,10 @@ object Relational {
 
   // ---------------------------------------------------------------- q03
   /** Revenue by nation: fact-fact join (orders⋈lineitem, shuffle on the
-    * join key) with broadcast dimension joins (customer/nation at these
-    * proportions; nation always broadcast). */
+    * join key) with dimension joins. Nation (25 rows always) is hinted;
+    * customer is SF-proportional, so its join strategy is left to AQE's
+    * runtime size check — broadcast at test scale, shuffle join at 100 TB
+    * where a forced broadcast would OOM. */
   def q03RevenueByNation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
@@ -69,7 +76,7 @@ object Relational {
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
@@ -213,14 +220,15 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q14
-  /** Join + aggregate + HAVING: suppliers above a revenue threshold. */
+  /** Join + aggregate + HAVING: suppliers above a revenue threshold.
+    * Supplier is SF-proportional — no broadcast hint; AQE sizes the join. */
   def q14SupplierRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rev = Tables.lineitem(s, d)
       .groupBy($"l_suppkey")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_revenue"))
       .filter($"total_revenue" > 1000.0)
-    rev.join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+    rev.join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
   }
 
@@ -271,21 +279,25 @@ object Relational {
 
   // ---------------------------------------------------------------- q18
   /** Correlated-subquery shape: orders 50% above their customer's average
-    * (decorrelated as aggregate + broadcast join back). */
+    * (decorrelated as aggregate + join back). The aggregate's cardinality
+    * is |customer| — SF-proportional, so no broadcast hint: AQE broadcasts
+    * it at bench scale and falls back to a shuffle join at 100 TB. */
   def q18AboveAverageOrders(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)
     val avgs = o.groupBy($"o_custkey".as("a_custkey"))
       .agg(avg($"o_totalprice").as("avg_price"))
-    o.join(broadcast(avgs), $"o_custkey" === $"a_custkey")
+    o.join(avgs, $"o_custkey" === $"a_custkey")
       .filter($"o_totalprice" > $"avg_price" * 1.5)
       .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
   }
 
   // ---------------------------------------------------------------- q19
   /** Five-table star join (TPC-H Q5 shape): region-filtered revenue where
-    * the supplier and customer share a nation. Dimension chain broadcasts;
-    * only lineitem⋈orders shuffles at scale. */
+    * the supplier and customer share a nation. Fixed dims (nation/region)
+    * are hinted; supplier/customer are SF-proportional and left to AQE —
+    * broadcast at bench scale, shuffle join at 100 TB. Only
+    * lineitem⋈orders always shuffles. */
   def q19RegionalRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
@@ -295,8 +307,8 @@ object Relational {
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d).filter($"r_name".isin("ASIA", "AMERICA"))
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(su, $"l_suppkey" === $"s_suppkey")
+      .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")

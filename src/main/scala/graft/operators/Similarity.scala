@@ -166,13 +166,16 @@ object Similarity {
     * exact re-rank within the probed cells only.
     *
     * Scale shape: each Lloyd iteration is one broadcast-centroid
-    * assignment pass + one groupBy-mean — the centroid table itself is
-    * [[IvfCells]] rows, so the per-iteration collect is constant-size.
-    * The candidate join is an equi-join on cell id; cells bound the
-    * re-rank work to ~nprobe/ncells of the corpus. Per-cell means sum in
-    * vec_id order so centroids (and thus recall numbers) are
-    * deterministic run to run — at 100 TB you'd trade that determinism
-    * for a two-phase float aggregation and accept last-ulp drift. */
+    * assignment pass + one two-phase mean aggregation — the centroid
+    * table itself is [[IvfCells]] rows, so the per-iteration collect is
+    * constant-size. The candidate join is an equi-join on cell id; cells
+    * bound the re-rank work to ~nprobe/ncells of the corpus. Per-cell
+    * means are per-partition (vector-sum, count) partials merged per cell
+    * — no task ever materializes a cell's rows (a cell holds ~1/ncells of
+    * the corpus: buffering it is an executor OOM at 100×). Float partials
+    * merge in partition order, so centroids can drift by last-ulp run to
+    * run; the recall measured in SimilaritySpec sits far above the 0.70
+    * floor, absorbing that drift. */
   val IvfCells = 16
   val IvfProbes = 4
   val IvfLloydIters = 3
@@ -188,27 +191,53 @@ object Similarity {
     cosTo(cs, v).maxBy { case (cid, sim) => (sim, -cid) }._1
 
   /** Lloyd-refined centroids: assign → per-cell mean, [[IvfLloydIters]]
-    * times. Empty cells keep their previous centroid. */
+    * times. Empty cells keep their previous centroid.
+    *
+    * The mean is a typed `Aggregator` (per-partition partials + per-cell
+    * merge — the map-side-combine shape): a task holds one running
+    * (sum, count) buffer per cell it sees, never a cell's row set. */
   private def lloydCentroids(s: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
     import s.implicits._
+    val meanAgg = new org.apache.spark.sql.expressions.Aggregator[
+        Array[Double], (Array[Double], Long), Array[Double]] {
+      def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+      def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) = {
+        val acc = if (b._1.length == 0) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        (acc, b._2 + 1)
+      }
+      def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+        if (x._1.length == 0) y
+        else if (y._1.length == 0) x
+        else {
+          val acc = x._1
+          var i = 0
+          while (i < acc.length) { acc(i) += y._1(i); i += 1 }
+          (acc, x._2 + y._2)
+        }
+      def finish(r: (Array[Double], Long)): Array[Double] = {
+        val out = r._1
+        var i = 0
+        while (i < out.length) { out(i) /= r._2; i += 1 }
+        out
+      }
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+        implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
+    }
     var centroids = vecs.filter(_._1 < IvfCells).collect().sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to IvfLloydIters) {
       val bc = s.sparkContext.broadcast(centroids)
       val means = vecs
-        .map { case (id, v) => (nearestCell(bc.value, v), id, v) }
+        .map { case (_, v) => (nearestCell(bc.value, v), v) }
         .groupByKey(_._1)
-        .mapGroups { (cell, rows) =>
-          val sorted = rows.toArray.sortBy(_._2) // deterministic sum order
-          val acc = new Array[Double](sorted.head._3.length)
-          sorted.foreach { case (_, _, v) =>
-            var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
-          }
-          var i = 0
-          while (i < acc.length) { acc(i) /= sorted.length; i += 1 }
-          (cell, acc)
-        }.collect().toMap
+        .mapValues(_._2)
+        .agg(meanAgg.toColumn)
+        .collect().toMap // IvfCells rows — constant-size driver traffic
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     centroids

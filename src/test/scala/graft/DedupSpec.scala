@@ -76,6 +76,48 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("planted 1,000 identical copies: cluster edge count is linear, never ~500k candidates") {
+    import spark.implicits._
+    // unguarded, 1,000 copies share all 32 LSH band buckets → ~499,500
+    // candidate pairs; the md5-representative guard must keep the edge set
+    // at 999 copy->rep edges + the (tiny) rep-level LSH pair set
+    val base = "the quick brown fox jumps over the lazy dog again and again across the wide field"
+    val copies = (0L until 1000L).map(i => (i, base))
+    val distinctDocs = Seq(
+      (2000L, "completely unrelated prose describing catalyst optimizer rule injection points"),
+      (2001L, "another standalone document about winnowing fingerprints and rolling hashes"),
+      (2002L, "a third unique body of text closing out the planted corpus for this test"))
+    val docs = (copies ++ distinctDocs).toDF("doc_id", "text")
+    val nEdges = Dedup.clusterEdges(docs).count()
+    assert(nEdges <= 999 + 6, s"edge blowup: $nEdges edges (unguarded ≈ 500k)")
+    val clusters = Dedup.dedupClustersOf(docs).as[(Long, Long)].collect().toMap
+    (0L until 1000L).foreach(i => assert(clusters(i) === 0L, s"copy $i mislabeled"))
+    // labels exist exactly for nodes incident to an edge; the three
+    // distinct docs have no near-dup and must not appear
+    assert(!clusters.contains(2000L) && !clusters.contains(2001L) && !clusters.contains(2002L))
+  }
+
+  test("planted identical copies: simhash band join sees distinct values; equal pairs via output-bound join") {
+    import spark.implicits._
+    val base = "repeated body of text used to plant an identical simhash cluster for the guard"
+    val copies = (0L until 50L).map(i => (i, base))
+    val others = Seq(
+      (100L, "some altogether different words that hash far away from the planted cluster"),
+      (101L, "yet another unrelated text with its own simhash value entirely"))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val sh = Dedup.simhashesOf(docs)
+    // the band join operates on DISTINCT simhash values: 3 values here, so
+    // at most C(3,2) value pairs regardless of how many copies exist
+    assert(Dedup.simhashValuePairs(sh).count() <= 3)
+    val pairs = Dedup.simhashPairsOf(sh)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    // all C(50,2) identical-copy pairs present at hamming 0
+    val zero = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    val expected = (for { i <- 0L until 50L; j <- (i + 1) until 50L } yield (i, j)).toSet
+    assert(expected.subsetOf(zero), s"missing ${(expected -- zero).size} identical pairs")
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 6))
+  }
+
   test("simhash pairs are near-dups by hamming and include planted dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(spark, sf)

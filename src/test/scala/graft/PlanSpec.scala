@@ -25,10 +25,32 @@ class PlanSpec extends SparkTestBase {
     assert(!read.contains("l_extendedprice"), read)
   }
 
+  /** Final (post-AQE) plan section only: with the forced broadcast hints
+    * removed from SF-proportional sides, the INITIAL plan legitimately
+    * contains SortMergeJoin — AQE's runtime size check converts it. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String =
+    planOf(df).split("== Initial Plan ==")(0)
+
   test("q03: dimension joins are broadcast, no shuffle of nation/customer") {
-    val p = planOf(Relational.q03RevenueByNation(spark, sf))
+    // customer carries NO broadcast() hint (SF-proportional: forced
+    // broadcast = OOM at 100 TB); AQE's size check picks BroadcastHashJoin
+    // here and degrades to a shuffle join at scale instead of failing
+    val p = finalPlanOf(Relational.q03RevenueByNation(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q14/q18/q19: unhinted SF-proportional sides still broadcast at test scale via AQE") {
+    // the hint removal must not regress bench-scale plans: AQE's runtime
+    // size check re-plans each of these to BroadcastHashJoin; at 100 TB the
+    // same code degrades to shuffle joins (no OOM) because no hint forces it
+    for (q <- Seq(Relational.q14SupplierRevenue _,
+                  Relational.q18AboveAverageOrders _,
+                  Relational.q19RegionalRevenue _)) {
+      val p = finalPlanOf(q(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
   }
 
   test("q01: aggregation is two-phase (map-side partial)") {
