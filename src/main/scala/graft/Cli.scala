@@ -12,6 +12,7 @@ import graft.sources.Sdfs
   *   ls <name>                   store                   get-dir <dir> <local>
   *   maple <exe|builtin:wc|builtin:rwlg> <num> <prefix> <srcDir>
   *   juice <exe|builtin:wc|builtin:rwlg> <num> <prefix> <dest> <del=0|1>
+  *   upload-data <localDir>          demo-wc <localDir>
   *
   * Cluster verbs of the reference (join/leave/list/id) are no-ops here —
   * membership is the cluster manager's job (SURVEY.md §1.4). External
@@ -81,10 +82,41 @@ object Cli {
         val n = runner.submit(runner.JuiceJob(prefix, juiceFn(spark, exe),
           s"${sdfsPath(sdfs, dest)}", deleteInput = del == "1"))
         println(s"juice done, $n output lines")
+      // reference demo conveniences (`src/MapReduceMaster.java:866-889`):
+      // `upload-data` stages a local directory's files as mjwc/input{i};
+      // `demo-wc` additionally runs the canned word-count job — maple to
+      // prefix `prefix`, juice to `output.txt` — via the builtin wc app
+      // (the in-JVM twin of the reference's wc-maple.py/wc-juice.py; pass
+      // the exes explicitly through `maple`/`juice` to run them as-is)
+      case Seq("upload-data", localDir) =>
+        uploadData(spark, sdfs, localDir)
+      case Seq("demo-wc", localDir) =>
+        println("Uploading input data...")
+        uploadData(spark, sdfs, localDir)
+        val n = runner.submit(runner.MapleJob(sdfsPath(sdfs, "mjwc"),
+          mapleFn(spark, "builtin:wc"), "prefix"))
+        println(s"maple done, $n intermediate pairs")
+        val m = runner.submit(runner.JuiceJob("prefix",
+          juiceFn(spark, "builtin:wc"), sdfsPath(sdfs, "output.txt")))
+        println(s"demo-wc done, output.txt ($m lines)")
       case Seq(v @ ("join" | "leave" | "list" | "id")) =>
         println(s"$v: no-op (cluster membership is managed by Spark)")
       case other => println(s"unknown command: ${other.mkString(" ")}")
     }
+  }
+
+  /** Stage every file of a local directory as `mjwc/input{i}` (1-based,
+    * name order — the reference's wc1..wc9 upload loop generalized to any
+    * local directory instead of its hard-coded home paths). */
+  private def uploadData(spark: SparkSession, sdfs: Sdfs, localDir: String): Unit = {
+    val files = Option(new java.io.File(localDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
+    require(files.nonEmpty, s"no files to upload under $localDir")
+    files.zipWithIndex.foreach { case (f, i) =>
+      sdfs.put(spark.read.textFile(f.toString), s"mjwc/input${i + 1}")
+      println("...")
+    }
+    println(s"Input files are uploaded to mjwc directory in the SDFS.")
   }
 
   private def sdfsPath(sdfs: Sdfs, name: String): String = {

@@ -22,34 +22,13 @@ object PlanDump {
     val sb = new StringBuilder
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // execute first: AQE only finalizes the plan (broadcast
-        // conversions, coalesced shuffles) after a run — explaining an
-        // unexecuted query would audit the pre-AQE placeholder
-        df.write.mode("overwrite").format("noop").save()
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // PlanCensus executes via the noop sink first: AQE only finalizes
+        // the plan (broadcast conversions, coalesced shuffles) after a run
+        val (census, plan) = PlanCensus.of(fn(spark, sfDir))
         sb.append(s"===== $name =====\n$plan\n")
-        val flags = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "full-width scan (no pruning)" ->
-            "ReadSchema: struct<[^>]{400,}".r.findFirstIn(plan).isDefined,
-          // a Scan ExistingRDD is either driver-materialized data
-          // parallelized back out (collect + parallelize — the driver heap
-          // becomes the scale limit) or a legit localCheckpoint boundary
-          // (executor-resident, e.g. dedup_clusters' per-round cut) —
-          // review which on every new hit
-          "Scan ExistingRDD (driver-fed? or checkpoint)" ->
-            plan.contains("Scan ExistingRDD"),
-        ).collect { case (f, true) => f }
-        // shuffle/broadcast census of the AQE-final plan — the number to
-        // re-check after any operator change ("did I add a shuffle?")
-        val finalPlan = plan.split("== Initial Plan ==")(0)
-        val nEx = raw"\(\d+\) Exchange\b".r.findAllIn(finalPlan).length
-        val nBc = raw"\(\d+\) BroadcastExchange\b".r.findAllIn(finalPlan).length
-        println(f"[plan] $name%-28s ${nEx}x shuffle ${nBc}x broadcast  " +
-          (if (flags.isEmpty) "ok" else flags.mkString(", ")))
+        println(f"[plan] $name%-28s ${census.shuffles}x shuffle " +
+          s"${census.broadcasts}x broadcast  " +
+          (if (census.flags.isEmpty) "ok" else census.flags.mkString(", ")))
       } catch { case e: Throwable =>
         println(s"[plan] $name FAILED: ${e.getMessage.take(100)}")
       }

@@ -42,6 +42,13 @@ class JobRunner(spark: SparkSession, sdfs: graft.sources.Sdfs) {
       staged.put(prefix, df)
       n
     case JuiceJob(prefix, fn, dest, deleteInput, single) =>
+      // no staged entry → re-read a PUBLISHED intermediate from SDFS as
+      // `key\tvalue` lines (the reference flow where maple output was
+      // uploaded before juice ran). Parse contract: key = text before the
+      // FIRST tab — keys must not contain tabs, they are the format's
+      // delimiter; value = everything after it, so values containing tabs
+      // round-trip unchanged (SdfsSpec asserts this). A line with no tab
+      // parses as (whole line, "").
       val interDf = staged.getOrElse(prefix,
         sdfs.get(prefix).selectExpr(
           "substring_index(value, '\t', 1) as key",

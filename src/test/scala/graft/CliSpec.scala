@@ -29,4 +29,23 @@ class CliSpec extends SparkTestBase {
     val dirLines = java.nio.file.Files.readString(dirFile).split("\n").toSet
     assert(dirLines === Set("b a", "a c a"))
   }
+
+  test("cli demo-wc: canned upload + wc job end-to-end matches the wc oracle") {
+    val _ = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo")
+    val in = tmp.resolve("wc-input")
+    java.nio.file.Files.createDirectories(in)
+    // two input files, reference generate-wc.py style (words per line)
+    java.nio.file.Files.writeString(in.resolve("wc1.txt"), "dog cat dog\nbird\n")
+    java.nio.file.Files.writeString(in.resolve("wc2.txt"), "cat dog\n")
+    val outFile = tmp.resolve("demo-out.txt")
+    val script = tmp.resolve("script.txt")
+    java.nio.file.Files.writeString(script,
+      s"""demo-wc $in
+         |get output.txt $outFile
+         |""".stripMargin)
+    Cli.main(Array(s"@$script"))
+    assert(java.nio.file.Files.readString(outFile) ===
+      "bird\t1\ncat\t2\ndog\t3")
+  }
 }

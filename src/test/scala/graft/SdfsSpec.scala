@@ -38,6 +38,22 @@ class SdfsSpec extends SparkTestBase {
     assert(dirs.toSeq === Seq("key=x-y", "key=z"))
   }
 
+  test("JobRunner juice re-reads a published SDFS intermediate (no staged entry), tabs in values survive") {
+    val (sdfs, wh) = freshSdfs()
+    // the reference flow where the intermediate was uploaded to the file
+    // store before juice ran — not staged by a maple in this session.
+    // keys must not contain tabs (the format's delimiter); values may:
+    // everything after the FIRST tab is the value, verbatim
+    sdfs.put(Seq("k1\tv with\ttab", "k2\tplain", "k1\tsecond").toDS(), "pub_inter")
+    val runner = new JobRunner(spark, sdfs)
+    val dest = s"$wh/out_reread"
+    val n = runner.submit(runner.JuiceJob("pub_inter",
+      (k, vs) => Iterator.single(KV(k, vs.toSeq.sorted.mkString("|"))), dest))
+    assert(n === 2)
+    val lines = spark.read.textFile(dest).collect().toSeq
+    assert(lines === Seq("k1\tsecond|v with\ttab", "k2\tplain"))
+  }
+
   test("JobRunner: maple then juice with barrier produces sorted WC output") {
     val (sdfs, wh) = freshSdfs()
     sdfs.put(Seq("b a", "a c a").toDS(), "in/part1")
