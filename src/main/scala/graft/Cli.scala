@@ -26,10 +26,23 @@ import graft.sources.Sdfs
   * `get`/`get-dir` collect to the driver to write a LOCAL file — that is
   * the verb's meaning (fetch to my machine), acceptable for a CLI fetch,
   * never a pipeline step.
+  *
+  * `put` carries the reference's recent-update confirmation
+  * (`src/SDFSServer.java:402-421`): overwriting a file written < 60 s ago
+  * asks `y/n`, rejecting otherwise. The answer is the NEXT input line
+  * (script or stdin); divergence from the reference: no 30-second answer
+  * timer — end of input counts as "no", which is the same abort default.
   */
 object Cli {
+  /** Warehouse root: `-Dgraft.warehouse` beats `GRAFT_WAREHOUSE` beats the
+    * default — the property exists so tests can point a Cli run at a fresh
+    * temp dir (env can't be set inside a JVM). */
+  private[graft] def warehouse: String =
+    sys.props.get("graft.warehouse")
+      .orElse(sys.env.get("GRAFT_WAREHOUSE"))
+      .getOrElse("target/graft-warehouse")
+
   def main(args: Array[String]): Unit = {
-    val warehouse = sys.env.getOrElse("GRAFT_WAREHOUSE", "target/graft-warehouse")
     val preExisting = SparkSession.getActiveSession.isDefined
     val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -48,19 +61,31 @@ object Cli {
         scala.io.Source.fromFile(args(0).drop(1)).getLines()
       else if (args.nonEmpty) Iterator(args.mkString(" "))
       else scala.io.Source.stdin.getLines()
-    in.map(_.trim).filter(_.nonEmpty).takeWhile(_ != "exit").foreach { line =>
-      try run(spark, sdfs, runner, line.split("\\s+").toSeq)
-      catch { case e: Throwable => println(s"error: ${e.getMessage}") }
+    // manual pull loop (not foreach): `put`'s confirmation consumes the
+    // NEXT line of the same command stream as its y/n answer
+    val cmds = in.map(_.trim).filter(_.nonEmpty)
+    val next: () => Option[String] = () =>
+      if (cmds.hasNext) Some(cmds.next()) else None
+    var cont = true
+    while (cont) next() match {
+      case None | Some("exit") => cont = false
+      case Some(line) =>
+        try run(spark, sdfs, runner, line.split("\\s+").toSeq, next)
+        catch { case e: Throwable => println(s"error: ${e.getMessage}") }
     }
     if (!preExisting) spark.stop() // keep a caller's (e.g. test) session alive
   }
 
   private def run(spark: SparkSession, sdfs: Sdfs, runner: JobRunner,
-                  cmd: Seq[String]): Unit = {
+                  cmd: Seq[String], next: () => Option[String]): Unit = {
     import spark.implicits._
     cmd match {
       case Seq("put", local, name) =>
-        sdfs.put(spark.read.textFile(local), name); println(s"put $name")
+        val ok = sdfs.putGuarded(spark.read.textFile(local), name, () => {
+          println(s"$name was updated less than 60 s ago — overwrite? (y/n)")
+          next().exists(_.equalsIgnoreCase("y"))
+        })
+        println(if (ok) s"put $name" else s"put $name rejected (recent update not confirmed)")
       case Seq("get", name, local) =>
         val lines = sdfs.get(name).collect()
         java.nio.file.Files.write(java.nio.file.Paths.get(local),
@@ -119,10 +144,8 @@ object Cli {
     println(s"Input files are uploaded to mjwc directory in the SDFS.")
   }
 
-  private def sdfsPath(sdfs: Sdfs, name: String): String = {
-    val wh = sys.env.getOrElse("GRAFT_WAREHOUSE", "target/graft-warehouse")
-    s"$wh/$name"
-  }
+  private def sdfsPath(sdfs: Sdfs, name: String): String =
+    s"$warehouse/$name"
 
   /** builtin:wc / builtin:rwlg run in-JVM; anything else is an external
     * executable on the reference's argv contract via [[graft.engine

@@ -33,6 +33,25 @@ class Sdfs(spark: SparkSession, warehouse: String) {
   def put(lines: Dataset[String], name: String): Unit =
     lines.write.mode(SaveMode.Overwrite).text(resolve(name).toString)
 
+  /** S1 `put` with the reference's recent-update confirmation guard
+    * (`src/SDFSServer.java:402-421`): a put over a file written within the
+    * last 60 s is a likely concurrent-update conflict, so the write only
+    * proceeds if `confirm` agrees — the reference prompts the user and
+    * aborts after 30 s of silence; the default here is the same
+    * reject-unless-confirmed. Returns true iff the write happened.
+    * Semantics stay last-write-wins (the guard is conflict DETECTION
+    * sugar on top, exactly like the reference's interactive prompt). */
+  def putGuarded(lines: Dataset[String], name: String,
+                 confirm: () => Boolean = () => false): Boolean = {
+    val p = resolve(name)
+    val recentlyUpdated = fs.exists(p) && {
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      age >= 0 && age < 60000L
+    }
+    if (recentlyUpdated && !confirm()) false
+    else { put(lines, name); true }
+  }
+
   /** S1 variant: engine-native table put (parquet — columnar, splittable). */
   def putTable(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(resolve(name).toString)

@@ -4,10 +4,18 @@ package graft
   * put → maple → juice → get produces the sorted `key\tvalue` contract. */
 class CliSpec extends SparkTestBase {
 
-  test("cli script: put, maple builtin:wc, juice builtin:wc, get") {
+  /** Each scripted run gets a FRESH warehouse (via the -Dgraft.warehouse
+    * test hook): reruns can't trip put's 60 s recent-update guard on
+    * leftovers, and tests can't see each other's files. */
+  private def withFreshWarehouse[T](body: => T): T = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cli_wh").toString
+    sys.props("graft.warehouse") = wh
+    try body finally sys.props.remove("graft.warehouse")
+  }
+
+  test("cli script: put, maple builtin:wc, juice builtin:wc, get") { withFreshWarehouse {
     val _ = spark // materialize shared session first so Cli reuses it
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli")
-    val wh = tmp.resolve("wh").toString
     val inFile = tmp.resolve("in.txt")
     java.nio.file.Files.writeString(inFile, "b a\na c a\n")
     val outFile = tmp.resolve("out.txt")
@@ -20,17 +28,38 @@ class CliSpec extends SparkTestBase {
          |get out $outFile
          |get-dir in $dirFile
          |""".stripMargin)
-    // runs against the default warehouse (target/graft-warehouse);
-    // put/juice overwrite, so reruns are safe
     Cli.main(Array(s"@$script"))
     val out = java.nio.file.Files.readString(outFile)
     assert(out === "a\t3\nb\t1\nc\t1")
     // get-dir fetches every line under the prefix directory
     val dirLines = java.nio.file.Files.readString(dirFile).split("\n").toSet
     assert(dirLines === Set("b a", "a c a"))
-  }
+  } }
 
-  test("cli demo-wc: canned upload + wc job end-to-end matches the wc oracle") {
+  test("cli put: recent-update guard rejects on 'n' or missing answer, overwrites on 'y'") { withFreshWarehouse {
+    val _ = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_guard")
+    val v1 = tmp.resolve("v1.txt"); java.nio.file.Files.writeString(v1, "first\n")
+    val v2 = tmp.resolve("v2.txt"); java.nio.file.Files.writeString(v2, "second\n")
+    val v3 = tmp.resolve("v3.txt"); java.nio.file.Files.writeString(v3, "third\n")
+    val outFile = tmp.resolve("out.txt")
+    val script = tmp.resolve("script.txt")
+    // 2nd put answers n (rejected), 3rd answers y (accepted); the final
+    // content must be v3's. End-of-input (no answer line) also rejects —
+    // same default as the reference's 30 s prompt timeout.
+    java.nio.file.Files.writeString(script,
+      s"""put $v1 conf/f
+         |put $v2 conf/f
+         |n
+         |put $v3 conf/f
+         |y
+         |get conf/f $outFile
+         |""".stripMargin)
+    Cli.main(Array(s"@$script"))
+    assert(java.nio.file.Files.readString(outFile) === "third")
+  } }
+
+  test("cli demo-wc: canned upload + wc job end-to-end matches the wc oracle") { withFreshWarehouse {
     val _ = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_demo")
     val in = tmp.resolve("wc-input")
@@ -47,5 +76,5 @@ class CliSpec extends SparkTestBase {
     Cli.main(Array(s"@$script"))
     assert(java.nio.file.Files.readString(outFile) ===
       "bird\t1\ncat\t2\ndog\t3")
-  }
+  } }
 }

@@ -21,6 +21,15 @@ class SdfsSpec extends SparkTestBase {
     assert(sdfs.store().isEmpty)
   }
 
+  test("putGuarded: fresh write proceeds; recent overwrite needs confirmation") {
+    val (sdfs, _) = freshSdfs()
+    assert(sdfs.putGuarded(Seq("v1").toDS(), "g1"))          // fresh: no guard
+    assert(!sdfs.putGuarded(Seq("v2").toDS(), "g1"))          // <60s, default reject
+    assert(sdfs.get("g1").collect().toSeq === Seq("v1"))      // content unchanged
+    assert(sdfs.putGuarded(Seq("v3").toDS(), "g1", () => true)) // confirmed
+    assert(sdfs.get("g1").collect().toSeq === Seq("v3"))
+  }
+
   test("getDir reads a whole prefix directory; getPartDir prunes to named files") {
     val (sdfs, _) = freshSdfs()
     sdfs.put(Seq("a").toDS(), "dir/p1")
