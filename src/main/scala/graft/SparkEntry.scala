@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOf, Corpus, Dedup, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -38,6 +38,10 @@ object SparkEntry {
       "text_langid"       -> (TextOps.langId _),
       "text_redact_pii"   -> ((s, d) => TextOps.redactPii(s, d)),
       "text_repetition"   -> (TextOps.repetitionSignals _),
+      // corpus provenance / mixture layer
+      "text_source_stats"    -> (Corpus.sourceStats _),
+      "train_mix_weights"    -> (Corpus.mixWeights _),
+      "text_tfidf_top_terms" -> (Corpus.tfidfTopTerms _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -46,6 +50,7 @@ object SparkEntry {
       "dedup_simhash"        -> (Dedup.simhashPairs _),
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
       "dedup_keep_list"        -> (Dedup.keepList _),
+      "dedup_contamination"    -> (Dedup.contamination _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -92,6 +97,10 @@ object SparkEntry {
       "dedup_keep_list"     -> Dedup.keepListOracle,
       "text_redact_pii"     -> TextOps.redactPiiOracle,
       "text_repetition"     -> TextOps.repetitionSignalsOracle,
+      "text_source_stats"    -> Corpus.sourceStatsOracle,
+      "train_mix_weights"    -> Corpus.mixWeightsOracle,
+      "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
+      "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,

@@ -267,9 +267,9 @@ object Dedup {
 
   /** Shared oracle fragments — the ONE copy of the gram construction,
     * 0.5-Jaccard pair predicate, and transitive-closure SQL that every
-    * closure-based oracle (clusters, keep-list, curation pipeline)
-    * composes from, so a threshold change is one edit, not four. */
-  private[operators] val closureCtes: String =
+    * closure-based oracle (clusters, keep-list, curation pipeline,
+    * contamination) composes from, so a threshold change is one edit. */
+  private[operators] val gramCtes: String =
     """t AS (SELECT doc_id,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents),
@@ -277,8 +277,10 @@ object Dedup {
       |    range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
       |  FROM t WHERE len(toks) >= 3),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id)""".stripMargin
+
+  private[operators] val closureCtes: String = gramCtes + ",\n" +
+    """inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |pairs AS (
@@ -327,6 +329,50 @@ object Dedup {
        |  coalesce(c.cluster, d.doc_id) AS cluster,
        |  (coalesce(c.cluster, d.doc_id) = d.doc_id) AS keep
        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
+
+  // ------------------------------------------------- eval decontamination
+  /** Benchmark-contamination scan: training documents whose word-3-gram
+    * sets are substantially contained in an evaluation document's — the
+    * decontamination pass every pre-training pipeline runs before
+    * shipping a corpus. Eval set here: doc_id < [[EvalSetSize]] (a
+    * stand-in for a benchmark suite; the shape, not the id rule, is the
+    * operator). Emits (train_doc, eval_doc, overlap, containment) for
+    * containment = |g(train) ∩ g(eval)| / |g(train)| >= [[ContaminationMin]].
+    *
+    * Scale shape: the eval side is FIXED-size by definition (benchmark
+    * suites don't grow with the corpus), so its gram index is explicitly
+    * `broadcast()` — the same justified-hint class as nation/region.
+    * Candidate generation is an equi-join on the gram; the train side
+    * streams map-side against the broadcast, so the corpus never
+    * shuffles for this scan at all. */
+  val EvalSetSize = 50L
+  val ContaminationMin = 0.3
+
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = gramsOf(Tables.documents(s, d))
+      .select($"doc_id", size($"grams").as("n"), explode($"grams").as("gram"))
+    val evalG = g.filter($"doc_id" < EvalSetSize)
+      .select($"doc_id".as("eval_doc"), $"gram")
+    val trainG = g.filter($"doc_id" >= EvalSetSize)
+      .select($"doc_id".as("train_doc"), $"n", $"gram")
+    trainG.join(broadcast(evalG), "gram")
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(count(lit(1)).as("overlap"), max($"n").as("n_train"))
+      .filter($"overlap" / $"n_train" >= ContaminationMin)
+      .select($"train_doc", $"eval_doc", $"overlap",
+        round($"overlap" / $"n_train", 4).as("containment"))
+  }
+
+  val contaminationOracle: String = "WITH " + gramCtes + ",\n" +
+    s"""ov AS (SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS overlap
+       |  FROM g tr JOIN g ev ON tr.gram = ev.gram
+       |  WHERE tr.doc_id >= $EvalSetSize AND ev.doc_id < $EvalSetSize
+       |  GROUP BY 1, 2)
+       |SELECT train_doc, eval_doc, overlap,
+       |  round(overlap / s.n, 4) AS containment
+       |FROM ov JOIN sz s ON s.doc_id = train_doc
+       |WHERE overlap / s.n >= $ContaminationMin""".stripMargin
 
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash per doc (bit-majority over token hashes), near-dup

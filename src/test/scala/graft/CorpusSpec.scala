@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("source stats partition the corpus: doc counts sum to the table size") {
+    val stats = Corpus.sourceStats(spark, sf)
+    val total = stats.select("n_docs").as[Long].collect().sum
+    assert(total === graft.core.Tables.documents(spark, sf).count())
+  }
+
+  test("mix weights: normalized to 1, monotone in source size, flattened by alpha<1") {
+    val rows = Corpus.mixWeights(spark, sf)
+      .select("n_docs", "weight").as[(Long, Double)].collect()
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    // alpha=0.7 damps the spread: max/min weight ratio < max/min doc ratio
+    val (maxN, minN) = (rows.map(_._1).max, rows.map(_._1).min)
+    val (maxW, minW) = (rows.map(_._2).max, rows.map(_._2).min)
+    if (minN > 0 && minW > 0 && maxN > minN)
+      assert(maxW / minW < maxN.toDouble / minN)
+    // bigger source never gets a smaller weight
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((_, w1), (_, w2)) => assert(w1 <= w2 + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("tfidf top terms: <= k per doc, contiguous ranks, scores descend") {
+    val rows = Corpus.tfidfTopTerms(spark, sf)
+      .select("doc_id", "rank", "tfidf").as[(Long, Int, Double)].collect()
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.length <= Corpus.TfidfTopK, s"doc $doc has ${rs.length} terms")
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length), s"doc $doc ranks")
+      val byRank = rs.sortBy(_._2).map(_._3)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-9, s"doc $doc scores not descending")
+        case _ =>
+      }
+    }
+  }
+
+  test("contamination: orientation and threshold hold; self-contained eval prefix excluded") {
+    val rows = Dedup.contamination(spark, sf)
+      .select("train_doc", "eval_doc", "containment").as[(Long, Long, Double)].collect()
+    rows.foreach { case (t, e, c) =>
+      assert(t >= Dedup.EvalSetSize && e < Dedup.EvalSetSize)
+      assert(c >= Dedup.ContaminationMin && c <= 1.0 + 1e-9)
+    }
+  }
+}
