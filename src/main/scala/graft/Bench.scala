@@ -70,11 +70,13 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    val maxDisp = results.collect {
+    // locale-proof rounding: Double.toString always uses '.', where the f
+    // interpolator follows the default locale and can emit ',' — invalid JSON
+    val maxDisp = math.round(results.collect {
       case (_, ts) if ts.nonEmpty && ts.min > 0 => ts.max / ts.min
-    }.foldLeft(1.0)(math.max)
+    }.foldLeft(1.0)(math.max) * 100) / 100.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":${f"$maxDisp%.2f"},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)

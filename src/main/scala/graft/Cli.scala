@@ -30,8 +30,11 @@ import graft.sources.Sdfs
   * `put` carries the reference's recent-update confirmation
   * (`src/SDFSServer.java:402-421`): overwriting a file written < 60 s ago
   * asks `y/n`, rejecting otherwise. The answer is the NEXT input line
-  * (script or stdin); divergence from the reference: no 30-second answer
-  * timer — end of input counts as "no", which is the same abort default.
+  * (script or stdin); a line that isn't y/yes/n/no counts as "no" and is
+  * then executed as the command it is (the prompt never swallows an
+  * unrelated command from a script that didn't expect it). Divergence
+  * from the reference: no 30-second answer timer — end of input counts
+  * as "no", the same abort default.
   */
 object Cli {
   /** Warehouse root: `-Dgraft.warehouse` beats `GRAFT_WAREHOUSE` beats the
@@ -62,28 +65,41 @@ object Cli {
       else if (args.nonEmpty) Iterator(args.mkString(" "))
       else scala.io.Source.stdin.getLines()
     // manual pull loop (not foreach): `put`'s confirmation consumes the
-    // NEXT line of the same command stream as its y/n answer
+    // NEXT line of the same command stream as its y/n answer. A line that
+    // is NOT an answer (a script unaware of the prompt) counts as "no"
+    // and is pushed back to run as the command it is — the guard may
+    // reject a put, but it never swallows an unrelated command.
     val cmds = in.map(_.trim).filter(_.nonEmpty)
+    var pushedBack: Option[String] = None
     val next: () => Option[String] = () =>
-      if (cmds.hasNext) Some(cmds.next()) else None
+      pushedBack match {
+        case Some(l) => pushedBack = None; Some(l)
+        case None    => if (cmds.hasNext) Some(cmds.next()) else None
+      }
+    val answer: () => Boolean = () => next() match {
+      case Some(l) if l.equalsIgnoreCase("y") || l.equalsIgnoreCase("yes") => true
+      case Some(l) if l.equalsIgnoreCase("n") || l.equalsIgnoreCase("no")  => false
+      case Some(other) => pushedBack = Some(other); false
+      case None => false
+    }
     var cont = true
     while (cont) next() match {
       case None | Some("exit") => cont = false
       case Some(line) =>
-        try run(spark, sdfs, runner, line.split("\\s+").toSeq, next)
+        try run(spark, sdfs, runner, line.split("\\s+").toSeq, answer)
         catch { case e: Throwable => println(s"error: ${e.getMessage}") }
     }
     if (!preExisting) spark.stop() // keep a caller's (e.g. test) session alive
   }
 
   private def run(spark: SparkSession, sdfs: Sdfs, runner: JobRunner,
-                  cmd: Seq[String], next: () => Option[String]): Unit = {
+                  cmd: Seq[String], answer: () => Boolean): Unit = {
     import spark.implicits._
     cmd match {
       case Seq("put", local, name) =>
         val ok = sdfs.putGuarded(spark.read.textFile(local), name, () => {
           println(s"$name was updated less than 60 s ago — overwrite? (y/n)")
-          next().exists(_.equalsIgnoreCase("y"))
+          answer()
         })
         println(if (ok) s"put $name" else s"put $name rejected (recent update not confirmed)")
       case Seq("get", name, local) =>
@@ -137,6 +153,9 @@ object Cli {
     val files = Option(new java.io.File(localDir).listFiles())
       .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
     require(files.nonEmpty, s"no files to upload under $localDir")
+    // clear any previous staging: a smaller re-upload must not leave
+    // stale input{i} files from an earlier, larger one in the job's input
+    sdfs.delete("mjwc")
     files.zipWithIndex.foreach { case (f, i) =>
       sdfs.put(spark.read.textFile(f.toString), s"mjwc/input${i + 1}")
       println("...")

@@ -39,7 +39,9 @@ class JobRunner(spark: SparkSession, sdfs: graft.sources.Sdfs) {
       val df = inter.toDF("key", "value")
       df.cache()
       val n = df.count() // materialize: the Maple→Juice barrier
-      staged.put(prefix, df)
+      // replacing a staged intermediate releases the old one's cache —
+      // repeated jobs on one prefix must not accumulate orphaned storage
+      staged.put(prefix, df).foreach(old => Try(old.unpersist()))
       n
     case JuiceJob(prefix, fn, dest, deleteInput, single) =>
       // no staged entry → re-read a PUBLISHED intermediate from SDFS as

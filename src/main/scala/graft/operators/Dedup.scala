@@ -197,11 +197,20 @@ object Dedup {
     * representatives, LSH candidates among representatives only, plus one
     * copy→rep edge per duplicate copy. Edge count is |rep LSH pairs| +
     * |copies| — linear in copies, never quadratic (the planted-duplicate
-    * spec asserts this count directly). */
+    * spec asserts this count directly).
+    *
+    * Scoped to GRAM-BEARING documents (>= 3 tokens) only: a doc with no
+    * 3-grams can never appear in a near-dup pair, so identical gram-less
+    * copies must not be clustered here either — that keeps the edge set's
+    * node universe (and the DuckDB closure oracle, whose gram CTE drops
+    * such docs) exactly what it was before the guard existed. */
   private[graft] def clusterEdges(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val withH = docs.select($"doc_id", md5($"text").as("h"))
+    val withH = docs
+      .filter(size(org.apache.spark.sql.graft.GraftFunctions
+        .wordGrams($"text", 3)) > 0)
+      .select($"doc_id", md5($"text").as("h"))
     // shuffle carries (128-bit digest, id) — never the document text
     val groups = withH.groupBy($"h")
       .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("m"))

@@ -4,14 +4,8 @@ package graft
   * put → maple → juice → get produces the sorted `key\tvalue` contract. */
 class CliSpec extends SparkTestBase {
 
-  /** Each scripted run gets a FRESH warehouse (via the -Dgraft.warehouse
-    * test hook): reruns can't trip put's 60 s recent-update guard on
-    * leftovers, and tests can't see each other's files. */
-  private def withFreshWarehouse[T](body: => T): T = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_cli_wh").toString
-    sys.props("graft.warehouse") = wh
-    try body finally sys.props.remove("graft.warehouse")
-  }
+  private def withFreshWarehouse[T](body: => T): T =
+    graft.testkit.TestWarehouse.withFresh(body)
 
   test("cli script: put, maple builtin:wc, juice builtin:wc, get") { withFreshWarehouse {
     val _ = spark // materialize shared session first so Cli reuses it
@@ -57,6 +51,25 @@ class CliSpec extends SparkTestBase {
          |""".stripMargin)
     Cli.main(Array(s"@$script"))
     assert(java.nio.file.Files.readString(outFile) === "third")
+  } }
+
+  test("cli put guard: a non-answer line rejects the put but still runs as a command") { withFreshWarehouse {
+    val _ = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_guard2")
+    val v1 = tmp.resolve("v1.txt"); java.nio.file.Files.writeString(v1, "first\n")
+    val v2 = tmp.resolve("v2.txt"); java.nio.file.Files.writeString(v2, "second\n")
+    val outFile = tmp.resolve("out.txt")
+    val script = tmp.resolve("script.txt")
+    // a script unaware of the prompt: the `get` after the guarded put is
+    // NOT consumed as the answer — the put is rejected (default no) and
+    // the get must still execute, fetching the original content
+    java.nio.file.Files.writeString(script,
+      s"""put $v1 conf/f
+         |put $v2 conf/f
+         |get conf/f $outFile
+         |""".stripMargin)
+    Cli.main(Array(s"@$script"))
+    assert(java.nio.file.Files.readString(outFile) === "first")
   } }
 
   test("cli demo-wc: canned upload + wc job end-to-end matches the wc oracle") { withFreshWarehouse {

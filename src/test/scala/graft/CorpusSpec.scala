@@ -44,6 +44,7 @@ class CorpusSpec extends SparkTestBase {
   test("contamination: orientation and threshold hold; self-contained eval prefix excluded") {
     val rows = Dedup.contamination(spark, sf)
       .select("train_doc", "eval_doc", "containment").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "sf corpus is known to contain contaminated pairs")
     rows.foreach { case (t, e, c) =>
       assert(t >= Dedup.EvalSetSize && e < Dedup.EvalSetSize)
       assert(c >= Dedup.ContaminationMin && c <= 1.0 + 1e-9)

@@ -153,7 +153,41 @@ class ExeRunnerSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
-  test("cli external-exe verbs run the argv contract end to end") {
+  test("large exe output (>1 MB, far past the OS pipe buffer) never deadlocks") {
+    // the classic pipe-deadlock trap: a child filling the ~64 KB stdout
+    // pipe while the parent isn't reading wedges both forever. ExeRunner
+    // reads stdout on the calling thread with stdin closed up front and
+    // stderr drained concurrently, so a batch emitting 60k pairs (~1 MB)
+    // must stream through without a hang.
+    val big = java.nio.file.Files.createTempFile("graft_big_", ".py")
+    java.nio.file.Files.writeString(big,
+      """import sys
+        |for i in range(60000):
+        |    sys.stdout.write("k%d,%d\n" % (i, i))
+        |""".stripMargin)
+    val out = new ExeRunner(spark, Seq("python3"))
+      .mapleFn(big.toString)(Iterator("one line")).toSeq
+    assert(out.length === 60000)
+    assert(out.head === KV("k0", "0") && out.last === KV("k59999", "59999"))
+  }
+
+  test("stderr is drained separately, never parsed as KV output") {
+    // a chatty exe: stderr lines contain commas and would corrupt the
+    // result if merged into the parsed stream (and enough of them to fill
+    // the stderr pipe if nobody drained it)
+    val chatty = java.nio.file.Files.createTempFile("graft_chatty_", ".py")
+    java.nio.file.Files.writeString(chatty,
+      """import sys
+        |for i in range(20000):
+        |    sys.stderr.write("warn %d, with, commas\n" % i)
+        |sys.stdout.write("real,1\n")
+        |""".stripMargin)
+    val out = new ExeRunner(spark, Seq("python3"))
+      .mapleFn(chatty.toString)(Iterator("x")).toSeq
+    assert(out === Seq(KV("real", "1")))
+  }
+
+  test("cli external-exe verbs run the argv contract end to end") { graft.testkit.TestWarehouse.withFresh {
     val _ = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_exe")
     val inFile = tmp.resolve("in.txt")
@@ -175,5 +209,5 @@ class ExeRunnerSpec extends SparkTestBase {
     Cli.main(Array(s"@$script"))
     val out = java.nio.file.Files.readString(outFile)
     assert(out === "a\t3\nb\t1\nc\t1")
-  }
+  } }
 }
