@@ -25,7 +25,13 @@ object Bench {
     // GC/JIT pause land on one query (q17 showed 22 s for a 0.2 MB
     // projection in round 1; re-measured at ~0.5 s)
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter (scale rehearsals bench a
+    // headline subset; unset = the full suite, the per-round default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // only SUCCESSFUL runs may contribute — a failed run's fast abort
       // must never report as a fast query; a fully-failed query reports
       // -1 and is listed in "failed"

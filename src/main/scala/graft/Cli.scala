@@ -140,6 +140,17 @@ object Cli {
         val m = runner.submit(runner.JuiceJob("prefix",
           juiceFn(spark, "builtin:wc"), sdfsPath(sdfs, "output.txt")))
         println(s"demo-wc done, output.txt ($m lines)")
+      // reference demo dataset loaders (`src/MapReduceWorker.java:636-649`):
+      // stage the canned word-count corpus as `mj~wc~1m/input{i}` (26 × 1 MB)
+      // / `mj~wc~2m/input{i}` (13 × 2 MB). The reference copies files from a
+      // hard-coded home directory; here the corpus is generated
+      // deterministically plan-side (same shape, no local fixture needed)
+      case Seq(v @ ("word-count-1m" | "word-count-2m")) =>
+        val (nFiles, mb, prefix) =
+          if (v == "word-count-1m") (26, 1, "mj~wc~1m") else (13, 2, "mj~wc~2m")
+        println(s"Experiment - Word Count with $nFiles ${mb}M input data files:")
+        demoWordFiles(spark, sdfs, prefix, nFiles, mb.toLong << 20)
+        println(s"staged $nFiles files under $prefix/")
       case Seq(v @ ("join" | "leave" | "list" | "id")) =>
         println(s"$v: no-op (cluster membership is managed by Spark)")
       case other => println(s"unknown command: ${other.mkString(" ")}")
@@ -161,6 +172,31 @@ object Cli {
       println("...")
     }
     println(s"Input files are uploaded to mjwc directory in the SDFS.")
+  }
+
+  /** Deterministic demo corpus: `nFiles` text files of ~`bytesPerFile`
+    * whitespace-separated words from a fixed vocabulary, word choice keyed
+    * on xxhash64(file, line, position) — generated INSIDE the plan
+    * (`spark.range` → concat), so no driver-side buffer holds a file. */
+  private def demoWordFiles(spark: SparkSession, sdfs: Sdfs, prefix: String,
+                            nFiles: Int, bytesPerFile: Long): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    sdfs.delete(prefix) // re-staging must not leave stale inputs behind
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "pack", "my", "box", "with", "five", "dozen", "liquor", "jugs",
+      "how", "vexingly", "daft", "zebras", "jump", "sphinx", "of", "black",
+      "quartz", "judge", "vow", "bright", "light", "words", "count", "demo")
+    val wordsPerLine = 12
+    val nLines = math.max(1L, bytesPerFile / 72) // ~6 bytes/word × 12
+    (0 until nFiles).foreach { i =>
+      val lines = spark.range(nLines).select(
+        concat_ws(" ", (0 until wordsPerLine).map { k =>
+          element_at(typedLit(vocab),
+            (pmod(xxhash64(col("id"), lit(i), lit(k)), lit(vocab.size)) + 1).cast("int"))
+        }: _*).as("value")).as[String]
+      sdfs.put(lines, s"$prefix/input$i")
+    }
   }
 
   private def sdfsPath(sdfs: Sdfs, name: String): String =

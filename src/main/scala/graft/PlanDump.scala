@@ -9,26 +9,38 @@ import java.nio.file.{Files, Paths}
   * without column pruning). Review target/plans.txt after operator work —
   * a correct result with the wrong plan is a scale bug. */
 object PlanDump {
+  /** args: [sfDir] [queryName...] — with names given, dumps only those
+    * queries (and times each execution, n=2, min), at bench parallelism. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (only.isEmpty) "8" else "32")
     val builder = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.core.Tables.sessionDefaults.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    qs.foreach { case (name, fn) =>
       try {
         // PlanCensus executes via the noop sink first: AQE only finalizes
         // the plan (broadcast conversions, coalesced shuffles) after a run
+        val times = (1 to (if (only.isEmpty) 1 else 2)).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         val (census, plan) = PlanCensus.of(fn(spark, sfDir))
         sb.append(s"===== $name =====\n$plan\n")
         println(f"[plan] $name%-28s ${census.shuffles}x shuffle " +
-          s"${census.broadcasts}x broadcast  " +
+          f"${census.broadcasts}x broadcast  min=${times.min}%.2fs  " +
           (if (census.flags.isEmpty) "ok" else census.flags.mkString(", ")))
+        spark.catalog.clearCache()
       } catch { case e: Throwable =>
         println(s"[plan] $name FAILED: ${e.getMessage.take(100)}")
       }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: writes an sf1-equivalent slice (10× the
+  * sf0.1 row counts) so the dedup/ANN/cluster guards and the relational
+  * plans can be exercised beyond the gate scale — the evidence behind the
+  * "would this hold at 100 TB" claims. Usage:
+  *
+  *   runMain graft.ScaleGen [outDir=target/sf1] [srcDir=/root/testdata/sf0.1] [factor=10]
+  *
+  * Construction, per table family:
+  *   - relational star (lineitem/orders/customer/supplier/part): shard
+  *     replication of the sf0.1 tables with consistent key shifts — value
+  *     distributions stay the generator's, FK fanouts are preserved
+  *     exactly, totals scale linearly by design. nation/region copy as-is
+  *     (fixed dims).
+  *   - events: shard replication with event_id/user_id shifts (10× users,
+  *     per-user session structure preserved; windows get 10× the mass).
+  *   - documents: freshly synthesized (replicating text 10× would plant
+  *     near-dup CLIQUES — every copy pairs with every other — turning the
+  *     pair operators' OUTPUT quadratic and drowning the rehearsal).
+  *     Deterministic hash-picked tokens; 1% planted near-dup twins (same
+  *     pair rate as the gate corpus) plus a 1,000-copy identical cluster
+  *     to stress the md5-collapse and simhash hot-bucket guards at scale.
+  *   - embeddings: deterministic pseudo-random unit-free vectors, 10×
+  *     count, same dim/queries.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/sf1")
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val builder = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    graft.core.Tables.sessionDefaults.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$name.parquet")
+
+    def shards(tbl: String)(shift: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = spark.read.parquet(s"$src/$tbl.parquet")
+      (0 until factor).map(i => shift(base, i)).reduce(_ union _)
+    }
+
+    // fixed dims copy as-is
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write
+        .mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+
+    // key strides: one power-of-ten above each table's max key, so shifted
+    // shards can never collide
+    def strideOf(tbl: String, key: String): Long = {
+      val mx = spark.read.parquet(s"$src/$tbl.parquet")
+        .agg(max(col(key))).head().getLong(0)
+      math.pow(10, math.ceil(math.log10(mx.toDouble + 1))).toLong
+    }
+    val okS = strideOf("orders", "o_orderkey")
+    val ckS = strideOf("customer", "c_custkey")
+    val skS = strideOf("supplier", "s_suppkey")
+    val pkS = strideOf("part", "p_partkey")
+
+    write(shards("customer") { (df, i) =>
+      df.withColumn("c_custkey", $"c_custkey" + lit(i * ckS)) }, "customer", 4)
+    write(shards("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", $"s_suppkey" + lit(i * skS)) }, "supplier", 1)
+    write(shards("part") { (df, i) =>
+      df.withColumn("p_partkey", $"p_partkey" + lit(i * pkS)) }, "part", 4)
+    write(shards("orders") { (df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * okS))
+        .withColumn("o_custkey", $"o_custkey" + lit(i * ckS)) }, "orders", 8)
+    write(shards("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * okS))
+        .withColumn("l_partkey", $"l_partkey" + lit(i * pkS))
+        .withColumn("l_suppkey", $"l_suppkey" + lit(i * skS)) }, "lineitem", 16)
+
+    val evS = 10000000L
+    val userS = strideOf("events", "user_id")
+    write(shards("events") { (df, i) =>
+      df.withColumn("event_id", $"event_id" + lit(i * evS))
+        .withColumn("user_id", $"user_id" + lit(i * userS)) }, "events", 8)
+
+    // ---------------------------------------------------------- documents
+    val nDocs = 5000L * factor
+    val cluster = 1000L // identical-copy cluster at the tail
+    val vocab = (0 until 2000).map(i => f"tok$i%04d")
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val sources = (0 until 20).map(i => s"src$i")
+    // twin docs (id % 100 == 1) generate from the previous id's stream and
+    // append one token -> jaccard ≈ 0.9 planted near-dup pairs at 1%;
+    // the tail cluster all generates from one base id -> identical copies
+    val docs = spark.range(nDocs)
+      .withColumn("base",
+        when($"id" >= nDocs - cluster, lit(nDocs - cluster))
+          .otherwise(when($"id" % 100 === 1, $"id" - 1).otherwise($"id")))
+      .withColumn("n_tok", (pmod(xxhash64($"base", lit(0)), lit(60)) + 20).cast("int"))
+      .withColumn("toks", expr(
+        "transform(sequence(0, n_tok - 1), k -> " +
+          s"element_at(${vocabSql(vocab)}, CAST(pmod(xxhash64(base, k), ${vocab.size}) + 1 AS INT)))"))
+      .withColumn("text0", array_join($"toks", " "))
+      .withColumn("text",
+        when($"id" % 100 === 1 && $"id" < nDocs - cluster,
+          concat($"text0", lit(" twintoken"))).otherwise($"text0"))
+      .select($"id".as("doc_id"), $"text",
+        element_at(typedLit(langs), (pmod(xxhash64($"id", lit(1)), lit(langs.size)) + 1).cast("int")).as("lang"),
+        element_at(typedLit(sources), (pmod(xxhash64($"id", lit(2)), lit(sources.size)) + 1).cast("int")).as("source"),
+        length($"text").cast("long").as("n_chars"))
+    write(docs, "documents", 8)
+
+    // --------------------------------------------------------- embeddings
+    val nVecs = 2000L * factor
+    val dim = 64
+    val embs = spark.range(nVecs)
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), j -> " +
+          "CAST(pmod(xxhash64(id, j), 2000000) / 1000000.0 - 1.0 AS FLOAT))"))
+      .select($"id".as("vec_id"), $"embedding",
+        pmod($"id", lit(10)).cast("int").as("label"))
+    write(embs, "embeddings", 4)
+
+    println(s"[scalegen] wrote $out at factor $factor")
+    spark.stop()
+  }
+
+  private def vocabSql(vocab: Seq[String]): String =
+    vocab.mkString("array('", "', '", "')")
+}

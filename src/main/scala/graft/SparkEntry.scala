@@ -51,6 +51,7 @@ object SparkEntry {
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
       "dedup_keep_list"        -> (Dedup.keepList _),
       "dedup_contamination"    -> (Dedup.contamination _),
+      "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -58,6 +59,7 @@ object SparkEntry {
       "embed_quantize_int8" -> (Similarity.quantizeStats _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
+      "profile_lineitem_approx" -> (Profiling.profileLineitemApprox _),
       "merge_upsert"     -> (Profiling.mergeUpsert _),
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -90,7 +92,10 @@ object SparkEntry {
       "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_fingerprint" -> TextOps.fingerprintOracle,
+      "text_winnow_fingerprints" -> TextOps.winnowFingerprintsOracle,
+      "dedup_winnow_candidates"  -> TextOps.winnowCandidatesOracle,
       "text_langid"      -> TextOps.langIdOracle,
+      "dedup_simhash"    -> Dedup.simhashPairsOracle,
       "dedup_exact"         -> Dedup.exactDedupOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
@@ -101,6 +106,7 @@ object SparkEntry {
       "train_mix_weights"    -> Corpus.mixWeightsOracle,
       "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
+      "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,

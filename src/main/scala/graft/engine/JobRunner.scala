@@ -51,6 +51,7 @@ class JobRunner(spark: SparkSession, sdfs: graft.sources.Sdfs) {
       // delimiter; value = everything after it, so values containing tabs
       // round-trip unchanged (SdfsSpec asserts this). A line with no tab
       // parses as (whole line, "").
+      val wasStaged = staged.contains(prefix)
       val interDf = staged.getOrElse(prefix,
         sdfs.get(prefix).selectExpr(
           "substring_index(value, '\t', 1) as key",
@@ -61,7 +62,13 @@ class JobRunner(spark: SparkSession, sdfs: graft.sources.Sdfs) {
       engine.sinkSorted(result, dest, singleFile = single)
       val n = spark.read.textFile(dest).count()
       if (deleteInput) {
+        // delete-input applies to whichever form the intermediate took:
+        // a staged cache entry, or a PUBLISHED SDFS intermediate (the
+        // reference's flow deletes the SDFS files, MapReduceMaster's
+        // delete-input flag) — dropping only the cache would leave the
+        // re-read path's input behind
         staged.remove(prefix).foreach(df => Try(df.unpersist()))
+        if (!wasStaged) sdfs.delete(prefix)
       }
       n
   }

@@ -73,14 +73,16 @@ object Corpus {
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val n = docs.count().toDouble
+    // N as a broadcast single-row aggregate (the scalar-subquery shape):
+    // part of the one plan, so no separate driver-side count() action/scan
+    val n = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val words = docs.select($"doc_id",
       explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("term"))
     val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
-    tf.join(df, "term")
-      .withColumn("tfidf", $"tf" * log(lit(n) / $"df"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf" * log($"n_total" / $"df"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= TfidfTopK)
       .select($"doc_id", $"term", $"tf", $"rank", round($"tfidf", 4).as("tfidf"))

@@ -48,25 +48,85 @@ object Dedup {
       |GROUP BY md5(text)""".stripMargin
 
   // --------------------------------------------------- exact n-gram Jaccard
-  /** Exact near-dup pairs: word-3-gram Jaccard >= 0.5, computed by
-    * gram-inverted-index self-join. This IS quadratic in docs sharing a
-    * gram — at 100 TB this operator is the *verifier* behind the MinHash
-    * LSH prefilter below, run only on LSH candidates, plus ultra-common
-    * grams should be frequency-pruned before the join. */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Near-dup pairs: word-3-gram Jaccard >= 0.5, MOSS-shaped:
+    *
+    *   1. candidate generation over a FREQUENCY-PRUNED gram inverted index
+    *      — grams appearing in more than max(16, 1%) of gram-bearing docs
+    *      are dropped from the index (same rule as
+    *      [[TextOps.winnowCandidates]]), so the per-gram self-join bucket
+    *      is capped by the df threshold and a hot stop-gram can never make
+    *      the join quadratic on a skewed corpus (asserted on a planted
+    *      hot-gram corpus in DedupSpec);
+    *   2. exact verification on FULL gram sets for candidates only —
+    *      emitted scores are exact by construction.
+    *
+    * A jac >= 0.5 pair that shares ONLY hot grams would be missed — at
+    * threshold 0.5 the pair shares a third of its gram union, so requiring
+    * one rare shared gram loses essentially nothing (the LSH-parity spec
+    * cross-checks). The DuckDB oracle replicates the prune exactly. */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(s, d))
+
+  /** [[ngramJaccardPairs]] over an arbitrary (doc_id, text) frame.
+    *
+    * Exact-intersection trick under the prune: the rare-gram self-join
+    * counts c_rare per pair in ONE aggregate (the pre-prune plan's shape —
+    * no distinct pass, no full gram arrays shipped per candidate); the
+    * missing hot contribution is added back from per-doc HOT-gram sets,
+    * which are small by construction (the distinct hot vocabulary is
+    * bounded by total-gram-mass / df-cap) — so c = c_rare + |hot(a)∩hot(b)|
+    * is the exact full-set intersection, at index-prune cost. */
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    // carry |grams(doc)| as a column through the explode — the set size is
-    // constant per doc, so the jaccard denominator needs no extra
-    // aggregate-and-join-back subplans (each would rescan documents)
-    val grams = gramsOf(Tables.documents(s, d))
-      .select($"doc_id", size($"grams").as("n"), explode($"grams").as("gram"))
-    grams.as("a").join(grams.as("b"),
+    // cache: feeds the df aggregate, the pruned index, and the sizes join
+    // (bounded-corpus default, as with the LSH gram cache)
+    val grams = gramsOf(docs).cache()
+    val docCount = grams.count()
+    // absolute ceiling on the df cap — same reasoning as
+    // [[TextOps.winnowCandidates]]: a pure 1% cap makes bucket joins
+    // quadratic in corpus size; 256 bounds per-gram join work forever
+    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
+    val g = grams.select($"doc_id", explode($"grams").as("gram"))
+    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)
+      .select($"gram")
+    // hot set is small by construction (grams in >1% of docs)
+    val rare = g.join(broadcast(hot), Seq("gram"), "left_anti")
+    val rarePairs = rare.as("a").join(rare.as("b"),
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"), max($"a.n").as("na"), max($"b.n").as("nb"))
+      .agg(count(lit(1)).as("c_rare"))
+    val hotSets = g.join(broadcast(hot), Seq("gram"))
+      .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
+    val sizes = grams.select($"doc_id", size($"grams").as("n"))
+    rarePairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .join(hotSets.select($"doc_id".as("doc_a"), $"hg".as("ha")), Seq("doc_a"), "left")
+      .join(hotSets.select($"doc_id".as("doc_b"), $"hg".as("hb")), Seq("doc_b"), "left")
+      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
+        .otherwise(size(array_intersect($"ha", $"hb"))))
       .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
       .filter($"jac" >= 0.5)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs from the df-pruned gram index —
+    * exposed so the hot-gram boundedness is directly assertable. */
+  private[graft] def ngramCandidates(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = gramsOf(docs)
+    val docCount = grams.count()
+    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
+    val g = grams.select($"doc_id", explode($"grams").as("gram"))
+    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)
+      .select($"gram")
+    val rare = g.join(broadcast(hot), Seq("gram"), "left_anti")
+    rare.as("a").join(rare.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
   }
 
   val ngramJaccardOracle: String =
@@ -78,8 +138,15 @@ object Dedup {
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
       |  FROM t WHERE len(toks) >= 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM g),
+      |hot AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(*) > (SELECT least(greatest(16, n // 100), 256) FROM nd)),
+      |rare AS (SELECT g.doc_id, g.gram FROM g ANTI JOIN hot h ON g.gram = h.gram),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+      |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+      |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -443,6 +510,146 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         lit(0).cast("int").as("hamming"))
     crossPairs.union(equalPairs)
+  }
+
+  /** DuckDB twin of [[simhashPairs]], end to end: FNV-1a 64 per vocabulary
+    * token (byte fold over `hex(encode(w))` nibbles, mod-2^64 HUGEINT
+    * arithmetic — verified bit-equal to [[graft.functions.Hashing.fnv1a64]]),
+    * per-doc bit-majority signature, the same 4×16-bit band blocking over
+    * DISTINCT values, Hamming ≤ 6 via `bit_count(xor(...))` on the signed
+    * 64-bit forms, plus the equal-simhash doc pairs at hamming 0. Banding
+    * is replicated — not just the Hamming predicate — because a ≤ 6 pair
+    * with no intact band is (by design) NOT in the operator's output. */
+  val simhashPairsOracle: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |vocab AS (SELECT DISTINCT w FROM tok),
+       |vb AS (SELECT w, hex(encode(w)) AS hx FROM vocab),
+       |vbytes AS (SELECT w, list_transform(range(length(hx) // 2),
+       |    i -> CAST(16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
+       |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM vb),
+       |fnv AS (SELECT w, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+       |    (h, c) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
+       |               * 1099511628211) % $U) AS h FROM vbytes),
+       |dh AS (SELECT tok.doc_id, list(f.h) AS hs FROM tok JOIN fnv f USING (w)
+       |       GROUP BY tok.doc_id),
+       |sigs AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
+       |    CASE WHEN 2 * len(list_filter(hs,
+       |           h -> (h // (1::HUGEINT << CAST(j AS INT))) % 2 = 1)) > len(hs)
+       |         THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END)) AS HUGEINT) AS sig
+       |  FROM dh),
+       |sh AS (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |       FROM documents d LEFT JOIN sigs s USING (doc_id)),
+       |vals AS (SELECT DISTINCT sig FROM sh),
+       |bands AS (SELECT sig, b, (sig // (1::HUGEINT << (16 * b))) % 65536 AS chunk
+       |          FROM vals, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT a.sig AS ua, b.sig AS ub
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.chunk = b.chunk AND a.sig < b.sig),
+       |sgn AS (SELECT sig, CAST(CASE WHEN sig >= CAST(9223372036854775808 AS HUGEINT)
+       |         THEN sig - $U ELSE sig END AS BIGINT) AS ss FROM vals),
+       |vp AS (SELECT ua, ub, CAST(bit_count(xor(sa.ss, sb.ss)) AS INT) AS hamming
+       |       FROM cand JOIN sgn sa ON sa.sig = ua JOIN sgn sb ON sb.sig = ub
+       |       WHERE bit_count(xor(sa.ss, sb.ss)) <= 6)
+       |SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       |       greatest(x.doc_id, y.doc_id) AS doc_b, hamming
+       |FROM vp JOIN sh x ON x.sig = vp.ua JOIN sh y ON y.sig = vp.ub
+       |UNION ALL
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+       |FROM sh a JOIN sh b ON a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- duplicate-span dedup
+  /** Substring-level exact dedup (the Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" shape): find every maximal text
+    * span whose content also occurs elsewhere in the corpus (another doc
+    * OR another position of the same doc), emit (doc_id, span_start,
+    * span_end, span_len) — the spans a training pipeline drops while
+    * keeping the rest of the document.
+    *
+    * Formulation (suffix arrays don't distribute; this is the shuffle
+    * formulation of the same predicate):
+    *   1. every position's [[SpanK]]-char Rabin-Karp rolling hash, via the
+    *      codegen'd graft_rollhash + posexplode — (doc, pos, h), linear in
+    *      corpus size;
+    *   2. hashes with >= 2 occurrences globally mark duplicated k-grams
+    *      (the grouped (h → count) aggregate is map-side combined; the
+    *      shuffle key is the 8-byte hash, never text);
+    *   3. per doc, overlapping/adjacent duplicated k-gram intervals
+    *      [pos, pos+k) merge into maximal spans — islands via a
+    *      partitioned window (prefix-max of interval ends), bounded by
+    *      document length.
+    *
+    * A shared span of length L >= k yields L-k+1 shared k-grams, so the
+    * merged island reconstructs the FULL duplicated span exactly; spans
+    * shorter than k are by definition not duplicates at this granularity.
+    * 64-bit hash equality stands in for substring equality (collision odds
+    * ~n²/2^65 — negligible at any corpus size where n² < 2^60; Lee et al.
+    * use exact suffix arrays, this is the blocked/hashed variant).
+    * Fully deterministic → DuckDB-oracled (positions + hash fold mod 2^64
+    * replicated in SQL). */
+  val SpanK = 24
+
+  def duplicateSpans(s: SparkSession, d: String): DataFrame =
+    duplicateSpansOf(Tables.documents(s, d))
+
+  private[graft] def duplicateSpansOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select($"doc_id",
+        posexplode(org.apache.spark.sql.graft.GraftFunctions
+          .rollingHashes($"text", SpanK)).as(Seq("pos", "h")))
+    val dup = pos.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2)
+      .select($"h")
+    val dupPos = pos.join(dup, "h").select($"doc_id", $"pos")
+    // island merge: a new island starts where pos > max end of all
+    // previous intervals in the doc (ends are pos+k, monotone in pos here
+    // since all intervals share length k — the prefix-max form stays
+    // correct even if that ever changes)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prevEnd = max($"pos" + lit(SpanK)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("new_island",
+        when(prevEnd.isNull || $"pos" > prevEnd, 1).otherwise(0))
+      .withColumn("island", sum($"new_island").over(byDoc))
+    islands.groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"), (max($"pos") + lit(SpanK)).as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start").as("span_len"))
+  }
+
+  /** DuckDB twin: same positional hashes (HUGEINT fold mod 2^64 — sign
+    * never matters here, only equality), same >= 2 global-occurrence rule,
+    * same prefix-max island merge. Positions are 0-based in both. */
+  val duplicateSpansOracle: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""WITH cp AS (SELECT doc_id,
+       |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
+       |  FROM documents WHERE length(text) >= $SpanK),
+       |ph AS (SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$SpanK]),
+       |      (h, c) -> (h * 1000003 + c) % $U) AS h
+       |  FROM cp, unnest(range(len(cs) - ${SpanK - 1})) AS t(i)),
+       |dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.pos FROM ph p SEMI JOIN dup d ON p.h = d.h),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM dp),
+       |grp AS (SELECT doc_id, pos,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanK AS span_end,
+       |  max(pos) + $SpanK - min(pos) AS span_len
+       |FROM grp GROUP BY doc_id, island""".stripMargin
   }
 
   // ----------------------------------------------------- embedding near-dup

@@ -50,6 +50,31 @@ object Profiling {
         $"min_value", $"max_value")
   }
 
+  /** [[profileLineitem]]'s 100 TB default: identical schema, NDV via
+    * `approx_count_distinct` (HLL++, rsd 2% — at 1% the 4× larger register
+    * arrays made the aggregate ~3× slower for one digit of precision).
+    * approximate-distinct is an ordinary partial-aggregable function, so
+    * ALL columns profile in ONE scan + ONE single-row aggregate — no melt,
+    * no ×N-columns shuffle, no Expand. The exact form above is the oracle
+    * mode (and what the correctness gate pins); at corpus scale exact
+    * per-column NDV is a full-data shuffle per profile run and approx is
+    * the right default. ProfilingSpec bounds the approx error against the
+    * exact profile. */
+  def profileLineitemApprox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cols = li.columns.toSeq
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_cnt"),
+      approx_count_distinct(col(c), 0.02).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")) }
+    li.agg(aggs.head, aggs.tail: _*).selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', ${c}_cnt, ${c}_nd, ${c}_min, ${c}_max").mkString(", ") +
+        ") as (column_name, n_nonnull, n_distinct, min_value, max_value)")
+  }
+
   val profileLineitemOracle: String = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",

@@ -160,8 +160,8 @@ object Similarity {
   }
 
   /** IVF-style bucketed ANN: [[IvfCells]] centroids refined by
-    * [[IvfLloydIters]] Lloyd iterations (seeded deterministically from the
-    * first 16 vectors), every vector assigned to its nearest centroid
+    * [[IvfLloydIters]] spherical Lloyd iterations (seeded by deterministic
+    * k-means++ over a mix64 sample), every vector assigned to its nearest centroid
     * (inverted file), queries probe their [[IvfProbes]] nearest cells,
     * exact re-rank within the probed cells only.
     *
@@ -228,12 +228,47 @@ object Similarity {
       def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
     }
-    var centroids = vecs.filter(_._1 < IvfCells).collect().sortBy(_._1)
+    // seeding: k-means++ farthest-first over a DETERMINISTIC random sample
+    // — the 16×IvfCells vectors with the smallest mix64(vec_id) (splitmix64
+    // scrambles ids, so this is NOT "first rows"; adjacent/correlated ids
+    // are equally likely anywhere in the sample). The sample plans as
+    // TakeOrderedAndProject — bounded top-k per partition + merge, constant
+    // driver traffic — and the greedy spread runs on the driver over
+    // sample×cells pairs (constant work). Farthest-first beats a bare
+    // random 16: it cannot seed two centroids inside one dense cluster.
+    val sample = vecs
+      .map { case (id, v) => (Hashing.mix64(id), id, v) }
+      .orderBy("_1").limit(16 * IvfCells)
+      .collect().sortBy(_._1).map { case (_, id, v) => (id, v) }
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.length < math.min(IvfCells, sample.length)) {
+      // farthest point from its nearest chosen center (ties → smaller id)
+      val next = sample.filterNot(p => chosen.exists(_._1 == p._1))
+        .maxBy { case (id, v) => (chosen.map(c => cosDist(c._2, v)).min, -id) }
+      chosen += next
+    }
+    var centroids = chosen.toArray.sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to IvfLloydIters) {
       val bc = s.sparkContext.broadcast(centroids)
       val means = vecs
-        .map { case (_, v) => (nearestCell(bc.value, v), v) }
+        // spherical k-means: average UNIT vectors — assignment is by
+        // cosine, so each point should pull the centroid by direction
+        // only; raw means let long vectors dominate the cell direction
+        .map { case (_, v) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+          val u = new Array[Double](v.length)
+          i = 0
+          while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+          (nearestCell(bc.value, u), u)
+        }
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(meanAgg.toColumn)

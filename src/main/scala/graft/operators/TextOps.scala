@@ -261,6 +261,40 @@ object TextOps {
           .winnow($"text", WinnowK, WinnowWindow)).as("fingerprint"))
   }
 
+  /** DuckDB twin of the winnowing scheme: Rabin-Karp k-gram hashes as a
+    * HUGEINT fold mod 2^64 (DuckDB's 128-bit integer holds h·B + c without
+    * overflow), window minima, consecutive-duplicate collapse via
+    * list_distinct. Char basis is `unicode(text[i])` — equal to Java's
+    * `charAt` for all BMP text (the corpus has no astral codepoints; an
+    * astral char would be 2 UTF-16 units in the JVM vs 1 codepoint here).
+    * CRITICAL parity detail: the JVM picks window minima by SIGNED Long
+    * comparison, so each hash is converted to its signed 64-bit form
+    * BEFORE the minima — unsigned minima select a different fingerprint
+    * set entirely (~half of all hashes have the top bit set).
+    * The rightmost-tie rule needs no twin: ties pick an *index*, but the
+    * emitted value is the window minimum either way. */
+  private[operators] val winnowCtes: String =
+    s"""cp AS (SELECT doc_id,
+       |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
+       |  FROM documents WHERE length(text) >= $WinnowK),
+       |hh0 AS (SELECT doc_id, list_transform(range(len(cs) - ${WinnowK - 1}), i ->
+       |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$WinnowK]),
+       |      (h, c) -> (h * 1000003 + c) % CAST(18446744073709551616 AS HUGEINT))) AS hsu
+       |  FROM cp),
+       |hh AS (SELECT doc_id, list_transform(hsu, h -> CAST(CASE
+       |    WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT)) AS hs
+       |  FROM hh0),
+       |ww AS (SELECT doc_id, CASE WHEN len(hs) <= $WinnowWindow THEN [list_min(hs)]
+       |    ELSE list_distinct(list_transform(range(len(hs) - ${WinnowWindow - 1}),
+       |      i -> list_min(hs[i+1:i+$WinnowWindow]))) END AS fps
+       |  FROM hh),
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM ww)""".stripMargin
+
+  val winnowFingerprintsOracle: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, fp AS fingerprint FROM fps""".stripMargin
+
   // ------------------------------------------ winnowing near-dup detection
   /** Near-dup pairs by winnowing-fingerprint Jaccard >= [[WinnowJaccard]]
     * — the MOSS similarity score end-to-end, with the MOSS index shape:
@@ -292,7 +326,14 @@ object TextOps {
     // verification (same bounded-corpus default as the LSH gram cache)
     val fps = winnowFingerprints(s, d).cache()
     val docCount = fps.select($"doc_id").distinct().count()
-    val dfCap = math.max(16L, docCount / 100)
+    // df cap: max(16, 1%) BUT absolute-bounded at 256 — a pure percentage
+    // cap grows with the corpus, making the per-bucket self-join
+    // (0.01·n)² = quadratic overall (measured: 65× time at 10× docs in
+    // the sf1 rehearsal). A fingerprint in >256 docs is useless for
+    // candidate generation — true near-dup pairs share many fingerprints
+    // including rare ones — so the ceiling bounds join work linearly
+    // while costing no measurable recall (TextSpec recall bound holds).
+    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
     val hot = fps.groupBy($"fingerprint")
       .agg(count(lit(1)).as("df")).filter($"df" > dfCap)
     // hot set is small by construction (fingerprints in >1% of docs)
@@ -310,6 +351,28 @@ object TextOps {
       .filter($"jac" >= WinnowJaccard)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
   }
+
+  /** DuckDB twin of [[winnowCandidates]] — including the df-prune: the SQL
+    * replicates the max(16, 1%) hot-fingerprint cap exactly, so a pair the
+    * prune drops in Spark is dropped here too (a plain full-Jaccard oracle
+    * would be a *different* operator). Jaccard is then scored on FULL
+    * fingerprint sets for the surviving candidates, as in the engine. */
+  val winnowCandidatesOracle: String =
+    s"""WITH $winnowCtes,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM fps),
+       |hot AS (SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) > (SELECT least(greatest(16, n // 100), 256) FROM nd)),
+       |rare AS (SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h ON f.fp = h.fp),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+       |  FROM cand c JOIN fps a ON a.doc_id = c.doc_a
+       |              JOIN fps b ON b.doc_id = c.doc_b AND a.fp = b.fp
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS winnow_jac
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE c / (sa.n + sb.n - c) >= $WinnowJaccard""".stripMargin
 
   // ------------------------------------------------------- PII redaction
   /** PII redaction — the standard pre-training curation pass: mask email

@@ -46,7 +46,9 @@ class Sdfs(spark: SparkSession, warehouse: String) {
     val p = resolve(name)
     val recentlyUpdated = fs.exists(p) && {
       val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-      age >= 0 && age < 60000L
+      // negative age (future mtime — clock skew on a shared FS) counts as
+      // recent: the reference prompts for ANY duration <= 60 s, signed
+      age < 60000L
     }
     if (recentlyUpdated && !confirm()) false
     else { put(lines, name); true }

@@ -116,6 +116,12 @@ object ExprHelpers {
     new GenericArrayData(fps)
   }
 
+  /** All positional k-gram rolling hashes of a text (index i = hash of
+    * chars [i, i+k)) — delegates to [[Hashing.rollingHashes]]; position is
+    * the array index, recovered downstream via posexplode. */
+  def rollingHashes(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(Hashing.rollingHashes(s.toString, k))
+
   /** Dot product of two double arrays, accumulated left-to-right in
     * double — the same association order as DuckDB's `list_dot_product`
     * and Spark's `aggregate(zip_with(...))` form, so results are
@@ -242,6 +248,25 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_rollhash(text, k)` → array<bigint>: ALL positional Rabin-Karp
+  * k-gram rolling hashes (index = char position) — the positional index
+  * behind duplicate-SPAN detection, where winnowing's sampled form can't
+  * serve because span boundaries need every position. */
+case class RollingHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 4096, s"rollhash k out of range: $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rollhash"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.rollingHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ExprHelpers.rollingHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
 /** `graft_dot(array<double>, array<double>)` → double: codegen'd dot
   * product. The similarity-search hot path — Spark's higher-order
   * `aggregate`/`zip_with` run interpreted and are re-evaluated per
@@ -293,6 +318,8 @@ object GraftFunctions {
     ExpressionUtils.column(ArrayDotProduct(expression(a), expression(b)))
   def winnow(c: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(expression(c), k, w))
+  def rollingHashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(RollingHashes(expression(c), k))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -352,6 +379,10 @@ object GraftFunctions {
         if (exprs.length > 1) foldableInt("graft_winnow", exprs(1)) else 8,
         if (exprs.length > 2) foldableInt("graft_winnow", exprs(2)) else 16),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_rollhash",
+      exprs => RollingHashes(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_rollhash", exprs(1)) else 8),
+      "built-in")
   }
 }
 
@@ -390,6 +421,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WinnowFingerprints(exprs.head,
         if (exprs.length > 1) foldableInt("graft_winnow", exprs(1)) else 8,
         if (exprs.length > 2) foldableInt("graft_winnow", exprs(2)) else 16))
+    inject(ext, "graft_rollhash", classOf[RollingHashes],
+      exprs => RollingHashes(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_rollhash", exprs(1)) else 8))
     inject(ext, "graft_dot", classOf[ArrayDotProduct], exprs => {
       require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
       ArrayDotProduct(exprs.head, exprs(1))

@@ -72,6 +72,31 @@ class CliSpec extends SparkTestBase {
     assert(java.nio.file.Files.readString(outFile) === "first")
   } }
 
+  test("cli word-count-1m loader: stages 26 files and runs wc end-to-end") { withFreshWarehouse {
+    val _ = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wc1m")
+    val outFile = tmp.resolve("wc1m-out.txt")
+    val script = tmp.resolve("script.txt")
+    java.nio.file.Files.writeString(script,
+      s"""word-count-1m
+         |maple builtin:wc 4 wc1m mj~wc~1m
+         |juice builtin:wc 4 wc1m wc1m-out 0
+         |get wc1m-out $outFile
+         |""".stripMargin)
+    Cli.main(Array(s"@$script"))
+    val lines = java.nio.file.Files.readString(outFile).split("\n")
+    // every line is word\tcount; counts sum to 12 words/line × total lines
+    val counts = lines.map { l =>
+      val Array(w, c) = l.split("\t"); (w, c.toLong)
+    }
+    assert(counts.nonEmpty && counts.forall(_._2 > 0))
+    val totalWords = counts.map(_._2).sum
+    // 26 files × (1 MiB / 72 B, floored PER FILE) lines × 12 words
+    assert(totalWords === 26L * ((1L << 20) / 72) * 12)
+    // output sorted by key — the D9 contract
+    assert(lines.map(_.split("\t")(0)).toSeq === lines.map(_.split("\t")(0)).sorted.toSeq)
+  } }
+
   test("cli demo-wc: canned upload + wc job end-to-end matches the wc oracle") { withFreshWarehouse {
     val _ = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_demo")

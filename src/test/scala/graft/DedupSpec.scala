@@ -118,6 +118,58 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.forall(p => p._1 < p._2 && p._3 <= 6))
   }
 
+  test("planted hot gram: df-pruned index keeps candidate generation bounded") {
+    import spark.implicits._
+    // 300 docs all sharing ONE gram ("common shared phrase") — unpruned,
+    // that bucket alone self-joins to C(300,2) = 44,850 candidate rows;
+    // the df-prune (cap = max(16, 1%)) must drop it, leaving only the
+    // genuinely near-dup pair that shares rare grams
+    val hotDocs = (0L until 300L).map(i =>
+      (i, s"common shared phrase filler${i}a filler${i}b"))
+    val nearDup = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta"),
+      (1001L, "alpha beta gamma delta epsilon eta"))
+    val docs = (hotDocs ++ nearDup).toDF("doc_id", "text")
+    val cands = Dedup.ngramCandidates(docs).count()
+    assert(cands <= 10, s"candidate blowup: $cands (unpruned ≈ 45k)")
+    val pairs = Dedup.ngramJaccardPairsOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1000L, 1001L)))
+  }
+
+  test("duplicate spans: planted cross-doc substring recovered exactly, unique doc silent") {
+    import spark.implicits._
+    val shared = "the exact same forty-two characters live--" // 42 chars
+    assert(shared.length === 42)
+    // adjacent chars differ between the docs (X./Y~) — with a SHARED
+    // adjacent char (e.g. both spaces) the true duplicated span is one
+    // char wider than `shared`, and the operator correctly reports that
+    val a = s"unique prefix alpha number one thenX${shared}Y and a unique tail one"
+    val b = s"a completely different beginning here.$shared~closing words two"
+    val c = "a document with no duplicated content at all, nothing shared anywhere in it"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpansOf(docs)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val ia = a.indexOf(shared); val ib = b.indexOf(shared)
+    assert(spans === Set(
+      (1L, ia, ia + 42, 42),
+      (2L, ib, ib + 42, 42)))
+  }
+
+  test("duplicate spans: self-repetition within one doc yields both occurrences") {
+    import spark.implicits._
+    val rep = "a self repeated phrase of many characters" // 41 chars
+    assert(rep.length === 41)
+    val d = s"$rep plus middle filler content well over k $rep"
+    val docs = Seq((1L, d), (2L, "nothing in common with the other document text at all")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpansOf(docs)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val i2 = d.lastIndexOf(rep)
+    assert(spans === Set(
+      (1L, 0, 41, 41),
+      (1L, i2, i2 + 41, 41)))
+  }
+
   test("simhash pairs are near-dups by hamming and include planted dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(spark, sf)

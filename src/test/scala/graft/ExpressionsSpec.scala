@@ -90,6 +90,13 @@ class ExpressionsSpec extends SparkTestBase {
     assert(edge(2) === Seq("a b c"))
   }
 
+  test("graft_rollhash expression equals Hashing.rollingHashes, incl. short inputs") {
+    val inputs = Seq("", "short", "exactly8", "a longer text with spaces and 字符 in it")
+    val got = inputs.toDF("s")
+      .select(GraftFunctions.rollingHashes($"s", 8)).as[Seq[Long]].collect()
+    assert(got.toSeq === inputs.map(Hashing.rollingHashes(_, 8).toSeq))
+  }
+
   test("null inputs propagate as null") {
     val row = spark.sql("SELECT graft_fnv64(CAST(NULL AS STRING)) AS a").collect().head
     assert(row.isNullAt(0))

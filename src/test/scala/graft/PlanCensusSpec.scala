@@ -23,12 +23,33 @@ class PlanCensusSpec extends SparkTestBase {
 
   test("per-query shuffle/broadcast census matches the committed golden") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
-    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val censuses = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // cleared per query: a lingering cache would swap a scan subtree for
       // InMemoryRelation and make the census depend on suite order
       spark.catalog.clearCache()
-      PlanCensus.of(fn(spark, sf))._1.line(name)
+      name -> PlanCensus.of(fn(spark, sf))._1
     }
+    val actual = censuses.map { case (name, c) => c.line(name) }
+
+    // anti-pattern flags are only legal with an explicit, justified
+    // exemption (PlanCensus.exemptFlags) — the golden alone would let a
+    // new cartesian in through a blind regeneration
+    val unexempted = censuses.flatMap { case (name, c) =>
+      c.flags.filterNot(f =>
+          PlanCensus.exemptFlags.getOrElse(name, Map.empty).contains(f))
+        .map(f => s"  $name: $f")
+    }
+    assert(unexempted.isEmpty,
+      "anti-pattern flag without an exemption in PlanCensus.exemptFlags:\n" +
+        unexempted.mkString("\n"))
+    val stale = PlanCensus.exemptFlags.toSeq.flatMap { case (name, fs) =>
+      val live = censuses.collectFirst { case (`name`, c) => c.flags }
+        .getOrElse(Seq.empty)
+      fs.keys.filterNot(live.contains).map(f => s"  $name: $f")
+    }
+    assert(stale.isEmpty,
+      "stale exemption (flag no longer present — remove it):\n" +
+        stale.mkString("\n"))
     if (sys.env.get("GRAFT_REGEN_PLAN_CENSUS").contains("1")) {
       Files.createDirectories(goldenPath.getParent)
       Files.writeString(goldenPath, actual.mkString("", "\n", "\n"))

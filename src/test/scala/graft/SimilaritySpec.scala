@@ -38,10 +38,16 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     // probing 4/16 cells scans ~25% of the corpus; random picking at that
-    // budget would land recall ≈ 0.25. With 3 Lloyd iterations the measured
-    // recall is 0.86 (deterministic) — bound at 0.70 for headroom, far
-    // above both random and the 0.35 the unrefined seed centroids gave
+    // budget would land recall ≈ 0.25. Measured 0.74 (deterministic) with
+    // unbiased k-means++ seeding — and that is near the CEILING of this
+    // corpus: exhaustive best-4-cells-per-query analysis (oracle probe
+    // selection over the converged clustering) caps recall at 0.80, because
+    // the synthetic embeddings are near-uniform and each query's true
+    // top-10 spans 5-8 cells. Round 3's 0.86 was queries-as-seeds
+    // overfitting (ids 0..15 seeded the cells, ids 0..4 are the queries),
+    // not a better index. Bound at 0.70 for determinism headroom.
     assert(recall >= 0.70, s"IVF recall@10 = $recall")
+    info(s"IVF recall@10 = $recall")
   }
 
   test("int8 quantization: bounded reconstruction error, top-k mostly stable") {
