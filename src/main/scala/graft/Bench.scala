@@ -26,9 +26,14 @@ object Bench {
     // projection in round 1; re-measured at ~0.5 s)
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     // optional comma-separated query filter (scale rehearsals bench a
-    // headline subset; unset = the full suite, the per-round default)
+    // headline subset; unset OR EMPTY = the full suite — an empty/typo'd
+    // filter must never silently produce a plausible-looking empty artifact
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names " +
+        s"unknown query '$unknown' — ignored")))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

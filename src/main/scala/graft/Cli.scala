@@ -144,7 +144,10 @@ object Cli {
       // stage the canned word-count corpus as `mj~wc~1m/input{i}` (26 × 1 MB)
       // / `mj~wc~2m/input{i}` (13 × 2 MB). The reference copies files from a
       // hard-coded home directory; here the corpus is generated
-      // deterministically plan-side (same shape, no local fixture needed)
+      // deterministically plan-side (same shape, no local fixture needed).
+      // Naming is 0-based ("input" + i) — faithfully matching the
+      // reference's own loop, which is 0-based HERE but 1-based in its
+      // wc1..wc9 `upload-data` flow; both inconsistent surfaces preserved.
       case Seq(v @ ("word-count-1m" | "word-count-2m")) =>
         val (nFiles, mb, prefix) =
           if (v == "word-count-1m") (26, 1, "mj~wc~1m") else (13, 2, "mj~wc~2m")

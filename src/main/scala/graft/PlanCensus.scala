@@ -28,24 +28,22 @@ object PlanCensus {
     df.write.mode("overwrite").format("noop").save()
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // flags AND counts both read the AQE-final section only: a node AQE
-    // replaced at runtime (e.g. a sort-merge join flipped to broadcast)
-    // must not be flagged as present
-    val finalPlan = plan.split("== Initial Plan ==")(0)
-    val nEx = raw"\(\d+\) Exchange\b".r.findAllIn(finalPlan).length
-    val nBc = raw"\(\d+\) BroadcastExchange\b".r.findAllIn(finalPlan).length
+    // counts and flags come from WALKING the executed (AQE-final) plan —
+    // a node AQE replaced at runtime must not be flagged as present, and
+    // a regex over the explain text breaks when a cached subtree nests
+    // its own "== Initial Plan ==" marker mid-tree
+    val c = org.apache.spark.sql.graft.PlanWalk.countsOf(
+      df.queryExecution.executedPlan)
     val flags = Seq(
-      "CartesianProduct" -> finalPlan.contains("CartesianProduct"),
-      "BroadcastNestedLoopJoin" -> finalPlan.contains("BroadcastNestedLoopJoin"),
-      // a >400-char ReadSchema means a scan reads (nearly) every column —
-      // projection pruning failed
-      "full-width-scan" ->
-        "ReadSchema: struct<[^>]{400,}".r.findFirstIn(finalPlan).isDefined,
+      "CartesianProduct" -> c.cartesian,
+      "BroadcastNestedLoopJoin" -> c.bnlj,
+      // projection pruning failed: a scan reads (nearly) every column
+      "full-width-scan" -> c.fullWidthScan,
       // driver-materialized data parallelized back out, or a legit
       // localCheckpoint lineage cut — review which on every new hit
-      "ExistingRDD" -> finalPlan.contains("Scan ExistingRDD"),
+      "ExistingRDD" -> c.existingRdd,
     ).collect { case (f, true) => f }
-    (Census(nEx, nBc, flags), plan)
+    (Census(c.shuffles, c.broadcasts, flags), plan)
   }
 
   /** Queries ALLOWED to carry an anti-pattern flag, each with its

@@ -29,21 +29,24 @@ object PlanDump {
     qs.foreach { case (name, fn) =>
       try {
         // PlanCensus executes via the noop sink first: AQE only finalizes
-        // the plan (broadcast conversions, coalesced shuffles) after a run
-        val times = (1 to (if (only.isEmpty) 1 else 2)).map { _ =>
+        // the plan (broadcast conversions, coalesced shuffles) after a run.
+        // Timing runs only in named mode (n=2, min) — the full-suite dump
+        // is a plan audit, not a benchmark, and must not double-execute
+        // ~70 queries for an n=1 number Bench would measure properly.
+        val times = if (only.isEmpty) Seq.empty else (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
         val (census, plan) = PlanCensus.of(fn(spark, sfDir))
         sb.append(s"===== $name =====\n$plan\n")
+        val timing = if (times.isEmpty) "" else f"min=${times.min}%.2fs  "
         println(f"[plan] $name%-28s ${census.shuffles}x shuffle " +
-          f"${census.broadcasts}x broadcast  min=${times.min}%.2fs  " +
+          s"${census.broadcasts}x broadcast  $timing" +
           (if (census.flags.isEmpty) "ok" else census.flags.mkString(", ")))
-        spark.catalog.clearCache()
       } catch { case e: Throwable =>
         println(s"[plan] $name FAILED: ${e.getMessage.take(100)}")
-      }
+      } finally spark.catalog.clearCache()
     }
     Files.writeString(Paths.get("target/plans.txt"), sb.toString)
     spark.stop()

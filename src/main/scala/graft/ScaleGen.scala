@@ -83,7 +83,7 @@ object ScaleGen {
         .withColumn("l_partkey", $"l_partkey" + lit(i * pkS))
         .withColumn("l_suppkey", $"l_suppkey" + lit(i * skS)) }, "lineitem", 16)
 
-    val evS = 10000000L
+    val evS = strideOf("events", "event_id")
     val userS = strideOf("events", "user_id")
     write(shards("events") { (df, i) =>
       df.withColumn("event_id", $"event_id" + lit(i * evS))

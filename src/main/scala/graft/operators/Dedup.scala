@@ -69,19 +69,80 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] over an arbitrary (doc_id, text) frame.
     *
-    * Exact-intersection trick under the prune: the rare-gram self-join
-    * counts c_rare per pair in ONE aggregate (the pre-prune plan's shape —
-    * no distinct pass, no full gram arrays shipped per candidate); the
-    * missing hot contribution is added back from per-doc HOT-gram sets,
-    * which are small by construction (the distinct hot vocabulary is
-    * bounded by total-gram-mass / df-cap) — so c = c_rare + |hot(a)∩hot(b)|
-    * is the exact full-set intersection, at index-prune cost. */
+    * Two scale guards compose here:
+    *
+    *   - **identical-copy collapse** (as in [[clusterEdges]]): docs are
+    *     md5-collapsed to representatives BEFORE the gram index, so an
+    *     m-copy identical cluster cannot make its own grams hot and
+    *     silently drop out of the pruned index (unguarded, any cluster
+    *     larger than the df cap vanished from this operator's output while
+    *     [[minhashLshPairsOf]] still emitted it — breaking the LSH==exact
+    *     parity the clustering oracle rests on). Rep-level pairs are then
+    *     expanded back to copy pairs, plus within-group pairs at jac 1.0 —
+    *     both output-bound (those pairs ARE the result).
+    *   - **exact-intersection under the df-prune**: the rare-gram
+    *     self-join counts c_rare per rep pair in ONE aggregate; the hot
+    *     contribution is added back from per-doc HOT-gram sets (small by
+    *     construction), so c = c_rare + |hot(a)∩hot(b)| is the exact
+    *     full-set intersection at pruned-index cost.
+    *
+    * Honest residual limitation (inherent to MOSS df-pruning): a cluster
+    * of more than dfCap NEAR-identical (not byte-identical) docs still
+    * makes its shared grams hot, and pairs inside it are missed unless
+    * they share a rare gram — the LSH path has no such blind spot and is
+    * the recall authority for such corpora. */
   private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // identical-copy collapse, scoped to GRAM-BEARING docs (a gram-less
+    // doc can never pair; keeping it out preserves the node universe)
+    val withH = docs
+      .filter(size(org.apache.spark.sql.graft.GraftFunctions
+        .wordGrams($"text", 3)) > 0)
+      .select($"doc_id", md5($"text").as("h"))
+    val groups = withH.groupBy($"h").agg(min($"doc_id").as("rep"))
+    val members = withH.join(groups, "h").select($"doc_id", $"rep")
+    val repDocs = docs.join(
+      groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
+
     // cache: feeds the df aggregate, the pruned index, and the sizes join
     // (bounded-corpus default, as with the LSH gram cache)
-    val grams = gramsOf(docs).cache()
+    val grams = gramsOf(repDocs).cache()
+    val (rarePairs, hot, g) = prunedRarePairs(grams)
+    val hotSets = g.join(broadcast(hot), Seq("gram"))
+      .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
+    val sizes = grams.select($"doc_id", size($"grams").as("n"))
+    val repPairs = rarePairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .join(hotSets.select($"doc_id".as("doc_a"), $"hg".as("ha")), Seq("doc_a"), "left")
+      .join(hotSets.select($"doc_id".as("doc_b"), $"hg".as("hb")), Seq("doc_b"), "left")
+      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
+        .otherwise(size(array_intersect($"ha", $"hb"))))
+      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+
+    // expand rep pairs to copy pairs (identical text ⇒ identical gram set
+    // ⇒ same jac), and add the within-group clique at jac 1.0
+    val expanded = repPairs
+      .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
+      .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
+      .select(least($"ma", $"mb").as("doc_a"),
+        greatest($"ma", $"mb").as("doc_b"), $"jac")
+    val withinGroup = members.as("a").join(members.as("b"),
+        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(1.0).as("jac"))
+    expanded.union(withinGroup)
+  }
+
+  /** Rare-index candidate pairs with rare-shared counts, plus the hot-gram
+    * set and exploded index they were pruned against — the ONE copy of
+    * the df-cap rule shared by the operator and the spec helper. */
+  private def prunedRarePairs(grams: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = grams.sparkSession
+    import s.implicits._
     val docCount = grams.count()
     // absolute ceiling on the df cap — same reasoning as
     // [[TextOps.winnowCandidates]]: a pure 1% cap makes bucket joins
@@ -96,43 +157,24 @@ object Dedup {
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c_rare"))
-    val hotSets = g.join(broadcast(hot), Seq("gram"))
-      .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
-    val sizes = grams.select($"doc_id", size($"grams").as("n"))
-    rarePairs
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .join(hotSets.select($"doc_id".as("doc_a"), $"hg".as("ha")), Seq("doc_a"), "left")
-      .join(hotSets.select($"doc_id".as("doc_b"), $"hg".as("hb")), Seq("doc_b"), "left")
-      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
-        .otherwise(size(array_intersect($"ha", $"hb"))))
-      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
-      .filter($"jac" >= 0.5)
-      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+    (rarePairs, hot, g)
   }
 
   /** Candidate (doc_a, doc_b) pairs from the df-pruned gram index —
     * exposed so the hot-gram boundedness is directly assertable. */
   private[graft] def ngramCandidates(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val grams = gramsOf(docs)
-    val docCount = grams.count()
-    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
-    val g = grams.select($"doc_id", explode($"grams").as("gram"))
-    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)
-      .select($"gram")
-    val rare = g.join(broadcast(hot), Seq("gram"), "left_anti")
-    rare.as("a").join(rare.as("b"),
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    import docs.sparkSession.implicits._
+    prunedRarePairs(gramsOf(docs))._1.select($"doc_a", $"doc_b")
   }
 
   val ngramJaccardOracle: String =
-    """WITH t AS (SELECT doc_id,
-      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-      |  FROM documents),
+    """WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 3),
+      |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
+      |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
+      |t AS (SELECT d.doc_id,
+      |    list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
@@ -147,10 +189,16 @@ object Dedup {
       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
       |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
       |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
-      |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+      |  GROUP BY 1, 2),
+      |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
+      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE c / (sa.n + sb.n - c) >= 0.5)
+      |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+      |       greatest(ma.doc_id, mb.doc_id) AS doc_b, jac
+      |FROM rp JOIN mem ma ON ma.rep = rp.doc_a JOIN mem mb ON mb.rep = rp.doc_b
+      |UNION ALL
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jac
+      |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
 
   // ------------------------------------------------------------ MinHash LSH
   /** MinHash signatures (128 perms) + banded LSH (32 bands × 4 rows →

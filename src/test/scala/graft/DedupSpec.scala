@@ -137,6 +137,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1000L, 1001L)))
   }
 
+  test("ngram jaccard: identical cluster larger than the df cap survives the prune") {
+    import spark.implicits._
+    // 30 identical copies (> the min df cap of 16): unguarded, every gram
+    // of the cluster is hot, no pair shares a rare gram, and the cluster
+    // silently vanishes from the exact pairs while LSH still emits it —
+    // the md5-collapse must keep the full clique in the output at jac 1.0
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val copies = (0L until 30L).map(i => (i, base))
+    val others = Seq(
+      (100L, "totally different words making their own unrelated document text"))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairsOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected =
+      (for { i <- 0L until 30L; j <- (i + 1) until 30L } yield (i, j)).toSet
+    assert(pairs === expected)
+  }
+
   test("duplicate spans: planted cross-doc substring recovered exactly, unique doc silent") {
     import spark.implicits._
     val shared = "the exact same forty-two characters live--" // 42 chars

@@ -20,7 +20,8 @@ class ProfilingSpec extends SparkTestBase {
       // count/min/max are exact aggregates in both forms
       assert(ann === nn, s"$c n_nonnull")
       assert(amn === mn && amx === mx, s"$c min/max")
-      // HLL++ at rsd 0.01 — allow 5% relative (5 sigma) plus slack on tiny NDVs
+      // HLL++ at rsd 0.02 — allow 5% relative (2.5 sigma) plus slack on
+      // tiny NDVs (small cardinalities use HLL++'s near-exact sparse mode)
       assert(math.abs(and - nd) <= math.max(2L, (nd * 0.05).toLong),
         s"$c approx NDV $and vs exact $nd")
     }
