@@ -52,6 +52,7 @@ object SparkEntry {
       "dedup_keep_list"        -> (Dedup.keepList _),
       "dedup_contamination"    -> (Dedup.contamination _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
+      "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -107,6 +108,7 @@ object SparkEntry {
       "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
+      "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,

@@ -514,13 +514,31 @@ object Dedup {
     docs.select($"doc_id", GraftFunctions.simhash64(tokensCol).as("simhash"))
   }
 
-  /** Near-dup SIMHASH VALUE pairs: band-join over DISTINCT 64-bit values
-    * — the hot-bucket guard. m documents sharing one simhash contribute a
-    * single row per band here, so an identical-document cluster can never
-    * blow up the band join (unguarded, m copies share all 4 chunks → m²/2
-    * join rows per band ×4 amplification before the distinct; asserted
-    * bounded on a planted 1,000-copy corpus in DedupSpec). Emits
-    * (sh_a, sh_b, hamming) with sh_a < sh_b and 0 < hamming <= 6. */
+  /** Near-dup SIMHASH VALUE pairs: band-join over DISTINCT 64-bit values,
+    * with TWO hot-bucket guards. Emits (sh_a, sh_b, hamming) with
+    * sh_a < sh_b and 0 < hamming <= 6.
+    *
+    *   - **identical docs**: m documents sharing one simhash contribute a
+    *     single row per band (distinct values), so an identical-document
+    *     cluster can never blow up the band join (asserted bounded on a
+    *     planted 1,000-copy corpus in DedupSpec).
+    *   - **saturated buckets** ([[SimhashBucketCap]]): simhash bits are
+    *     bit-MAJORITY votes, so their distribution concentrates — on a
+    *     150k-doc rehearsal corpus one 16-bit band had only 1,145 distinct
+    *     chunk values (hottest bucket: 1,238 signatures), making the band
+    *     join Σ|bucket|² ≈ 100M rows, quadratic in corpus size. Buckets
+    *     with more than the cap's distinct values are excluded from
+    *     candidate generation: a block shared by hundreds of signatures
+    *     carries no discriminative signal, while a genuine hamming ≤ 6
+    *     pair still surfaces through its well-distributed bands (the
+    *     hamming ≤ 3 pigeonhole guarantee is now conditional on at least
+    *     one intact band landing in a cold bucket — on the rehearsal
+    *     corpus the low band's hottest bucket held 15 values, so in
+    *     practice nothing is lost; the cold-bucket set is itself bounded
+    *     by 4·2^16 rows, hence broadcastable forever). The DuckDB oracle
+    *     replicates the cap exactly. */
+  val SimhashBucketCap = 256L
+
   private[graft] def simhashValuePairs(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val vals = sh.select($"simhash").distinct()
@@ -528,7 +546,11 @@ object Dedup {
         explode(expr("transform(sequence(0, 3), " +
           "b -> named_struct('band', b, 'chunk', (simhash >> (b * 16)) & 65535))")).as("bb"))
       .select($"simhash", $"bb.band", $"bb.chunk")
-    bands.as("a").join(bands.as("b"),
+    val cold = bands.groupBy($"band", $"chunk")
+      .agg(count(lit(1)).as("n")).filter($"n" <= SimhashBucketCap)
+      .select($"band", $"chunk")
+    val cool = bands.join(broadcast(cold), Seq("band", "chunk"), "left_semi")
+    cool.as("a").join(cool.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
           $"a.simhash" < $"b.simhash")
       .select($"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
@@ -594,8 +616,12 @@ object Dedup {
        |vals AS (SELECT DISTINCT sig FROM sh),
        |bands AS (SELECT sig, b, (sig // (1::HUGEINT << (16 * b))) % 65536 AS chunk
        |          FROM vals, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cold AS (SELECT b, chunk FROM bands GROUP BY b, chunk
+       |         HAVING count(*) <= $SimhashBucketCap),
+       |cool AS (SELECT bands.* FROM bands SEMI JOIN cold
+       |         ON bands.b = cold.b AND bands.chunk = cold.chunk),
        |cand AS (SELECT DISTINCT a.sig AS ua, b.sig AS ub
-       |         FROM bands a JOIN bands b
+       |         FROM cool a JOIN cool b
        |           ON a.b = b.b AND a.chunk = b.chunk AND a.sig < b.sig),
        |sgn AS (SELECT sig, CAST(CASE WHEN sig >= CAST(9223372036854775808 AS HUGEINT)
        |         THEN sig - $U ELSE sig END AS BIGINT) AS ss FROM vals),
@@ -645,30 +671,130 @@ object Dedup {
     duplicateSpansOf(Tables.documents(s, d))
 
   private[graft] def duplicateSpansOf(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val pos = docs.select($"doc_id",
-        posexplode(org.apache.spark.sql.graft.GraftFunctions
-          .rollingHashes($"text", SpanK)).as(Seq("pos", "h")))
+    import docs.sparkSession.implicits._
+    val pos = positionalHashes(docs)
     val dup = pos.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" >= 2)
       .select($"h")
-    val dupPos = pos.join(dup, "h").select($"doc_id", $"pos")
-    // island merge: a new island starts where pos > max end of all
-    // previous intervals in the doc (ends are pos+k, monotone in pos here
-    // since all intervals share length k — the prefix-max form stays
-    // correct even if that ever changes)
+    islandSpans(pos.join(dup, "h").select($"doc_id", $"pos"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start").as("span_len"))
+  }
+
+  /** (doc_id, pos, h) for every [[SpanK]]-char position of every doc. */
+  private def positionalHashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      posexplode(org.apache.spark.sql.graft.GraftFunctions
+        .rollingHashes($"text", SpanK)).as(Seq("pos", "h")))
+  }
+
+  /** Merge duplicated k-gram start positions into maximal disjoint spans
+    * [span_start, span_end): a new island starts where pos > max end of
+    * all previous intervals in the doc (ends are pos+k, monotone in pos
+    * here since all intervals share length k — the prefix-max form stays
+    * correct even if that ever changes). */
+  private def islandSpans(dupPos: DataFrame): DataFrame = {
+    import dupPos.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val prevEnd = max($"pos" + lit(SpanK)).over(
       byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = dupPos
+    dupPos
       .withColumn("new_island",
         when(prevEnd.isNull || $"pos" > prevEnd, 1).otherwise(0))
       .withColumn("island", sum($"new_island").over(byDoc))
-    islands.groupBy($"doc_id", $"island")
+      .groupBy($"doc_id", $"island")
       .agg(min($"pos").as("span_start"), (max($"pos") + lit(SpanK)).as("span_end"))
-      .select($"doc_id", $"span_start", $"span_end",
-        ($"span_end" - $"span_start").as("span_len"))
+      .select($"doc_id", $"span_start", $"span_end")
+  }
+
+  /** The PRODUCT form of span dedup (what a training pipeline actually
+    * writes out): every duplicated span removed EXCEPT its canonical
+    * first occurrence — Lee et al.'s ExactSubstr keep-one rule. A k-gram
+    * occurrence is redundant iff some occurrence of the same hash exists
+    * at a strictly smaller (doc_id, pos); redundant positions merge into
+    * spans which are then CUT from the text, and the cleaned documents
+    * are emitted as (doc_id, clean_text, n_dropped_chars).
+    *
+    * Shape: the canonical-occurrence rule is one window over the hash
+    * partition (same shuffle key as the dup aggregate — 8-byte hash);
+    * span assembly is per-doc segment slicing via a builtin `transform`
+    * over the (tiny, sorted) span array — no per-char work, no UDF.
+    * Positions are UTF-16 unit offsets (the JVM's charAt basis) while
+    * `substring` counts codepoints; equal for all BMP text — the corpus
+    * invariant already relied on by the winnow/span oracles. */
+  def spanCleanedDocs(s: SparkSession, d: String): DataFrame =
+    spanCleanedDocsOf(Tables.documents(s, d))
+
+  private[graft] def spanCleanedDocsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pos = positionalHashes(docs)
+    val byHash = Window.partitionBy($"h").orderBy($"doc_id", $"pos")
+    val redundant = pos
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" > 1)
+      .select($"doc_id", $"pos")
+    val spans = islandSpans(redundant)
+    val spanArrs = spans.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct(
+        $"span_start".as("s"), $"span_end".as("e")))).as("spans"))
+    docs.join(spanArrs, Seq("doc_id"), "left")
+      .withColumn("clean_text", when($"spans".isNull, $"text").otherwise(
+        expr("""array_join(transform(sequence(0, size(spans)), i ->
+          substring(text,
+            (CASE WHEN i = 0 THEN 0 ELSE element_at(spans, i).e END) + 1,
+            (CASE WHEN i = size(spans) THEN length(text)
+                  ELSE element_at(spans, i + 1).s END)
+              - (CASE WHEN i = 0 THEN 0 ELSE element_at(spans, i).e END))), '')""")))
+      .select($"doc_id", $"clean_text",
+        (length($"text") - length($"clean_text")).as("n_dropped_chars"))
+  }
+
+  /** DuckDB twin of [[spanCleanedDocs]]: same positional hashes, the
+    * keep-first rule as a row_number window over the hash, same island
+    * merge, and the same gap-slicing reconstruction via list_transform. */
+  val spanCleanedDocsOracle: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""WITH cp AS (SELECT doc_id,
+       |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
+       |  FROM documents WHERE length(text) >= $SpanK),
+       |ph AS (SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$SpanK]),
+       |      (h, c) -> (h * 1000003 + c) % $U) AS h
+       |  FROM cp, unnest(range(len(cs) - ${SpanK - 1})) AS t(i)),
+       |red AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM ph) WHERE rn > 1),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM red),
+       |grp AS (SELECT doc_id, pos,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $SpanK AS e
+       |  FROM grp GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS sps
+       |  FROM sp GROUP BY doc_id),
+       |cleaned AS (SELECT d.doc_id, d.text,
+       |    CASE WHEN a.sps IS NULL THEN d.text ELSE
+       |      array_to_string(list_transform(range(len(a.sps) + 1), i ->
+       |        substring(d.text,
+       |          (CASE WHEN i = 0 THEN 0 ELSE a.sps[i].e END) + 1,
+       |          (CASE WHEN i = len(a.sps) THEN length(d.text)
+       |                ELSE a.sps[i+1].s END)
+       |            - (CASE WHEN i = 0 THEN 0 ELSE a.sps[i].e END))), '')
+       |    END AS clean_text
+       |  FROM documents d LEFT JOIN agg a USING (doc_id))
+       |SELECT doc_id, clean_text,
+       |  length(text) - length(clean_text) AS n_dropped_chars
+       |FROM cleaned""".stripMargin
   }
 
   /** DuckDB twin: same positional hashes (HUGEINT fold mod 2^64 — sign

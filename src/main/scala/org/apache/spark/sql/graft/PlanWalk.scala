@@ -1,0 +1,60 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Executed-plan walker behind [[graft.PlanCensus]]: counts shuffle /
+  * broadcast exchanges and anti-pattern nodes by traversing the ACTUAL
+  * `SparkPlan` tree — descending through AQE (`executedPlan` of each
+  * `AdaptiveSparkPlanExec`), materialized query stages, cached subtrees
+  * (`InMemoryTableScanExec → relation.cachedPlan`, each distinct relation
+  * once), and subquery plans.
+  *
+  * Replaces a regex census over `explain("formatted")` text, which broke
+  * the moment a cached subtree nested its own `== Initial Plan ==` marker
+  * inside the tree (the section split truncated everything after it,
+  * reporting 0 exchanges for a 7-shuffle plan). Node classes here are
+  * `private[sql]`-adjacent — hence this file lives in the shim package.
+  */
+object PlanWalk {
+
+  final case class Counts(shuffles: Int, broadcasts: Int,
+                          cartesian: Boolean, bnlj: Boolean,
+                          existingRdd: Boolean, fullWidthScan: Boolean)
+
+  def countsOf(root: SparkPlan): Counts = {
+    var sh = 0; var bc = 0
+    var cart = false; var bnlj = false; var rdd = false; var wide = false
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case _: ReusedExchangeExec    => () // reuse marker: counted at origin
+        case s: ShuffleExchangeLike   => sh += 1; s.children.foreach(walk)
+        case b: BroadcastExchangeLike => bc += 1; b.children.foreach(walk)
+        case c: InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation)) walk(c.relation.cachedPlan)
+        case f: FileSourceScanExec =>
+          // a ~400-char ReadSchema means the scan reads (nearly) every
+          // column — projection pruning failed
+          if (f.requiredSchema.catalogString.length >= 400) wide = true
+        case other =>
+          other match {
+            case _: CartesianProductExec        => cart = true
+            case _: BroadcastNestedLoopJoinExec => bnlj = true
+            case _: RDDScanExec                 => rdd = true
+            case _                              => ()
+          }
+          other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    Counts(sh, bc, cart, bnlj, rdd, wide)
+  }
+}

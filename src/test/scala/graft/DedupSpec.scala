@@ -188,6 +188,56 @@ class DedupSpec extends SparkTestBase {
       (1L, i2, i2 + 41, 41)))
   }
 
+  test("span clean: keep-first removes the later occurrence only, byte-exact") {
+    import spark.implicits._
+    val shared = "the exact same forty-two characters live--" // 42 chars
+    val a = s"unique prefix alpha number one thenX${shared}Y and a unique tail one"
+    val b = s"a completely different beginning here.$shared~closing words two"
+    val c = "a document with no duplicated content at all, nothing shared anywhere in it"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.spanCleanedDocsOf(docs)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the canonical (first) occurrence — untouched
+    assert(out(1L) === ((1L, a, 0)))
+    // doc 2's copy is cut, everything else byte-identical
+    val ib = b.indexOf(shared)
+    assert(out(2L) === ((2L, b.substring(0, ib) + b.substring(ib + 42), 42)))
+    assert(out(3L) === ((3L, c, 0)))
+  }
+
+  test("span clean: self-repetition keeps the first occurrence in the same doc") {
+    import spark.implicits._
+    val rep = "a self repeated phrase of many characters" // 41 chars
+    val d = s"$rep plus middle filler content well over k $rep"
+    val docs = Seq((1L, d)).toDF("doc_id", "text")
+    val out = Dedup.spanCleanedDocsOf(docs)
+      .as[(Long, String, Int)].collect().head
+    val i2 = d.lastIndexOf(rep)
+    assert(out === ((1L, d.substring(0, i2), 41)))
+  }
+
+  test("simhash saturated band bucket is excluded from candidates (cap guard)") {
+    import spark.implicits._
+    // 300 signatures share band 0's chunk 0x1111 (> SimhashBucketCap) but
+    // are far apart in their high 48 bits; a planted hamming-6 pair whose
+    // ONLY shared band lands in that saturated bucket is dropped BY
+    // DESIGN, while a hamming-2 pair sharing cold buckets is found
+    val hotChunk = 0x1111L
+    val fillers = (0 until 300).map { i =>
+      (i.toLong + 100L, (graft.functions.Hashing.mix64(i.toLong) & ~0xFFFFL) | hotChunk)
+    }
+    val vA = hotChunk
+    val vB = vA ^ ((3L << 16) | (3L << 32) | (3L << 48)) // hamming 6, shares only band 0
+    val vC = 0x00FF00FF77772222L
+    val vD = vC ^ 3L                                     // hamming 2, bands 1-3 cold
+    val sh = (fillers ++ Seq((1L, vA), (2L, vB), (3L, vC), (4L, vD)))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsOf(sh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((1L, 2L)))
+  }
+
   test("simhash pairs are near-dups by hamming and include planted dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(spark, sf)
