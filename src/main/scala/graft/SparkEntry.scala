@@ -98,6 +98,7 @@ object SparkEntry {
       "text_langid"      -> TextOps.langIdOracle,
       "dedup_simhash"    -> Dedup.simhashPairsOracle,
       "dedup_exact"         -> Dedup.exactDedupOracle,
+      "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
       "dedup_clusters"      -> Dedup.dedupClustersOracle,
       "dedup_keep_list"     -> Dedup.keepListOracle,
@@ -111,6 +112,7 @@ object SparkEntry {
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
+      "ann_lsh_topk"   -> Similarity.annLshTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,

@@ -273,6 +273,75 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
   }
 
+  /** DuckDB twin of [[minhashLshPairs]] — the operator is DETERMINISTIC
+    * (fixed splitmix64 seed stream), so "probabilistic recall" never meant
+    * "unverifiable": the twin replicates FNV-1a per gram, all
+    * [[MinHashPerms]] signature minima, the per-band bucket fold, the
+    * bucket equi-join, and the exact jaccard verification. splitmix64 is
+    * inlined as mod-2^64 HUGEINT arithmetic with the 64×64-bit multiply
+    * split into 32-bit halves (a full product would overflow INT128);
+    * the seed and band-init constants are generated HERE from
+    * [[graft.functions.Hashing]], so oracle and engine cannot drift. */
+  val minhashLshOracle: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    def mul(a: String, c: Long): String = {
+      val bh = c >>> 32
+      val bl = c & 0xFFFFFFFFL
+      s"((( ($a) * $bl ) % $U + ((( ($a) * $bh ) % 4294967296) * 4294967296)) % $U)"
+    }
+    def mix(x: String): String = {
+      val s1 = s"((($x) + CAST(11400714819323198485 AS HUGEINT)) % $U)"
+      val x1 = s"(xor($s1, $s1 // (1::HUGEINT << 30)))"
+      val s2 = mul(x1, 0xbf58476d1ce4e5b9L)
+      val x2 = s"(xor($s2, $s2 // (1::HUGEINT << 27)))"
+      val s3 = mul(x2, 0x94d049bb133111ebL)
+      s"xor($s3, $s3 // (1::HUGEINT << 31))"
+    }
+    def uns(l: Long): String =
+      s"CAST(${java.lang.Long.toUnsignedString(l)} AS HUGEINT)"
+    val seedList = graft.functions.Hashing.seeds(MinHashPerms)
+      .map(uns).mkString("[", ", ", "]")
+    val initList = (0 until MinHashBands)
+      .map(b => graft.functions.Hashing.mix64(0x9E3779B97F4A7C15L + b))
+      .map(uns).mkString("[", ", ", "]")
+    val r = MinHashRowsPerBand
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+       |  FROM t WHERE len(toks) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |vocab AS (SELECT DISTINCT gram FROM g),
+       |vb AS (SELECT gram, hex(encode(gram)) AS hx FROM vocab),
+       |vbytes AS (SELECT gram, list_transform(range(length(hx) // 2),
+       |    i -> CAST(16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
+       |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM vb),
+       |fnv AS (SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+       |    (h, c) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
+       |               * 1099511628211) % $U) AS h FROM vbytes),
+       |gh AS (SELECT g.doc_id, f.h FROM g JOIN fnv f USING (gram)),
+       |seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
+       |          FROM unnest(range($MinHashPerms)) AS t(i)),
+       |sigs AS (SELECT doc_id, k, min(${mix("xor(gh.h, seeds.s)")}) AS m
+       |  FROM gh CROSS JOIN seeds GROUP BY doc_id, k),
+       |siglist AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sigs GROUP BY doc_id),
+       |buckets AS (SELECT doc_id,
+       |    list_reduce(list_prepend(($initList)[b+1], sig[$r*b+1:$r*b+$r]),
+       |      (h, s) -> ${mix("xor(h, s)")}) AS bucket
+       |  FROM siglist, unnest(range($MinHashBands)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+       |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+       |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+  }
+
   // -------------------------------------------------- near-dup clustering
   /** Connected components over the near-dup pair graph: every document in
     * a component is labeled with the component's minimum doc_id — the

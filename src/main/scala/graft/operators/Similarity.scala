@@ -317,6 +317,50 @@ object Similarity {
         round($"sim", 4).as("cos_sim"))
   }
 
+  /** DuckDB twin of [[annLshTopK]] — deterministic end to end: the
+    * hyperplanes are a fixed splitmix64 stream (inlined below via
+    * `Double.toString`, which round-trips exactly), and every float
+    * accumulation (norms, plane dots) is an ORDERED left-to-right fold
+    * matching the JVM loop bit-for-bit, so the sign of each plane dot —
+    * the only place a last-ulp difference could flip anything — is
+    * identical. Candidates, re-rank, and tie-breaks mirror the engine. */
+  val annLshTopKOracle: String = {
+    val planeRows = Hashing.hyperplanes(SigBits, 64).zipWithIndex.map {
+      case (row, p) =>
+        row.map(_.toString).mkString(s"($p, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n")
+    val mask = (1 << BandBits) - 1
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(range(64), j -> v[j+1] * v[j+1])), (a, x) -> a + x)) AS norm
+       |  FROM e),
+       |planes(p, pv) AS (VALUES $planeRows),
+       |sigbit AS (SELECT vec_id, p,
+       |    CASE WHEN list_reduce(list_prepend(0.0,
+       |        list_transform(range(64), j -> v[j+1] * pv[j+1])), (a, x) -> a + x) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes),
+       |sig AS (SELECT vec_id, CAST(sum(bit * (1 << p)) AS INT) AS sig
+       |        FROM sigbit GROUP BY vec_id),
+       |bands AS (SELECT vec_id, b, (sig // (1 << ($BandBits * b))) % ${mask + 1} AS chunk
+       |  FROM sig, unnest(range($NumBands)) AS t(b)),
+       |qb AS (SELECT vec_id AS query_id, b, chunk FROM bands WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT qb.query_id, bands.vec_id
+       |  FROM bands JOIN qb ON bands.b = qb.b AND bands.chunk = qb.chunk
+       |  WHERE bands.vec_id <> qb.query_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
+
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val mask = (1 << BandBits) - 1
