@@ -281,7 +281,12 @@ object Dedup {
     * inlined as mod-2^64 HUGEINT arithmetic with the 64×64-bit multiply
     * split into 32-bit halves (a full product would overflow INT128);
     * the seed and band-init constants are generated HERE from
-    * [[graft.functions.Hashing]], so oracle and engine cannot drift. */
+    * [[graft.functions.Hashing]], so oracle and engine cannot drift.
+    * Signature minima are taken over the SIGNED 64-bit forms — the JVM
+    * compares Longs (`h < sig(j)`), and unsigned minima select different
+    * signatures for ~half of all (doc, permutation) cells, which shifts
+    * band buckets and flips candidate pairs near the recall threshold
+    * (the same signed-minima trap the winnow oracle documents). */
   val minhashLshOracle: String = {
     val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
     def mul(a: String, c: Long): String = {
@@ -324,12 +329,16 @@ object Dedup {
        |gh AS (SELECT g.doc_id, f.h FROM g JOIN fnv f USING (gram)),
        |seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
        |          FROM unnest(range($MinHashPerms)) AS t(i)),
-       |sigs AS (SELECT doc_id, k, min(${mix("xor(gh.h, seeds.s)")}) AS m
-       |  FROM gh CROSS JOIN seeds GROUP BY doc_id, k),
+       |mixed AS (SELECT gh.doc_id, seeds.k, ${mix("xor(gh.h, seeds.s)")} AS mx
+       |  FROM gh CROSS JOIN seeds),
+       |sigs AS (SELECT doc_id, k, min(CAST(CASE
+       |    WHEN mx >= CAST(9223372036854775808 AS HUGEINT) THEN mx - $U
+       |    ELSE mx END AS BIGINT)) AS m
+       |  FROM mixed GROUP BY doc_id, k),
        |siglist AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sigs GROUP BY doc_id),
        |buckets AS (SELECT doc_id,
        |    list_reduce(list_prepend(($initList)[b+1], sig[$r*b+1:$r*b+$r]),
-       |      (h, s) -> ${mix("xor(h, s)")}) AS bucket
+       |      (h, s) -> ${mix("xor(h, CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT) ELSE CAST(s AS HUGEINT) END)")}) AS bucket
        |  FROM siglist, unnest(range($MinHashBands)) AS t(b)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -785,10 +794,13 @@ object Dedup {
     * spans which are then CUT from the text, and the cleaned documents
     * are emitted as (doc_id, clean_text, n_dropped_chars).
     *
-    * Shape: the canonical-occurrence rule is one window over the hash
-    * partition (same shuffle key as the dup aggregate — 8-byte hash);
-    * span assembly is per-doc segment slicing via a builtin `transform`
-    * over the (tiny, sorted) span array — no per-char work, no UDF.
+    * Shape: the canonical occurrence per hash is a `min(struct(doc, pos))`
+    * AGGREGATE (map-side combined) joined back — NOT a window over the
+    * hash partition, which would funnel every occurrence of one hot
+    * k-gram (boilerplate separators, license headers) into a single
+    * straggler task; span assembly is per-doc segment slicing via a
+    * builtin `transform` over the (tiny, sorted) span array — no
+    * per-char work, no UDF.
     * Positions are UTF-16 unit offsets (the JVM's charAt basis) while
     * `substring` counts codepoints; equal for all BMP text — the corpus
     * invariant already relied on by the winnow/span oracles. */
@@ -798,12 +810,13 @@ object Dedup {
   private[graft] def spanCleanedDocsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val pos = positionalHashes(docs)
-    val byHash = Window.partitionBy($"h").orderBy($"doc_id", $"pos")
-    val redundant = pos
-      .withColumn("rn", row_number().over(byHash))
-      .filter($"rn" > 1)
+    val canon = pos.groupBy($"h")
+      .agg(min(struct($"doc_id", $"pos")).as("c"), count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"h", $"c.doc_id".as("c_doc"), $"c.pos".as("c_pos"))
+    val redundant = pos.join(canon, "h")
+      .filter(!($"doc_id" === $"c_doc" && $"pos" === $"c_pos"))
       .select($"doc_id", $"pos")
     val spans = islandSpans(redundant)
     val spanArrs = spans.groupBy($"doc_id")
@@ -822,33 +835,17 @@ object Dedup {
   }
 
   /** DuckDB twin of [[spanCleanedDocs]]: same positional hashes, the
-    * keep-first rule as a row_number window over the hash, same island
-    * merge, and the same gap-slicing reconstruction via list_transform. */
-  val spanCleanedDocsOracle: String = {
-    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
-    s"""WITH cp AS (SELECT doc_id,
-       |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
-       |  FROM documents WHERE length(text) >= $SpanK),
-       |ph AS (SELECT doc_id, i AS pos,
-       |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$SpanK]),
-       |      (h, c) -> (h * 1000003 + c) % $U) AS h
-       |  FROM cp, unnest(range(len(cs) - ${SpanK - 1})) AS t(i)),
+    * keep-first rule as a row_number window over the hash (equivalent to
+    * the engine's min-struct aggregate: rn > 1 ⟺ not the (doc, pos)
+    * minimum), same island merge, and the same gap-slicing reconstruction
+    * via list_transform. */
+  val spanCleanedDocsOracle: String =
+    s"""WITH $spanPosCtes,
        |red AS (SELECT doc_id, pos FROM (
        |    SELECT doc_id, pos,
        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
        |    FROM ph) WHERE rn > 1),
-       |isl AS (SELECT doc_id, pos,
-       |    CASE WHEN max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-       |         OR pos > max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |         THEN 1 ELSE 0 END AS new_island
-       |  FROM red),
-       |grp AS (SELECT doc_id, pos,
-       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM isl),
-       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $SpanK AS e
-       |  FROM grp GROUP BY doc_id, island),
+       |${spanIslandCtes("red")},
        |agg AS (SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS sps
        |  FROM sp GROUP BY doc_id),
        |cleaned AS (SELECT d.doc_id, d.text,
@@ -864,36 +861,51 @@ object Dedup {
        |SELECT doc_id, clean_text,
        |  length(text) - length(clean_text) AS n_dropped_chars
        |FROM cleaned""".stripMargin
-  }
 
-  /** DuckDB twin: same positional hashes (HUGEINT fold mod 2^64 — sign
-    * never matters here, only equality), same >= 2 global-occurrence rule,
-    * same prefix-max island merge. Positions are 0-based in both. */
-  val duplicateSpansOracle: String = {
+  /** Shared span-oracle fragments — ONE copy of the positional Rabin-Karp
+    * fold and of the island-merge SQL, composed by both span twins (the
+    * `winnowCtes` pattern), so a SpanK or hash-basis change cannot
+    * desynchronize them. */
+  // def, not val: referenced by oracle vals both before and after this
+  // point in declaration order (a val would still be null for the earlier
+  // one at object init)
+  private def spanPosCtes: String = {
     val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
-    s"""WITH cp AS (SELECT doc_id,
+    s"""cp AS (SELECT doc_id,
        |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
        |  FROM documents WHERE length(text) >= $SpanK),
        |ph AS (SELECT doc_id, i AS pos,
        |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$SpanK]),
        |      (h, c) -> (h * 1000003 + c) % $U) AS h
-       |  FROM cp, unnest(range(len(cs) - ${SpanK - 1})) AS t(i)),
-       |dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= 2),
-       |dp AS (SELECT p.doc_id, p.pos FROM ph p SEMI JOIN dup d ON p.h = d.h),
-       |isl AS (SELECT doc_id, pos,
+       |  FROM cp, unnest(range(len(cs) - ${SpanK - 1})) AS t(i))""".stripMargin
+  }
+
+  /** Island merge over a (doc_id, pos) CTE named `src` → CTEs isl/grp/sp
+    * with sp = (doc_id, s, e) merged spans. */
+  private def spanIslandCtes(src: String): String =
+    s"""isl AS (SELECT doc_id, pos,
        |    CASE WHEN max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
        |         OR pos > max(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |         THEN 1 ELSE 0 END AS new_island
-       |  FROM dp),
+       |  FROM $src),
        |grp AS (SELECT doc_id, pos,
        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM isl)
-       |SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanK AS span_end,
-       |  max(pos) + $SpanK - min(pos) AS span_len
-       |FROM grp GROUP BY doc_id, island""".stripMargin
-  }
+       |  FROM isl),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $SpanK AS e
+       |  FROM grp GROUP BY doc_id, island)""".stripMargin
+
+  /** DuckDB twin: same positional hashes (HUGEINT fold mod 2^64 — sign
+    * never matters here, only equality), same >= 2 global-occurrence rule,
+    * same prefix-max island merge. Positions are 0-based in both. */
+  val duplicateSpansOracle: String =
+    s"""WITH $spanPosCtes,
+       |dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.pos FROM ph p SEMI JOIN dup d ON p.h = d.h),
+       |${spanIslandCtes("dp")}
+       |SELECT doc_id, s AS span_start, e AS span_end, e - s AS span_len
+       |FROM sp""".stripMargin
 
   // ----------------------------------------------------- embedding near-dup
   /** Exact embedding-cosine near-dup pairs (cosine >= 0.35).

@@ -35,10 +35,16 @@ object PlanWalk {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec        => walk(q.plan)
         case _: ReusedExchangeExec    => () // reuse marker: counted at origin
+        case _: ReusedSubqueryExec    => () // likewise for shared subqueries
         case s: ShuffleExchangeLike   => sh += 1; s.children.foreach(walk)
         case b: BroadcastExchangeLike => bc += 1; b.children.foreach(walk)
         case c: InMemoryTableScanExec =>
-          if (seenCaches.add(c.relation)) walk(c.relation.cachedPlan)
+          // key on cacheBuilder, not the relation: the CacheManager hands
+          // each scan a fresh InMemoryRelation copy (withOutput), so the
+          // relation instance never repeats while the underlying cached
+          // computation (and its exchanges, built once) does
+          if (seenCaches.add(c.relation.cacheBuilder))
+            walk(c.relation.cachedPlan)
         case f: FileSourceScanExec =>
           // a ~400-char ReadSchema means the scan reads (nearly) every
           // column — projection pruning failed
