@@ -92,7 +92,23 @@ object ScaleGen {
     // ---------------------------------------------------------- documents
     val nDocs = 5000L * factor
     val cluster = 1000L // identical-copy cluster at the tail
-    val vocab = (0 until 2000).map(i => f"tok$i%04d")
+    // varied letter shapes, not "tok0001"-style: a shared-prefix vocabulary
+    // makes every char-8-gram collide corpus-wide, which inflates winnow /
+    // span candidate volume far beyond anything natural text produces
+    // (first rehearsal run measured exactly that artifact). 3-10 random
+    // letters + a base-26 index suffix keeps words distinct.
+    val vocab = (0 until 2000).map { i =>
+      var h = graft.functions.Hashing.mix64(0xC0FFEE + i.toLong)
+      val len = 3 + (java.lang.Long.remainderUnsigned(h, 8)).toInt
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        h = graft.functions.Hashing.mix64(h)
+        sb.append(('a' + java.lang.Long.remainderUnsigned(h, 26)).toChar)
+      }
+      sb.append(('a' + i / 26 % 26).toChar).append(('a' + i % 26).toChar)
+      sb.append(('a' + i / 676).toChar)
+      sb.toString
+    }
     val langs = Seq("en", "fr", "es", "de", "zh")
     val sources = (0 until 20).map(i => s"src$i")
     // twin docs (id % 100 == 1) generate from the previous id's stream and

@@ -17,6 +17,20 @@ object Dedup {
 
   private def tokensCol: Column = expr("filter(split(text, '\\\\s+'), x -> x <> '')")
 
+  /** Absolute ceiling on the MOSS df-prune caps (winnow + n-gram index).
+    * A pure 1%-of-corpus cap is quadratic (bucket joins cost (0.01n)2);
+    * worse, even a LOOSE absolute ceiling leaves a quadratic TRANSITION
+    * regime — fingerprints whose df sits just under the ceiling triple
+    * their df at 3x the corpus and their Sigma-df2 join volume grows 9x
+    * until they finally cross it (measured: 14s -> 103s at sf1 -> sf3
+    * under a 256 ceiling). 64 keeps per-fingerprint join work trivial
+    * (<= 4k rows) while costing nothing detectable in recall: a
+    * jac >= 0.5 pair shares a third of its fingerprint union, and the
+    * discriminative fingerprints (word-boundary-spanning windows, rare
+    * phrases) have single-digit df. One constant, interpolated into the
+    * Scala caps AND both DuckDB oracles, so they cannot drift. */
+  val DfCapCeiling = 64L
+
   /** Distinct word-3-gram shingles per doc, via the native codegen'd
     * WordGrams expression (semantics asserted equal to the DuckDB oracle's
     * list-lambda form in ExpressionsSpec; the interpreted lambda tree it
@@ -147,7 +161,7 @@ object Dedup {
     // absolute ceiling on the df cap — same reasoning as
     // [[TextOps.winnowCandidates]]: a pure 1% cap makes bucket joins
     // quadratic in corpus size; 256 bounds per-gram join work forever
-    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
+    val dfCap = math.min(math.max(16L, docCount / 100), DfCapCeiling)
     val g = grams.select($"doc_id", explode($"grams").as("gram"))
     val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)
       .select($"gram")
@@ -168,12 +182,12 @@ object Dedup {
   }
 
   val ngramJaccardOracle: String =
-    """WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
-      |  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 3),
+    s"""WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 3),
       |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
       |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
       |t AS (SELECT d.doc_id,
-      |    list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS toks
+      |    list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS toks
       |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(len(toks) - 2),
@@ -182,7 +196,7 @@ object Dedup {
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM g),
       |hot AS (SELECT gram FROM g GROUP BY gram
-      |  HAVING count(*) > (SELECT least(greatest(16, n // 100), 256) FROM nd)),
+      |  HAVING count(*) > (SELECT least(greatest(16, n // 100), $DfCapCeiling) FROM nd)),
       |rare AS (SELECT g.doc_id, g.gram FROM g ANTI JOIN hot h ON g.gram = h.gram),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id),

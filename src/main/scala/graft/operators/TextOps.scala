@@ -333,21 +333,33 @@ object TextOps {
     // candidate generation — true near-dup pairs share many fingerprints
     // including rare ones — so the ceiling bounds join work linearly
     // while costing no measurable recall (TextSpec recall bound holds).
-    val dfCap = math.min(math.max(16L, docCount / 100), 256L)
+    val dfCap = math.min(math.max(16L, docCount / 100), Dedup.DfCapCeiling)
     val hot = fps.groupBy($"fingerprint")
       .agg(count(lit(1)).as("df")).filter($"df" > dfCap)
+      .select($"fingerprint")
     // hot set is small by construction (fingerprints in >1% of docs)
     val rare = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
-    val cands = rare.as("a").join(rare.as("b"),
+    // exact-intersection under the prune (same trick as the n-gram
+    // Jaccard operator): the rare self-join counts c_rare per pair in ONE
+    // aggregate — no distinct pass, no full fingerprint sets shipped per
+    // candidate — and the hot contribution |hot(a)∩hot(b)| is added back
+    // from per-doc HOT sets (small by construction), so the emitted score
+    // is the exact full-set jaccard at pruned-index cost
+    val rarePairs = rare.as("a").join(rare.as("b"),
         $"a.fingerprint" === $"b.fingerprint" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    val sets = fps.groupBy($"doc_id").agg(collect_set($"fingerprint").as("f"))
-    cands
-      .join(sets.select($"doc_id".as("doc_a"), $"f".as("fa")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"f".as("fb")), "doc_b")
-      .withColumn("c", size(array_intersect($"fa", $"fb")))
-      .withColumn("jac", $"c" / (size($"fa") + size($"fb") - $"c"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c_rare"))
+    val hotSets = fps.join(broadcast(hot), Seq("fingerprint"))
+      .groupBy($"doc_id").agg(collect_set($"fingerprint").as("hf"))
+    val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    rarePairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .join(hotSets.select($"doc_id".as("doc_a"), $"hf".as("ha")), Seq("doc_a"), "left")
+      .join(hotSets.select($"doc_id".as("doc_b"), $"hf".as("hb")), Seq("doc_b"), "left")
+      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
+        .otherwise(size(array_intersect($"ha", $"hb"))))
+      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
       .filter($"jac" >= WinnowJaccard)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
   }
@@ -361,7 +373,7 @@ object TextOps {
     s"""WITH $winnowCtes,
        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM fps),
        |hot AS (SELECT fp FROM fps GROUP BY fp
-       |  HAVING count(*) > (SELECT least(greatest(16, n // 100), 256) FROM nd)),
+       |  HAVING count(*) > (SELECT least(greatest(16, n // 100), ${Dedup.DfCapCeiling}) FROM nd)),
        |rare AS (SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h ON f.fp = h.fp),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id),
