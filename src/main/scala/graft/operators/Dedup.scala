@@ -158,9 +158,9 @@ object Dedup {
     val s = grams.sparkSession
     import s.implicits._
     val docCount = grams.count()
-    // absolute ceiling on the df cap — same reasoning as
-    // [[TextOps.winnowCandidates]]: a pure 1% cap makes bucket joins
-    // quadratic in corpus size; 256 bounds per-gram join work forever
+    // absolute ceiling on the df cap: see [[DfCapCeiling]] — a pure 1%
+    // cap is quadratic, and even a loose ceiling has a quadratic
+    // transition regime
     val dfCap = math.min(math.max(16L, docCount / 100), DfCapCeiling)
     val g = grams.select($"doc_id", explode($"grams").as("gram"))
     val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)

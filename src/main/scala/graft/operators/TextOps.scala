@@ -326,13 +326,14 @@ object TextOps {
     // verification (same bounded-corpus default as the LSH gram cache)
     val fps = winnowFingerprints(s, d).cache()
     val docCount = fps.select($"doc_id").distinct().count()
-    // df cap: max(16, 1%) BUT absolute-bounded at 256 — a pure percentage
-    // cap grows with the corpus, making the per-bucket self-join
-    // (0.01·n)² = quadratic overall (measured: 65× time at 10× docs in
-    // the sf1 rehearsal). A fingerprint in >256 docs is useless for
-    // candidate generation — true near-dup pairs share many fingerprints
-    // including rare ones — so the ceiling bounds join work linearly
-    // while costing no measurable recall (TextSpec recall bound holds).
+    // df cap: max(16, 1%) absolute-bounded at [[Dedup.DfCapCeiling]] — a
+    // pure percentage cap grows with the corpus, making the per-bucket
+    // self-join (0.01·n)² = quadratic overall (measured: 65× time at 10×
+    // docs in the sf1 rehearsal), and even a loose ceiling leaves a
+    // quadratic transition regime (see the constant's doc). True
+    // near-dup pairs share many fingerprints including single-digit-df
+    // ones, so the tight ceiling costs no measurable recall (TextSpec
+    // recall bound holds).
     val dfCap = math.min(math.max(16L, docCount / 100), Dedup.DfCapCeiling)
     val hot = fps.groupBy($"fingerprint")
       .agg(count(lit(1)).as("df")).filter($"df" > dfCap)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * broadcast exchanges and anti-pattern nodes by traversing the ACTUAL
   * `SparkPlan` tree — descending through AQE (`executedPlan` of each
   * `AdaptiveSparkPlanExec`), materialized query stages, cached subtrees
-  * (`InMemoryTableScanExec → relation.cachedPlan`, each distinct relation
-  * once), and subquery plans.
+  * (`InMemoryTableScanExec → relation.cachedPlan`, each distinct CACHED
+  * COMPUTATION once — keyed by cacheBuilder, since relation instances are
+  * fresh copies per scan), and subquery plans.
   *
   * Replaces a regex census over `explain("formatted")` text, which broke
   * the moment a cached subtree nested its own `== Initial Plan ==` marker
