@@ -105,7 +105,8 @@ object Dedup {
     * makes its shared grams hot, and pairs inside it are missed unless
     * they share a rare gram — the LSH path has no such blind spot and is
     * the recall authority for such corpora. */
-  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame,
+                                         cacheGrams: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // identical-copy collapse, scoped to GRAM-BEARING docs (a gram-less
@@ -119,9 +120,12 @@ object Dedup {
     val repDocs = docs.join(
       groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
 
-    // cache: feeds the df aggregate, the pruned index, and the sizes join
-    // (bounded-corpus default, as with the LSH gram cache)
-    val grams = gramsOf(repDocs).cache()
+    // cacheGrams: the gram frame feeds the df aggregate, the pruned index,
+    // and the sizes join (bounded-corpus default, as with the LSH gram
+    // cache); at 100 TB set false — recomputing a scan is cheaper than
+    // churning a cache (same contract as minhashLshPairs)
+    val grams0 = gramsOf(repDocs)
+    val grams = if (cacheGrams) grams0.cache() else grams0
     val (rarePairs, hot, g) = prunedRarePairs(grams)
     val hotSets = g.join(broadcast(hot), Seq("gram"))
       .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
@@ -157,13 +161,17 @@ object Dedup {
   private def prunedRarePairs(grams: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val s = grams.sparkSession
     import s.implicits._
-    val docCount = grams.count()
     // absolute ceiling on the df cap: see [[DfCapCeiling]] — a pure 1%
     // cap is quadratic, and even a loose ceiling has a quadratic
-    // transition regime
-    val dfCap = math.min(math.max(16L, docCount / 100), DfCapCeiling)
+    // transition regime. The doc count is a broadcast single-row
+    // aggregate (the scalar-subquery shape, as in tf-idf) — part of the
+    // one plan, no separate driver-side count() action.
+    val nd = grams.agg(count(lit(1)).as("ndocs"))
     val g = grams.select($"doc_id", explode($"grams").as("gram"))
-    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" > dfCap)
+    val hot = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter($"df" > least(greatest(lit(16L), ($"ndocs" / 100).cast("long")),
+        lit(DfCapCeiling)))
       .select($"gram")
     // hot set is small by construction (grams in >1% of docs)
     val rare = g.join(broadcast(hot), Seq("gram"), "left_anti")

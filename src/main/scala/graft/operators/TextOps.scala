@@ -250,15 +250,18 @@ object TextOps {
   val WinnowK = 8
   val WinnowWindow = 16
 
-  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(s, d))
+
+  /** [[winnowFingerprints]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // native codegen'd expression + explode: the text and the fingerprint
     // array never leave Tungsten rows (the earlier typed flatMap paid a
     // Dataset encoder round-trip per document)
-    Tables.documents(s, d)
-      .select($"doc_id",
-        explode(org.apache.spark.sql.graft.GraftFunctions
-          .winnow($"text", WinnowK, WinnowWindow)).as("fingerprint"))
+    docs.select($"doc_id",
+      explode(org.apache.spark.sql.graft.GraftFunctions
+        .winnow($"text", WinnowK, WinnowWindow)).as("fingerprint"))
   }
 
   /** DuckDB twin of the winnowing scheme: Rabin-Karp k-gram hashes as a
@@ -273,10 +276,10 @@ object TextOps {
     * set entirely (~half of all hashes have the top bit set).
     * The rightmost-tie rule needs no twin: ties pick an *index*, but the
     * emitted value is the window minimum either way. */
-  private[operators] val winnowCtes: String =
+  private[operators] def winnowCtesFrom(src: String): String =
     s"""cp AS (SELECT doc_id,
        |    list_transform(range(length(text)), i -> CAST(unicode(text[i+1]) AS HUGEINT)) AS cs
-       |  FROM documents WHERE length(text) >= $WinnowK),
+       |  FROM $src WHERE length(text) >= $WinnowK),
        |hh0 AS (SELECT doc_id, list_transform(range(len(cs) - ${WinnowK - 1}), i ->
        |    list_reduce(list_prepend(0::HUGEINT, cs[i+1:i+$WinnowK]),
        |      (h, c) -> (h * 1000003 + c) % CAST(18446744073709551616 AS HUGEINT))) AS hsu
@@ -290,6 +293,8 @@ object TextOps {
        |      i -> list_min(hs[i+1:i+$WinnowWindow]))) END AS fps
        |  FROM hh),
        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM ww)""".stripMargin
+
+  private[operators] val winnowCtes: String = winnowCtesFrom("documents")
 
   val winnowFingerprintsOracle: String =
     s"""WITH $winnowCtes
@@ -320,12 +325,46 @@ object TextOps {
     * pair's score in-JVM and cross-checks the n-gram Jaccard dup set. */
   val WinnowJaccard = 0.5
 
-  def winnowCandidates(s: SparkSession, d: String): DataFrame = {
+  def winnowCandidates(s: SparkSession, d: String): DataFrame =
+    winnowCandidatesOf(Tables.documents(s, d))
+
+  /** [[winnowCandidates]] over an arbitrary (doc_id, text) frame.
+    *
+    * `cacheFps`: the fingerprint frame feeds the df aggregate, the pruned
+    * index, the hot-set gather, and the sizes join — caching skips the
+    * re-winnow per consumer (default — right for bounded corpora; the
+    * cache is MEMORY_AND_DISK and evictable). At 100 TB set false:
+    * recomputing a scan is cheaper than churning a cache (same contract
+    * as [[Dedup.minhashLshPairs]]'s `cacheGrams`).
+    *
+    * Identical-copy collapse (as in [[Dedup.ngramJaccardPairsOf]]): docs
+    * are md5-collapsed to representatives BEFORE fingerprint indexing, so
+    * a cluster of more than dfCap byte-identical copies cannot make its
+    * own fingerprints hot and silently vanish from the pruned index —
+    * with the absolute [[Dedup.DfCapCeiling]] that blind spot would
+    * trigger at ~65 copies at ANY corpus size, and duplicate-heavy
+    * clusters are precisely what a dedup operator must find. Rep pairs
+    * are expanded back to copy pairs (identical text ⇒ identical
+    * fingerprint set ⇒ same score) plus the within-group clique at
+    * jac 1.0 — both output-bound. The same honest residual as the n-gram
+    * op remains: > dfCap NEAR-identical (not byte-identical) docs still
+    * go hot; the LSH path is the recall authority there. */
+  private[graft] def winnowCandidatesOf(docs: DataFrame,
+                                        cacheFps: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    // cache: feeds the df aggregate, the pruned index, and the full-set
-    // verification (same bounded-corpus default as the LSH gram cache)
-    val fps = winnowFingerprints(s, d).cache()
-    val docCount = fps.select($"doc_id").distinct().count()
+    // identical-copy collapse, scoped to fingerprint-BEARING docs (text
+    // shorter than k emits no fingerprints and can never pair; keeping
+    // such docs out preserves the node universe)
+    val withH = docs.filter(length($"text") >= WinnowK)
+      .select($"doc_id", md5($"text").as("h"))
+    val groups = withH.groupBy($"h").agg(min($"doc_id").as("rep"))
+    val members = withH.join(groups, "h").select($"doc_id", $"rep")
+    val repDocs = docs.join(
+      groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
+
+    val fps0 = winnowFingerprintsOf(repDocs)
+    val fps = if (cacheFps) fps0.cache() else fps0
     // df cap: max(16, 1%) absolute-bounded at [[Dedup.DfCapCeiling]] — a
     // pure percentage cap grows with the corpus, making the per-bucket
     // self-join (0.01·n)² = quadratic overall (measured: 65× time at 10×
@@ -333,10 +372,15 @@ object TextOps {
     // quadratic transition regime (see the constant's doc). True
     // near-dup pairs share many fingerprints including single-digit-df
     // ones, so the tight ceiling costs no measurable recall (TextSpec
-    // recall bound holds).
-    val dfCap = math.min(math.max(16L, docCount / 100), Dedup.DfCapCeiling)
+    // recall bound holds). The doc count is a broadcast single-row
+    // aggregate (the scalar-subquery shape, as in tf-idf) — part of the
+    // one plan, no separate driver-side count() action.
+    val nd = fps.agg(countDistinct($"doc_id").as("ndocs"))
     val hot = fps.groupBy($"fingerprint")
-      .agg(count(lit(1)).as("df")).filter($"df" > dfCap)
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter($"df" > least(greatest(lit(16L), ($"ndocs" / 100).cast("long")),
+        lit(Dedup.DfCapCeiling)))
       .select($"fingerprint")
     // hot set is small by construction (fingerprints in >1% of docs)
     val rare = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
@@ -353,7 +397,7 @@ object TextOps {
     val hotSets = fps.join(broadcast(hot), Seq("fingerprint"))
       .groupBy($"doc_id").agg(collect_set($"fingerprint").as("hf"))
     val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    rarePairs
+    val repPairs = rarePairs
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .join(hotSets.select($"doc_id".as("doc_a"), $"hf".as("ha")), Seq("doc_a"), "left")
@@ -363,15 +407,36 @@ object TextOps {
       .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
       .filter($"jac" >= WinnowJaccard)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
+
+    // expand rep pairs to copy pairs, add the within-group clique at 1.0
+    val expanded = repPairs
+      .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
+      .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
+      .select(least($"ma", $"mb").as("doc_a"),
+        greatest($"ma", $"mb").as("doc_b"), $"winnow_jac")
+    val withinGroup = members.as("a").join(members.as("b"),
+        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(1.0).as("winnow_jac"))
+    expanded.union(withinGroup)
   }
 
-  /** DuckDB twin of [[winnowCandidates]] — including the df-prune: the SQL
-    * replicates the max(16, 1%) hot-fingerprint cap exactly, so a pair the
-    * prune drops in Spark is dropped here too (a plain full-Jaccard oracle
-    * would be a *different* operator). Jaccard is then scored on FULL
-    * fingerprint sets for the surviving candidates, as in the engine. */
+  /** DuckDB twin of [[winnowCandidates]] — including the df-prune AND the
+    * identical-copy collapse: the SQL md5-collapses to representatives,
+    * replicates the max(16, 1%) hot-fingerprint cap over rep docs exactly
+    * (so a pair the prune drops in Spark is dropped here too — a plain
+    * full-Jaccard oracle would be a *different* operator), scores
+    * surviving candidates on FULL fingerprint sets, then expands rep
+    * pairs to copy pairs and adds the within-group clique at 1.0, as in
+    * the engine. */
   val winnowCandidatesOracle: String =
-    s"""WITH $winnowCtes,
+    s"""WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
+       |  WHERE length(text) >= $WinnowK),
+       |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
+       |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
+       |repdocs AS (SELECT d.doc_id, d.text
+       |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep),
+       |${winnowCtesFrom("repdocs")},
        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM fps),
        |hot AS (SELECT fp FROM fps GROUP BY fp
        |  HAVING count(*) > (SELECT least(greatest(16, n // 100), ${Dedup.DfCapCeiling}) FROM nd)),
@@ -382,10 +447,16 @@ object TextOps {
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
        |  FROM cand c JOIN fps a ON a.doc_id = c.doc_a
        |              JOIN fps b ON b.doc_id = c.doc_b AND a.fp = b.fp
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS winnow_jac
-       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-       |WHERE c / (sa.n + sb.n - c) >= $WinnowJaccard""".stripMargin
+       |  GROUP BY 1, 2),
+       |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS winnow_jac
+       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE c / (sa.n + sb.n - c) >= $WinnowJaccard)
+       |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |       greatest(ma.doc_id, mb.doc_id) AS doc_b, winnow_jac
+       |FROM rp JOIN mem ma ON ma.rep = rp.doc_a JOIN mem mb ON mb.rep = rp.doc_b
+       |UNION ALL
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS winnow_jac
+       |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
 
   // ------------------------------------------------------- PII redaction
   /** PII redaction — the standard pre-training curation pass: mask email

@@ -155,6 +155,16 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === expected)
   }
 
+  test("ngram jaccard: cacheGrams=false agrees with the cached default") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val cached = Dedup.ngramJaccardPairsOf(docs, cacheGrams = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncached = Dedup.ngramJaccardPairsOf(docs, cacheGrams = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cached === uncached)
+  }
+
   test("duplicate spans: planted cross-doc substring recovered exactly, unique doc silent") {
     import spark.implicits._
     val shared = "the exact same forty-two characters live--" // 42 chars

@@ -108,6 +108,36 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("winnow: identical cluster larger than the df cap survives the prune") {
+    // 70 identical copies (> DfCapCeiling = 64): unguarded, every
+    // fingerprint of the cluster goes hot — with the ABSOLUTE ceiling
+    // this triggers at ~65 copies at any corpus size, not just when the
+    // cluster exceeds 1% — and the clique silently vanishes from the
+    // exact pairs while LSH still emits it. The md5-collapse must keep
+    // the full clique in the output at winnow_jac 1.0.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val copies = (0L until 70L).map(i => (i, base))
+    val others = Seq((1000L,
+      "totally different words making their own unrelated document body"))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val pairs = TextOps.winnowCandidatesOf(docs)
+      .select("doc_a", "doc_b", "winnow_jac").as[(Long, Long, Double)].collect()
+    val expected =
+      (for { i <- 0L until 70L; j <- (i + 1) until 70L } yield (i, j)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected)
+    assert(pairs.forall(_._3 === 1.0))
+  }
+
+  test("winnow candidates: cacheFps=false agrees with the cached default") {
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val cached = TextOps.winnowCandidatesOf(docs, cacheFps = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncached = TextOps.winnowCandidatesOf(docs, cacheFps = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cached === uncached)
+    assert(cached.nonEmpty)
+  }
+
   test("PII redaction masks planted emails and IPs and counts them") {
     val planted = Seq(
       (1L, "contact bob.smith+dev@example-corp.io or 10.0.255.3 today"),
