@@ -113,6 +113,7 @@ object SparkEntry {
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "ann_lsh_topk"   -> Similarity.annLshTopKOracle,
+      "ann_ivf_topk"   -> Similarity.annIvfTopKOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,

@@ -172,13 +172,27 @@ object Similarity {
     * bound the re-rank work to ~nprobe/ncells of the corpus. Per-cell
     * means are per-partition (vector-sum, count) partials merged per cell
     * — no task ever materializes a cell's rows (a cell holds ~1/ncells of
-    * the corpus: buffering it is an executor OOM at 100×). Float partials
-    * merge in partition order, so centroids can drift by last-ulp run to
-    * run; the recall measured in SimilaritySpec sits far above the 0.70
-    * floor, absorbing that drift. */
+    * the corpus: buffering it is an executor OOM at 100×). The partials
+    * accumulate in FIXED-POINT (see [[IvfFixedScale]]), so the centroids
+    * are bit-deterministic regardless of partition merge order — which is
+    * what lets [[annIvfTopKOracle]] be an exact DuckDB twin instead of a
+    * rows-only check. */
   val IvfCells = 16
   val IvfProbes = 4
   val IvfLloydIters = 3
+
+  /** Fixed-point scale for the Lloyd mean accumulation: each unit-vector
+    * component is quantized to floor(u·2^30 + 0.5) and summed as a Long —
+    * integer addition commutes, so the per-cell sums (and therefore the
+    * centroids, the assignments, and the final top-k) cannot drift with
+    * partition merge order the way float partials did. 2^30 keeps the
+    * quantization at ~1e-9 per component (far below any cluster
+    * boundary — recall is unchanged, SimilaritySpec) while leaving
+    * 2^63/2^30 = 2^33 ≈ 8.6e9 rows of Long headroom per cell. The
+    * multiply by a power of two is exact in IEEE double, so the quantized
+    * value — and hence the whole pipeline — is reproducible in any engine
+    * with the same doubles, which the DuckDB twin exploits. */
+  val IvfFixedScale: Double = (1L << 30).toDouble
 
   private def cosTo(planes: Array[(Long, Array[Double])], v: Array[Double]): Array[(Long, Double)] =
     planes.map { case (cid, c) =>
@@ -195,20 +209,25 @@ object Similarity {
     *
     * The mean is a typed `Aggregator` (per-partition partials + per-cell
     * merge — the map-side-combine shape): a task holds one running
-    * (sum, count) buffer per cell it sees, never a cell's row set. */
+    * (sum, count) buffer per cell it sees, never a cell's row set. The
+    * sums are fixed-point Longs ([[IvfFixedScale]]) so the result is
+    * independent of partition merge order. */
   private def lloydCentroids(s: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
     import s.implicits._
     val meanAgg = new org.apache.spark.sql.expressions.Aggregator[
-        Array[Double], (Array[Double], Long), Array[Double]] {
-      def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
-      def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) = {
-        val acc = if (b._1.length == 0) new Array[Double](v.length) else b._1
+        Array[Double], (Array[Long], Long), Array[Double]] {
+      def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
+      def reduce(b: (Array[Long], Long), v: Array[Double]): (Array[Long], Long) = {
+        val acc = if (b._1.length == 0) new Array[Long](v.length) else b._1
         var i = 0
-        while (i < v.length) { acc(i) += v(i); i += 1 }
+        while (i < v.length) {
+          acc(i) += math.floor(v(i) * IvfFixedScale + 0.5).toLong
+          i += 1
+        }
         (acc, b._2 + 1)
       }
-      def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) =
         if (x._1.length == 0) y
         else if (y._1.length == 0) x
         else {
@@ -217,14 +236,17 @@ object Similarity {
           while (i < acc.length) { acc(i) += y._1(i); i += 1 }
           (acc, x._2 + y._2)
         }
-      def finish(r: (Array[Double], Long)): Array[Double] = {
-        val out = r._1
+      def finish(r: (Array[Long], Long)): Array[Double] = {
+        val out = new Array[Double](r._1.length)
         var i = 0
-        while (i < out.length) { out(i) /= r._2; i += 1 }
+        while (i < out.length) {
+          out(i) = (r._1(i).toDouble / r._2.toDouble) / IvfFixedScale
+          i += 1
+        }
         out
       }
-      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
-        implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+        implicitly[org.apache.spark.sql.Encoder[(Array[Long], Long)]]
       def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
     }
@@ -276,6 +298,136 @@ object Similarity {
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     centroids
+  }
+
+  /** DuckDB twin of [[annIvfTopK]] — exact, because every stage is now
+    * deterministic and reproducible from the parquet alone:
+    *
+    *   - the sample is the [[IvfCells]]·16 vectors with the smallest
+    *     SIGNED mix64(vec_id) (splitmix64 inlined as HUGEINT arithmetic,
+    *     64×64 multiplies split into 32-bit halves as in the LSH oracle;
+    *     signed conversion because the JVM orders Longs);
+    *   - k-means++ farthest-first seeding precomputes all pairwise sample
+    *     cos-dists uncorrelated (DuckDB lambdas cannot capture correlated
+    *     outer columns), then a recursive CTE carries the chosen-id list,
+    *     each step picking max (min cos-dist to chosen, then smallest id)
+    *     via a list_contains-filtered GROUP BY ... ORDER BY ... LIMIT 1;
+    *   - [[IvfLloydIters]] Lloyd passes are unrolled CTE chains: assign =
+    *     row_number over (sim DESC, cid ASC) = 1 — exactly the JVM's
+    *     maxBy((sim, -cid)) — and the mean is the SAME fixed-point
+    *     arithmetic as the engine: floor(u·2^30 + 0.5) summed as BIGINT,
+    *     then (CAST(sum AS DOUBLE) / count) / 2^30;
+    *   - sign-critical dots (assignment, probes, seeding) are ORDERED
+    *     left-to-right folds matching the JVM loops bit-for-bit (the LSH
+    *     oracle's rule: a last-ulp difference at an argmax boundary flips
+    *     a cell assignment); only the re-rank uses list_dot_product,
+    *     where the brute oracle already proved parity and ranking rounds
+    *     to 6dp first. */
+  val annIvfTopKOracle: String = {
+    // ordered left-to-right fold over the 64 components (bit-parity with
+    // the JVM accumulation loops)
+    def fold(t: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(64), j -> $t)), (a, x) -> a + x)"
+    def dotf(a: String, b: String): String = fold(s"$a[j+1] * $b[j+1]")
+    def n2f(a: String): String = fold(s"$a[j+1] * $a[j+1]")
+    // splitmix64 over HUGEINT (same construction as the minhash-LSH twin)
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    def mul(a: String, c: Long): String = {
+      val bh = c >>> 32
+      val bl = c & 0xFFFFFFFFL
+      s"((( ($a) * $bl ) % $U + ((( ($a) * $bh ) % 4294967296) * 4294967296)) % $U)"
+    }
+    def mix(x: String): String = {
+      val s1 = s"((($x) + CAST(11400714819323198485 AS HUGEINT)) % $U)"
+      val x1 = s"(xor($s1, $s1 // (1::HUGEINT << 30)))"
+      val s2 = mul(x1, 0xbf58476d1ce4e5b9L)
+      val x2 = s"(xor($s2, $s2 // (1::HUGEINT << 27)))"
+      val s3 = mul(x2, 0x94d049bb133111ebL)
+      s"xor($s3, $s3 // (1::HUGEINT << 31))"
+    }
+    val mixU = mix("CAST(vec_id AS HUGEINT)")
+    val mixSigned =
+      s"""CAST(CASE WHEN $mixU >= CAST(9223372036854775808 AS HUGEINT)
+         | THEN $mixU - $U ELSE $mixU END AS BIGINT)""".stripMargin
+    val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
+    // one Lloyd pass: assign to nearest centroid (unit vectors), fixed-
+    // point per-cell mean, empty cells keep the previous centroid
+    def lloydPass(k: Int): String =
+      s"""a$k AS (SELECT vec_id, cell FROM (
+         |    SELECT un.vec_id, cc.cid AS cell,
+         |      row_number() OVER (PARTITION BY un.vec_id
+         |        ORDER BY ${dotf("cc.cv", "un.uv")} / (cc.cn * un.un) DESC, cc.cid ASC) AS rk
+         |    FROM un CROSS JOIN c${k - 1}n cc) WHERE rk = 1),
+         |m$k AS (SELECT a.cell, t.j,
+         |    CAST(sum(CAST(floor(un.uv[t.j + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS cnt
+         |  FROM a$k a JOIN un USING (vec_id), unnest(range(64)) AS t(j)
+         |  GROUP BY a.cell, t.j),
+         |g$k AS (SELECT cell AS cid,
+         |    list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / $S ORDER BY j) AS mv
+         |  FROM m$k GROUP BY cell),
+         |c$k AS (SELECT c.cid, coalesce(g.mv, c.cv) AS cv
+         |  FROM c${k - 1} c LEFT JOIN g$k g USING (cid)),
+         |c${k}n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c$k)""".stripMargin
+    val passes = (1 to IvfLloydIters).map(lloydPass).mkString(",\n")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |smp AS (SELECT vec_id, v, m FROM
+       |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT ${16 * IvfCells}),
+       |-- all pairwise sample cos-dists, precomputed WITHOUT correlation:
+       |-- DuckDB lambdas cannot capture correlated outer columns, so the
+       |-- recursive step below only does list_contains lookups over this
+       |sd AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    1.0 - ${dotf("a.v", "b.v")} / (sqrt(${n2f("a.v")}) * sqrt(${n2f("b.v")})) AS dist
+       |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
+       |sel AS (
+       |  SELECT 1 AS step, [s0.vec_id] AS ids
+       |  FROM (SELECT vec_id FROM smp ORDER BY m LIMIT 1) s0
+       |  UNION ALL
+       |  SELECT s.step + 1,
+       |    list_append(s.ids, (
+       |      SELECT d.idb FROM sd d
+       |      WHERE list_contains(s.ids, d.ida) AND NOT list_contains(s.ids, d.idb)
+       |      GROUP BY d.idb ORDER BY min(d.dist) DESC, d.idb ASC LIMIT 1))
+       |  FROM sel s
+       |  WHERE s.step < least($IvfCells, (SELECT count(*) FROM smp))
+       |),
+       |ch AS (SELECT unnest(ids) AS id
+       |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)),
+       |c0 AS (SELECT row_number() OVER (ORDER BY ch.id) - 1 AS cid, p.v AS cv
+       |  FROM ch JOIN smp p ON p.vec_id = ch.id),
+       |c0n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c0),
+       |u0 AS (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e),
+       |u AS (SELECT vec_id,
+       |    list_transform(v, x -> x * (CASE WHEN n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n2) END)) AS uv
+       |  FROM u0),
+       |un AS (SELECT vec_id, uv, sqrt(${n2f("uv")}) AS un FROM u),
+       |$passes,
+       |vv AS (SELECT vec_id, v, sqrt(${n2f("v")}) AS vn FROM e),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vv.vec_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc) WHERE rk = 1),
+       |pr AS (SELECT query_id, cell FROM (
+       |    SELECT vv.vec_id AS query_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc WHERE vv.vec_id < $NumQueries)
+       |  WHERE rk <= $IvfProbes),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM asg a JOIN pr p USING (cell) WHERE a.vec_id <> p.query_id),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
