@@ -51,8 +51,17 @@ object EventStream {
 
   /** Run [[windowedCounts]] to completion over the (finite) test stream via
     * a memory sink, returning the final table — lets the batch-oriented
-    * Verify/oracle gate exercise a genuinely streaming plan. Complete mode
-    * so end-of-stream does not withhold sub-watermark windows. */
+    * Verify/oracle gate exercise a genuinely streaming plan.
+    *
+    * GATE-ONLY HARNESS, not the scale path: Complete mode is required
+    * because a finite stream's watermark never passes its last windows, and
+    * Append would withhold them from the oracle compare — and Complete
+    * mode only exists on memory/console sinks, which collect to the
+    * driver. At scale the SAME [[windowedCounts]] plan runs in Append mode
+    * to a distributed file/Kafka sink, each window emitted exactly once
+    * when the watermark passes it and its state evicted —
+    * [[runAppendToFileSink]] is that shape, and StreamingSpec drives it
+    * across micro-batches to prove windows actually flush to files. */
   def runWindowedCountsBatch(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_stream_wc_${System.nanoTime()}"
     val q = windowedCounts(readEvents(s, d))
@@ -63,27 +72,39 @@ object EventStream {
     s.table(name)
   }
 
+  /** Run an Append-mode streaming frame to a PARQUET FILE SINK and read
+    * the result back — the scale-path sink shape (executors write
+    * partitioned files; nothing is collected to the driver; the
+    * checkpoint directory carries offsets+state for exactly-once). The
+    * read-back is only so the finite-gate harness can compare results;
+    * production consumers read the sink directory directly. */
+  def runAppendToFileSink(s: SparkSession, df: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
+    val out = s"$base/out"
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
   /** Streaming exact dedup over the event stream with state actually
     * bounded by the watermark: `dropDuplicatesWithinWatermark` evicts a
     * key's state once the watermark passes it — plain `dropDuplicates`
     * on non-event-time keys NEVER evicts (state grows with every distinct
     * key forever; the unbounded-input scale claim would be false). Within
     * the watermark the dedup is exact, which for the finite test stream
-    * equals the batch DISTINCT oracle. Run to completion via a memory
-    * sink so the batch-oriented gate verifies a genuinely streaming
-    * plan. */
-  def streamingDedupBatch(s: SparkSession, d: String): DataFrame = {
-    val name = s"graft_stream_dd_${System.nanoTime()}"
-    val q = readEvents(s, d)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
-  }
+    * equals the batch DISTINCT oracle. Dedup emits first-seen rows
+    * immediately (Append never withholds them), so the gate runs the
+    * SCALE sink shape directly: a distributed parquet file sink, no
+    * driver collection point. */
+  def streamingDedupBatch(s: SparkSession, d: String): DataFrame =
+    runAppendToFileSink(s,
+      readEvents(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")))
 
   val streamingDedupOracle: String =
     "SELECT DISTINCT user_id, event_type FROM events"

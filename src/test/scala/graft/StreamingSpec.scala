@@ -15,6 +15,52 @@ class StreamingSpec extends SparkTestBase {
     assert(stream === batch)
   }
 
+  test("windowed counts flush to a FILE sink in append mode as the watermark passes") {
+    import org.apache.spark.sql.functions._
+    // the scale-path sink shape: Append mode + parquet file sink. Split
+    // the corpus events into an early and a late file so the stream runs
+    // two micro-batches — the watermark advances after the first, and the
+    // trailing no-data batch finalizes every window the watermark passed.
+    // Expected emission: exactly the windows with end <= max event time
+    // minus the 2h delay; only the tail windows stay in state.
+    val raw = graft.core.Tables.events(spark, sf)
+      .select($"event_id", (unix_micros($"ts") * 1000).as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val splitNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsink_src")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    writeOne(raw.filter($"ts" <= splitNs), "0_early")
+    writeOne(raw.filter($"ts" > splitNs), "1_late")
+    new java.io.File(s"$dir/0_early.parquet").setLastModified(1000000L)
+    new java.io.File(s"$dir/1_late.parquet").setLastModified(2000000L)
+    val src = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val emitted = EventStream
+      .runAppendToFileSink(spark, EventStream.windowedCounts(src))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val all = Relational.q20EventWindows(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    // final watermark (ms) = max event time - 2h; a window is final when
+    // its end has been passed (assert against both boundary strictness
+    // variants so an ulp at the edge can't flake the test)
+    val maxMs = graft.core.Tables.events(spark, sf)
+      .select(max(unix_micros($"ts") / 1000)).as[Double].collect().head.toLong
+    val wmMs = maxMs - 2 * 3600 * 1000L
+    val closedLe = all.filter { case (ws, _, _, _) => (ws + 3600) * 1000L <= wmMs }
+    val closedLt = all.filter { case (ws, _, _, _) => (ws + 3600) * 1000L < wmMs }
+    assert(emitted === closedLe || emitted === closedLt,
+      s"emitted ${emitted.size} windows; expected ${closedLe.size} watermark-passed of ${all.size}")
+    assert(emitted.nonEmpty && emitted.size < all.size)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closed sessions are a prefix of batch sessions") {
     // run the streaming sessionizer over the finite event set; the last
     // (open) session per user is retained in state, all closed ones emitted
