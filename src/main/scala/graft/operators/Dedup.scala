@@ -614,6 +614,10 @@ object Dedup {
     docs.select($"doc_id", GraftFunctions.simhash64(tokensCol).as("simhash"))
   }
 
+  /** Max distinct simhash values a (band, chunk) bucket may hold before it
+    * is excluded from candidate generation — see [[simhashValuePairs]]. */
+  val SimhashBucketCap = 256L
+
   /** Near-dup SIMHASH VALUE pairs: band-join over DISTINCT 64-bit values,
     * with TWO hot-bucket guards. Emits (sh_a, sh_b, hamming) with
     * sh_a < sh_b and 0 < hamming <= 6.
@@ -637,8 +641,6 @@ object Dedup {
     *     practice nothing is lost; the cold-bucket set is itself bounded
     *     by 4·2^16 rows, hence broadcastable forever). The DuckDB oracle
     *     replicates the cap exactly. */
-  val SimhashBucketCap = 256L
-
   private[graft] def simhashValuePairs(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val vals = sh.select($"simhash").distinct()

@@ -48,7 +48,8 @@ class Sdfs(spark: SparkSession, warehouse: String) {
       val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       // negative age (future mtime — clock skew on a shared FS) counts as
       // recent: the reference prompts for ANY duration <= 60 s, signed
-      age < 60000L
+      // (inclusive bound — SDFSServer.java:412 uses `duration <= 60000`)
+      age <= 60000L
     }
     if (recentlyUpdated && !confirm()) false
     else { put(lines, name); true }

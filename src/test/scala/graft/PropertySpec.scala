@@ -86,6 +86,70 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("span dedup pair == in-memory ExactSubstr model on planted corpora (property, 8 seeds)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val k = Dedup.SpanK
+    // 8-letter alphabet: accidental duplicate k-grams at k=24 are 8^-24
+    // improbable, but the model below is computed from the FINAL texts, so
+    // even a coincidence stays a valid (shared) ground truth.
+    def randStr(n: Int) = Gen.listOfN(n, Gen.oneOf('a' to 'h')).map(_.mkString)
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      bases   <- Gen.listOfN(5, Gen.choose(40, 120).flatMap(randStr))
+      payload <- Gen.choose(k, k + 30).flatMap(randStr)
+      pay2    <- Gen.choose(k, k + 10).flatMap(randStr)
+      off     <- Gen.choose(0, 30)
+      tiny    <- Gen.choose(0, k - 1).flatMap(randStr)
+    } yield {
+      val texts = Seq(
+        payload + bases(0),                                       // doc-head span
+        bases(1) + payload,                                       // doc-tail span
+        bases(2).take(off) + payload + pay2 + bases(2).drop(off), // adjacent islands (merge at pos == prevEnd)
+        bases(3),                                                 // clean doc...
+        bases(3),                                                 // ...and its whole-doc copy (full-length span)
+        bases(4).take(off) + pay2 + bases(4).drop(off),           // pay2's twin
+        tiny)                                                     // shorter than k: zero positions
+      texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    }
+    samples(corpusGen, 8).foreach { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      // ground truth straight off the final texts — substring equality, no
+      // hashing; islands merge intervals whose start <= previous max end
+      val occ = for { (id, t) <- corpus; p <- 0 to t.length - k }
+        yield (id, p, t.substring(p, p + k))
+      val byGram   = occ.groupBy(_._3)
+      val dupGrams = byGram.filter(_._2.size >= 2).keySet
+      def islands(ps: Seq[Int]): List[(Int, Int)] =
+        ps.sorted.foldLeft(List.empty[(Int, Int)]) { (acc, p) => acc match {
+          case (s, e) :: tail if p <= e => (s, math.max(e, p + k)) :: tail
+          case _                        => (p, p + k) :: acc
+        }}.reverse
+      val wantSpans = occ.filter(o => dupGrams(o._3)).groupBy(_._1).toSeq
+        .flatMap { case (id, os) =>
+          islands(os.map(_._2)).map { case (s, e) => (id, s, e, e - s) } }
+        .toSet
+      val gotSpans = Dedup.duplicateSpansOf(docs)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      assert(gotSpans === wantSpans, s"corpus: $corpus")
+      // keep-first: canonical occurrence per duplicated gram = min (doc, pos)
+      val canon = byGram.collect {
+        case (g, os) if os.size >= 2 => g -> os.map(o => (o._1, o._2)).min }
+      val cutByDoc = occ
+        .filter(o => dupGrams(o._3) && canon(o._3) != ((o._1, o._2)))
+        .groupBy(_._1).view.mapValues(os => islands(os.map(_._2))).toMap
+      val wantClean = corpus.map { case (id, t) =>
+        val kept = new StringBuilder; var cur = 0
+        cutByDoc.getOrElse(id, Nil).foreach { case (s, e) =>
+          kept.append(t.substring(cur, s)); cur = e }
+        kept.append(t.substring(cur))
+        (id, kept.toString, t.length - kept.length)
+      }.toSet
+      val gotClean = Dedup.spanCleanedDocsOf(docs)
+        .as[(Long, String, Int)].collect().toSet
+      assert(gotClean === wantClean, s"corpus: $corpus")
+    }
+  }
+
   test("maple∘juice word count == in-memory groupBy count (property, 8 samples)") {
     import spark.implicits._
     val mj = new MapleJuice(spark)
