@@ -35,6 +35,15 @@ import graft.sources.Sdfs
   * unrelated command from a script that didn't expect it). Divergence
   * from the reference: no 30-second answer timer — end of input counts
   * as "no", the same abort default.
+  *
+  * SCOPE — deliberately reference-parity only: the verbs above are the
+  * reference's complete command surface, and this shell adds nothing to
+  * it. The engine's extension operators (dedup/span/ANN/text/streaming
+  * families) are library surface, reached through the Scala API and
+  * `SparkEntry.queries`; the rehearsal tooling has its own mains
+  * (`graft.ScaleGen`, `graft.SkewRehearsal`, `graft.Bench`). Growing this
+  * shell into a general query CLI would duplicate `spark.sql`'s job —
+  * a user past the reference's verbs has the whole DataFrame API.
   */
 object Cli {
   /** Warehouse root: `-Dgraft.warehouse` beats `GRAFT_WAREHOUSE` beats the

@@ -8,7 +8,16 @@ import org.apache.spark.sql.functions._
   * plans can be exercised beyond the gate scale — the evidence behind the
   * "would this hold at 100 TB" claims. Usage:
   *
-  *   runMain graft.ScaleGen [outDir=target/sf1] [srcDir=/root/testdata/sf0.1] [factor=10]
+  *   runMain graft.ScaleGen [outDir=target/sf1] [srcDir=/root/testdata/sf0.1] [factor=10] [skewPct=0]
+  *
+  * With `skewPct` > 0 the generator additionally plants ONE hot key per
+  * join/partition axis — skewPct% of orders reassigned to one customer,
+  * skewPct% of lineitems to one order, skewPct% of events to one user —
+  * while everything else (row counts, shard shifts, value distributions)
+  * stays byte-identical to the uniform run. That isolates the variable the
+  * skew rehearsal measures: same volume, same plans, one hot partition
+  * per shuffle. Membership in the hot set is a deterministic hash of each
+  * row's natural key, so the skewed corpus is reproducible.
   *
   * Construction, per table family:
   *   - relational star (lineitem/orders/customer/supplier/part): shard
@@ -33,6 +42,7 @@ object ScaleGen {
     val out = args.headOption.getOrElse("target/sf1")
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skewPct = if (args.length > 3) args(3).toInt else 0
     val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,25 +79,44 @@ object ScaleGen {
     val skS = strideOf("supplier", "s_suppkey")
     val pkS = strideOf("part", "p_partkey")
 
+    // skew mode: reassign skewPct% of rows (hash-picked on the row's
+    // natural key) to ONE hot key, AFTER the shard shift so the hot key is
+    // global. The hot key is the source table's min key — shard 0 keeps
+    // original keys, so it always exists in the scaled output.
+    def minOf(tbl: String, key: String): Long =
+      spark.read.parquet(s"$src/$tbl.parquet").agg(min(col(key))).head().getLong(0)
+    def skewed(df: DataFrame, key: String, hot: => Long,
+               salt: org.apache.spark.sql.Column): DataFrame =
+      if (skewPct == 0) df
+      else df.withColumn(key,
+        when(pmod(xxhash64(salt, lit(7)), lit(100)) < lit(skewPct), lit(hot))
+          .otherwise(col(key)))
+    lazy val hotCust  = minOf("customer", "c_custkey")
+    lazy val hotOrder = minOf("orders", "o_orderkey")
+    lazy val hotUser  = minOf("events", "user_id")
+
     write(shards("customer") { (df, i) =>
       df.withColumn("c_custkey", $"c_custkey" + lit(i * ckS)) }, "customer", 4)
     write(shards("supplier") { (df, i) =>
       df.withColumn("s_suppkey", $"s_suppkey" + lit(i * skS)) }, "supplier", 1)
     write(shards("part") { (df, i) =>
       df.withColumn("p_partkey", $"p_partkey" + lit(i * pkS)) }, "part", 4)
-    write(shards("orders") { (df, i) =>
+    write(skewed(shards("orders") { (df, i) =>
       df.withColumn("o_orderkey", $"o_orderkey" + lit(i * okS))
-        .withColumn("o_custkey", $"o_custkey" + lit(i * ckS)) }, "orders", 8)
-    write(shards("lineitem") { (df, i) =>
+        .withColumn("o_custkey", $"o_custkey" + lit(i * ckS)) },
+      "o_custkey", hotCust, $"o_orderkey"), "orders", 8)
+    write(skewed(shards("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", $"l_orderkey" + lit(i * okS))
         .withColumn("l_partkey", $"l_partkey" + lit(i * pkS))
-        .withColumn("l_suppkey", $"l_suppkey" + lit(i * skS)) }, "lineitem", 16)
+        .withColumn("l_suppkey", $"l_suppkey" + lit(i * skS)) },
+      "l_orderkey", hotOrder, xxhash64($"l_orderkey", $"l_linenumber")), "lineitem", 16)
 
     val evS = strideOf("events", "event_id")
     val userS = strideOf("events", "user_id")
-    write(shards("events") { (df, i) =>
+    write(skewed(shards("events") { (df, i) =>
       df.withColumn("event_id", $"event_id" + lit(i * evS))
-        .withColumn("user_id", $"user_id" + lit(i * userS)) }, "events", 8)
+        .withColumn("user_id", $"user_id" + lit(i * userS)) },
+      "user_id", hotUser, $"event_id"), "events", 8)
 
     // ---------------------------------------------------------- documents
     val nDocs = 5000L * factor

@@ -76,6 +76,7 @@ object SparkEntry {
       // streaming
       "stream_event_windows"    -> (EventStream.runWindowedCountsBatch _),
       "stream_sessionize_batch" -> (EventStream.sessionizeBatchEquivalent _),
+      "stream_sessionize_skewres" -> (EventStream.sessionizeSkewResistant _),
       "stream_dedup"            -> (EventStream.streamingDedupBatch _),
       // skew mitigation
       "skew_salted_agg"      -> (graft.core.Skew.saltedAggQuery _),
@@ -127,6 +128,7 @@ object SparkEntry {
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
+      "stream_sessionize_skewres" -> Relational.oracle("q21_sessionize"),
       "stream_dedup"            -> EventStream.streamingDedupOracle,
       "skew_salted_agg"         -> graft.core.Skew.saltedAggOracle,
       "skew_replicated_join"    -> graft.core.Skew.replicatedJoinOracle,

@@ -163,10 +163,16 @@ object EventStream {
     * events costs the sort's spillable machinery, never executor heap
     * (the earlier `rows.toSeq.sortBy` form materialized each user's whole
     * history). */
-  def sessionizeBatchEquivalent(s: SparkSession, d: String): DataFrame = {
+  def sessionizeBatchEquivalent(s: SparkSession, d: String): DataFrame =
+    sessionizeBatchEquivalentOf(
+      graft.core.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+
+  private[graft] def sessionizeBatchEquivalentOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    graft.core.Tables.events(s, d)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    ev
       .repartition($"user_id")
       .sortWithinPartitions($"user_id", $"ts", $"event_id")
       .as[Event]
@@ -203,6 +209,100 @@ object EventStream {
             advance()
             val h = pending.get; pending = None; h
           }
+        }
+      }
+      .toDF("user_id", "session_id", "n_events", "session_value")
+  }
+
+  // --------------------------------------------- skew-resistant sessionize
+  /** One local session run: a maximal 30-min-gap chain of one user's events
+    * WITHIN one range partition. Timestamps are epoch seconds; `sum` stays
+    * unrounded until final emission. */
+  // private[graft], not private: Spark's generated encoder code lives
+  // outside this object and needs JVM-public access to the constructor
+  private[graft] case class SessPiece(user_id: Long, start_ts: Long,
+                                      last_ts: Long, n: Long, sum: Double)
+
+  /** Sessionize without the hot-user straggler. [[sessionizeBatchEquivalent]]
+    * hash-partitions by user, so ONE task owns a hot user's entire history —
+    * at 100 TB a bot with 5% of events is 5% of the corpus in one task.
+    * Here the corpus is RANGE-partitioned on (user_id, ts, event_id): a hot
+    * user's timeline splits across adjacent partitions, each sessionized
+    * independently by the same O(1) streaming fold (no per-user buffering
+    * anywhere — state is one open-session accumulator), emitting
+    * fixed-width local session summaries. A second shuffle groups
+    * summaries per user and merges: chain summaries whose
+    * `next.start - prev.last <= 1800`, renumber in time order.
+    *
+    * The merge is exact: range boundaries preserve every inter-event gap,
+    * and session membership depends only on gaps — a user contained in one
+    * partition arrives with gaps all > 1800 and the merge is a no-op
+    * renumber; a split user's chains reconnect precisely where the
+    * sequential scan would have kept them open. The one divergence class
+    * is float: a merged session's value sums fragment partials — a
+    * different ASSOCIATION than the sequential left-fold (commutation is
+    * exact in IEEE, association is not), bounded by an ulp and absorbed by
+    * the shared 2dp rounding, the same tolerance the DuckDB oracle already
+    * relies on (it sums in its own order).
+    *
+    * Why this survives 100 TB where the hash shape doesn't: the heavy
+    * stage (full event rows, per-event work) is range-balanced — Spark's
+    * range sampler splits a hot user across as many partitions as their
+    * volume demands. The per-user merge stage sees only session SUMMARIES,
+    * smaller than events by the events-per-session factor and free of all
+    * decode work; an adversarial 1-event-per-session bot degrades the
+    * merge to their session count, which is the irreducible output size
+    * of that user. */
+  def sessionizeSkewResistant(s: SparkSession, d: String): DataFrame =
+    sessionizeSkewResistantOf(
+      graft.core.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+
+  private[graft] def sessionizeSkewResistantOf(
+      ev: DataFrame, numParts: Option[Int] = None): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val ranged = numParts match {
+      case Some(p) => ev.repartitionByRange(p, $"user_id", $"ts", $"event_id")
+      case None    => ev.repartitionByRange($"user_id", $"ts", $"event_id")
+    }
+    ranged
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      .as[Event]
+      .mapPartitions { rows =>
+        // single pass, O(1) state: the open local session
+        val out = Iterator.newBuilder[SessPiece]
+        var open = false
+        var u = 0L; var startTs = 0L; var lastTs = 0L; var n = 0L; var sum = 0.0
+        def close(): Unit = out += SessPiece(u, startTs, lastTs, n, sum)
+        rows.foreach { e =>
+          val t = e.ts.getTime / 1000
+          if (!open) { open = true; u = e.user_id; startTs = t; lastTs = t; n = 1L; sum = e.value }
+          else if (e.user_id != u || t - lastTs > 1800) {
+            close(); u = e.user_id; startTs = t; lastTs = t; n = 1L; sum = e.value
+          } else { lastTs = t; n += 1; sum += e.value }
+        }
+        if (open) close()
+        out.result()
+      }
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, it: Iterator[SessPiece]) =>
+        // local runs are time-disjoint per the range partitioning; the sort
+        // key is fully deterministic so equal-ts boundary splits merge the
+        // same way every run
+        val fs = it.toArray.sortBy(p => (p.start_ts, p.last_ts, p.n, p.sum))
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var last = 0L; var n = 0L; var sum = 0.0; var open = false
+        fs.foreach { f =>
+          if (!open) { last = f.last_ts; n = f.n; sum = f.sum; open = true }
+          else if (f.start_ts - last <= 1800) {
+            last = math.max(last, f.last_ts); n += f.n; sum += f.sum }
+          else { sessions += ((n, sum)); last = f.last_ts; n = f.n; sum = f.sum }
+        }
+        if (open) sessions += ((n, sum))
+        sessions.iterator.zipWithIndex.map { case ((nn, ss), i) =>
+          SessionAgg(user, i + 1L, nn, roundHalfUp2(ss))
         }
       }
       .toDF("user_id", "session_id", "n_events", "session_value")

@@ -61,6 +61,52 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.nonEmpty && emitted.size < all.size)
   }
 
+  test("skew-resistant sessionize equals the hash-partitioned batch sessionizer on the gate corpus") {
+    val a = EventStream.sessionizeSkewResistant(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = EventStream.sessionizeBatchEquivalent(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  test("skew-resistant sessionize: hot user split across range partitions, boundary gaps exact") {
+    import java.sql.Timestamp
+    // planted corpus: one hot user (85% of events) whose single long
+    // session MUST cross range-partition boundaries, plus exact-boundary
+    // gap cases (1800 s merges, 1801 s splits) and a single-event user
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, String, Double)]
+    var id = 0L
+    def add(user: Long, tSec: Long): Unit = {
+      id += 1
+      rows += ((id, new Timestamp(tSec * 1000), user, "click", (id % 7) / 4.0))
+    }
+    var t = 1000000L
+    (1 to 400).foreach { _ => add(1L, t); t += 1700 }   // one 400-event session
+    t += 1801                                            // strict split
+    (1 to 50).foreach { _ => add(1L, t); t += 100 }      // second session
+    (0 until 10).foreach { i => add(2L, 500000L + i * 3601) } // 10 singleton sessions
+    (0 until 5).foreach { i => add(3L, 500000L + i * 1800) }  // exactly 1800: ONE session
+    add(4L, 42L)                                         // single event
+    val ev = rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // precondition: the hot user really spans >= 2 range partitions —
+    // otherwise this test would not exercise the fragment merge
+    val hotSpread = ev.repartitionByRange(8, $"user_id", $"ts", $"event_id")
+      .select($"user_id").as[Long]
+      .mapPartitions(it => Iterator(it.count(_ == 1L))).collect()
+    assert(hotSpread.count(_ > 0) >= 2, s"hot user in ${hotSpread.toSeq} partitions")
+    val got = EventStream.sessionizeSkewResistantOf(ev, numParts = Some(8))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = EventStream.sessionizeBatchEquivalentOf(ev)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // spot-check the planted semantics directly
+    val byUser = got.groupBy(_._1)
+    assert(byUser(1L).map(s => (s._2, s._3)) === Set((1L, 400L), (2L, 50L)))
+    assert(byUser(2L).size === 10 && byUser(2L).forall(_._3 === 1L))
+    assert(byUser(3L) .map(s => (s._2, s._3)) === Set((1L, 5L)))
+    assert(byUser(4L) === Set((4L, 1L, 1L, (rows.last._1 % 7) / 4.0)))
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closed sessions are a prefix of batch sessions") {
     // run the streaming sessionizer over the finite event set; the last
     // (open) session per user is retained in state, all closed ones emitted
