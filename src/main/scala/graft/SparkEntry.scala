@@ -57,6 +57,7 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
+      "dedup_semantic" -> (Similarity.semanticDedup _),
       "embed_quantize_int8" -> (Similarity.quantizeStats _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
@@ -115,6 +116,7 @@ object SparkEntry {
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "ann_lsh_topk"   -> Similarity.annLshTopKOracle,
       "ann_ivf_topk"   -> Similarity.annIvfTopKOracle,
+      "dedup_semantic" -> Similarity.semanticDedupOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,

@@ -300,44 +300,22 @@ object Similarity {
     centroids
   }
 
-  /** DuckDB twin of [[annIvfTopK]] — exact, because every stage is now
-    * deterministic and reproducible from the parquet alone:
-    *
-    *   - the sample is the [[IvfCells]]·16 vectors with the smallest
-    *     SIGNED mix64(vec_id) (splitmix64 inlined as HUGEINT arithmetic,
-    *     64×64 multiplies split into 32-bit halves as in the LSH oracle;
-    *     signed conversion because the JVM orders Longs);
-    *   - k-means++ farthest-first seeding precomputes all pairwise sample
-    *     cos-dists uncorrelated (DuckDB lambdas cannot capture correlated
-    *     outer columns), then a recursive CTE carries the chosen-id list,
-    *     each step picking max (min cos-dist to chosen, then smallest id)
-    *     via a list_contains-filtered GROUP BY ... ORDER BY ... LIMIT 1;
-    *   - [[IvfLloydIters]] Lloyd passes are unrolled CTE chains: assign =
-    *     row_number over (sim DESC, cid ASC) = 1 — exactly the JVM's
-    *     maxBy((sim, -cid)) — and the mean is the SAME fixed-point
-    *     arithmetic as the engine: floor(u·2^30 + 0.5) summed as BIGINT,
-    *     then (CAST(sum AS DOUBLE) / count) / 2^30;
-    *   - sign-critical dots (assignment, probes, seeding) are ORDERED
-    *     left-to-right folds matching the JVM loops bit-for-bit (the LSH
-    *     oracle's rule: a last-ulp difference at an argmax boundary flips
-    *     a cell assignment); only the re-rank uses list_dot_product,
-    *     where the brute oracle already proved parity and ranking rounds
-    *     to 6dp first. */
-  val annIvfTopKOracle: String = {
-    // ordered left-to-right fold over the 64 components (bit-parity with
-    // the JVM accumulation loops)
-    def fold(t: String): String =
+  // --- shared DuckDB-twin builders: [[annIvfTopKOracle]] and
+  // [[semanticDedupOracle]] reuse the corpus-to-cell CTE chain below ---
+  // ordered left-to-right fold over the 64 components (bit-parity with
+  // the JVM accumulation loops)
+  private def fold(t: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(range(64), j -> $t)), (a, x) -> a + x)"
-    def dotf(a: String, b: String): String = fold(s"$a[j+1] * $b[j+1]")
-    def n2f(a: String): String = fold(s"$a[j+1] * $a[j+1]")
-    // splitmix64 over HUGEINT (same construction as the minhash-LSH twin)
-    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
-    def mul(a: String, c: Long): String = {
+  private def dotf(a: String, b: String): String = fold(s"$a[j+1] * $b[j+1]")
+  private def n2f(a: String): String = fold(s"$a[j+1] * $a[j+1]")
+  // splitmix64 over HUGEINT (same construction as the minhash-LSH twin)
+  private val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+  private def mul(a: String, c: Long): String = {
       val bh = c >>> 32
       val bl = c & 0xFFFFFFFFL
       s"((( ($a) * $bl ) % $U + ((( ($a) * $bh ) % 4294967296) * 4294967296)) % $U)"
     }
-    def mix(x: String): String = {
+    private def mix(x: String): String = {
       val s1 = s"((($x) + CAST(11400714819323198485 AS HUGEINT)) % $U)"
       val x1 = s"(xor($s1, $s1 // (1::HUGEINT << 30)))"
       val s2 = mul(x1, 0xbf58476d1ce4e5b9L)
@@ -345,14 +323,14 @@ object Similarity {
       val s3 = mul(x2, 0x94d049bb133111ebL)
       s"xor($s3, $s3 // (1::HUGEINT << 31))"
     }
-    val mixU = mix("CAST(vec_id AS HUGEINT)")
-    val mixSigned =
+    private val mixU = mix("CAST(vec_id AS HUGEINT)")
+    private val mixSigned =
       s"""CAST(CASE WHEN $mixU >= CAST(9223372036854775808 AS HUGEINT)
          | THEN $mixU - $U ELSE $mixU END AS BIGINT)""".stripMargin
-    val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
+    private val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
     // one Lloyd pass: assign to nearest centroid (unit vectors), fixed-
     // point per-cell mean, empty cells keep the previous centroid
-    def lloydPass(k: Int): String =
+    private def lloydPass(k: Int): String =
       s"""a$k AS (SELECT vec_id, cell FROM (
          |    SELECT un.vec_id, cc.cid AS cell,
          |      row_number() OVER (PARTITION BY un.vec_id
@@ -369,7 +347,13 @@ object Similarity {
          |c$k AS (SELECT c.cid, coalesce(g.mv, c.cv) AS cv
          |  FROM c${k - 1} c LEFT JOIN g$k g USING (cid)),
          |c${k}n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c$k)""".stripMargin
-    val passes = (1 to IvfLloydIters).map(lloydPass).mkString(",\n")
+    private val passes = (1 to IvfLloydIters).map(lloydPass).mkString(",\n")
+
+  /** Shared CTE chain: raw embeddings → deterministic sample → k-means++
+    * seeds → [[IvfLloydIters]] Lloyd passes → `asg` = (vec_id, cell), the
+    * corpus cell assignment. Everything through `asg` is common to the
+    * IVF top-k twin and the SemDeDup twin; suffix CTEs differ. */
+  private def ivfCorpusCtes: String =
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |smp AS (SELECT vec_id, v, m FROM
        |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT ${16 * IvfCells}),
@@ -407,7 +391,33 @@ object Similarity {
        |    SELECT vv.vec_id, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY vv.vec_id
        |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
-       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc) WHERE rk = 1),
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc) WHERE rk = 1)""".stripMargin
+
+  /** DuckDB twin of [[annIvfTopK]] — exact, because every stage is now
+    * deterministic and reproducible from the parquet alone:
+    *
+    *   - the sample is the [[IvfCells]]·16 vectors with the smallest
+    *     SIGNED mix64(vec_id) (splitmix64 inlined as HUGEINT arithmetic,
+    *     64×64 multiplies split into 32-bit halves as in the LSH oracle;
+    *     signed conversion because the JVM orders Longs);
+    *   - k-means++ farthest-first seeding precomputes all pairwise sample
+    *     cos-dists uncorrelated (DuckDB lambdas cannot capture correlated
+    *     outer columns), then a recursive CTE carries the chosen-id list,
+    *     each step picking max (min cos-dist to chosen, then smallest id)
+    *     via a list_contains-filtered GROUP BY ... ORDER BY ... LIMIT 1;
+    *   - [[IvfLloydIters]] Lloyd passes are unrolled CTE chains: assign =
+    *     row_number over (sim DESC, cid ASC) = 1 — exactly the JVM's
+    *     maxBy((sim, -cid)) — and the mean is the SAME fixed-point
+    *     arithmetic as the engine: floor(u·2^30 + 0.5) summed as BIGINT,
+    *     then (CAST(sum AS DOUBLE) / count) / 2^30;
+    *   - sign-critical dots (assignment, probes, seeding) are ORDERED
+    *     left-to-right folds matching the JVM loops bit-for-bit (the LSH
+    *     oracle's rule: a last-ulp difference at an argmax boundary flips
+    *     a cell assignment); only the re-rank uses list_dot_product,
+    *     where the brute oracle already proved parity and ranking rounds
+    *     to 6dp first. */
+  val annIvfTopKOracle: String =
+    s"""$ivfCorpusCtes,
        |pr AS (SELECT query_id, cell FROM (
        |    SELECT vv.vec_id AS query_id, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY vv.vec_id
@@ -428,7 +438,6 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
-  }
 
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -527,4 +536,78 @@ object Similarity {
       .select($"query_id", $"vec_id").distinct()
     rerank(s, d, cands)
   }
+
+  // ------------------------------------------------------------- SemDeDup
+  /** Cosine threshold for semantic duplicates. The paper works at ~0.95+
+    * on real text embeddings; the synthetic gate corpus's similarity mass
+    * sits lower (pseudo-random vectors), so the gate threshold matches
+    * the exact-pair verifier's ([[graft.operators.Dedup.embeddingPairs]],
+    * cos >= 0.35) — the MECHANISM under test is cell-blocked pruning, not
+    * the embedding model. */
+  val SemDedupTau = 0.35
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * PRUNING via k-means cells + within-cell cosine — the scale path that
+    * replaces the O(n²) all-pairs verifier for embedding dedup. Reuses
+    * [[lloydCentroids]] (deterministic k-means++ seeds, fixed-point Lloyd
+    * means), assigns every vector to its nearest cell, and compares pairs
+    * ONLY within a cell: cost is Σ|cell|² — the paper's own cost model —
+    * with k chosen ∝ corpus size at deploy (k ≈ n/⟨cell⟩; here the gate's
+    * [[IvfCells]]).
+    *
+    * Drop rule (keep-first, matching the engine's exact/span dedup
+    * convention and deterministic, where the paper keeps the example
+    * farthest from the centroid): a vector is DROPPED iff some same-cell
+    * vector with a SMALLER id has cosine >= [[SemDedupTau]] to it. Output
+    * is the drop list: (vec_id, kept_id = smallest such neighbor, cell,
+    * cos to kept_id) — `antijoin embeddings` on vec_id = the surviving
+    * corpus. Cross-cell near-dups (split by a cell boundary) are missed
+    * BY DESIGN — that is SemDeDup's recall/cost trade; the exact verifier
+    * bounds the loss at gate scale (SimilaritySpec).
+    *
+    * 100 TB shape: centroids broadcast (k vectors, constant); one shuffle
+    * on `cell`; within-cell self-join is bounded by the cell-size cap the
+    * k choice implies. No driver-side pairwise anything. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.dot
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
+    val e = withNorm(s, d).join(assigned, "vec_id")
+    val a = e.select($"cell", $"vec_id".as("a_id"), $"v".as("va"), $"norm".as("na"))
+    val b = e.select($"cell", $"vec_id".as("b_id"), $"v".as("vb"), $"norm".as("nb"))
+    a.join(b, Seq("cell")).filter($"a_id" < $"b_id")
+      .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"sim" >= SemDedupTau)
+      .groupBy($"b_id".as("vec_id"), $"cell")
+      // canonical keeper = min-struct aggregate on (a_id, sim): a_id is
+      // unique within the group, so this is "smallest kept neighbor" with
+      // its cosine — map-side combined, no window over the pair set
+      .agg(min(struct($"a_id", $"sim")).as("k"))
+      .select($"vec_id", $"k.a_id".as("kept_id"), $"cell",
+        round($"k.sim", 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the shared [[ivfCorpusCtes]] chain
+    * through `asg`, then within-cell pairs on `list_dot_product` (parity
+    * with the codegen'd dot proven by the brute/pair oracles), the same
+    * keep-first min-struct rule via row_number over (a_id ASC). */
+  val semanticDedupOracle: String =
+    s"""$ivfCorpusCtes,
+       |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |w AS (SELECT nn.vec_id, nn.v, nn.norm, asg.cell FROM nn JOIN asg USING (vec_id)),
+       |prs AS (SELECT b.vec_id AS vec_id, a.vec_id AS a_id, a.cell,
+       |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS sim
+       |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $SemDedupTau),
+       |best AS (SELECT vec_id, a_id, cell, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY a_id ASC) AS rk
+       |  FROM prs)
+       |SELECT vec_id, a_id AS kept_id, cell, round(sim, 4) AS cos_sim
+       |FROM best WHERE rk = 1""".stripMargin
 }

@@ -50,6 +50,35 @@ class SimilaritySpec extends SparkTestBase {
     info(s"IVF recall@10 = $recall")
   }
 
+  test("SemDeDup: precision 1 vs exact pairs, recall bounded, deterministic") {
+    // exact ground truth: vectors with ANY lower-id neighbor at cos >= tau
+    // anywhere in the corpus (the all-pairs verifier's keep-first rule)
+    val exact = graft.operators.Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val truthDropped = exact.map(_._2).toSet // vec_b > vec_a always
+    val sem = Similarity.semanticDedup(spark, sf)
+      .select("vec_id", "kept_id").as[(Long, Long)].collect()
+    val semDropped = sem.map(_._1).toSet
+    // precision 1: every SemDeDup drop IS a true near-dup (cell-blocking
+    // only restricts WHICH pairs are compared, never invents similarity),
+    // and its kept_id is a true lower-id tau-neighbor
+    assert(semDropped.subsetOf(truthDropped),
+      s"false drops: ${semDropped -- truthDropped}")
+    val exactSet = exact.toSet
+    assert(sem.forall { case (v, k) => exactSet.contains((k, v)) })
+    // recall: cross-cell pairs are missed BY DESIGN; require the cells
+    // to capture a useful majority at gate scale
+    val recall = semDropped.size.toDouble / math.max(truthDropped.size, 1)
+    assert(recall >= 0.30, s"SemDeDup recall = $recall")
+    info(s"SemDeDup drop recall vs exact = $recall " +
+      s"(${semDropped.size}/${truthDropped.size})")
+    // determinism: the whole pipeline (seeds, Lloyd, assignment, drops)
+    // must reproduce bit-for-bit run to run
+    val again = Similarity.semanticDedup(spark, sf)
+      .select("vec_id", "kept_id").as[(Long, Long)].collect()
+    assert(again.toSet === sem.toSet)
+  }
+
   test("int8 quantization: bounded reconstruction error, top-k mostly stable") {
     val qs = Similarity.quantizeEmbeddings(spark, sf)
       .as[(Long, Double, Array[Byte])].collect()
