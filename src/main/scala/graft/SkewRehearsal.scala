@@ -51,7 +51,8 @@ object SkewRehearsal {
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q03_revenue_by_nation" -> (graft.operators.Relational.q03RevenueByNation _),
       "q19_regional_revenue"  -> (graft.operators.Relational.q19RegionalRevenue _),
-      "stream_sessionize_batch" -> (graft.streaming.EventStream.sessionizeBatchEquivalent _))
+      "stream_sessionize_batch" -> (graft.streaming.EventStream.sessionizeBatchEquivalent _),
+      "stream_sessionize_skewres" -> (graft.streaming.EventStream.sessionizeSkewResistant _))
 
     dirs.foreach { case (label, dir) =>
       // measured hot-key share per skewed axis (top-1 key's row fraction)
