@@ -54,7 +54,7 @@ object PlanCensus {
     "ann_brute_topk" -> Map("BroadcastNestedLoopJoin" ->
       "brute force BY DESIGN: broadcast side is NumQueries rows; every corpus vector scores against each"),
     "dedup_embedding_cosine" -> Map("BroadcastNestedLoopJoin" ->
-      "exact all-pairs verifier, bounded-N by contract; the scale path is Similarity.annLshTopK candidates + rerank"),
+      "exact all-pairs verifier, bounded-N by contract; scale paths: Similarity.semanticDedup (cell-blocked pruning) and annLshTopK candidates + rerank"),
     "curation_pipeline" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts inside the star-contraction fixpoint loop"),
     "dedup_clusters" -> Map("ExistingRDD" ->

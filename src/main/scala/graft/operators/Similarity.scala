@@ -177,9 +177,24 @@ object Similarity {
     * are bit-deterministic regardless of partition merge order — which is
     * what lets [[annIvfTopKOracle]] be an exact DuckDB twin instead of a
     * rows-only check. */
-  val IvfCells = 16
+  /** Cell count k. The GATE default is 16 (the oracle-matched shape: the
+    * DuckDB twins interpolate this same value, so engine and oracle always
+    * agree within one JVM). At deploy k scales with the corpus — k ≈
+    * n/⟨target cell size⟩ — because both the IVF probe cost and SemDeDup's
+    * Σ|cell|² pair cost are quadratic in cell size at FIXED k; the scale
+    * rehearsal overrides via `GRAFT_IVF_CELLS` to demonstrate the linear
+    * path (SCALE_r5.md). Above [[SeedGreedyMax]] the k-means++ greedy
+    * (O(16·k³) driver work) is replaced by a distributed hash-uniform
+    * seed sample — the Lloyd/assignment stages are k-independent per row
+    * and need no change. */
+  val IvfCells: Int = sys.env.get("GRAFT_IVF_CELLS").map(_.toInt).getOrElse(16)
   val IvfProbes = 4
   val IvfLloydIters = 3
+
+  /** Above this k, seeding switches from exact greedy farthest-first
+    * (O(16·k³) driver work — measured 26× the rest of the query at k=320)
+    * to the distributed hash-uniform sample; see [[lloydCentroids]]. */
+  val SeedGreedyMax = 64
 
   /** Fixed-point scale for the Lloyd mean accumulation: each unit-vector
     * component is quantized to floor(u·2^30 + 0.5) and summed as a Long —
@@ -256,24 +271,37 @@ object Similarity {
     // are equally likely anywhere in the sample). The sample plans as
     // TakeOrderedAndProject — bounded top-k per partition + merge, constant
     // driver traffic — and the greedy spread runs on the driver over
-    // sample×cells pairs (constant work). Farthest-first beats a bare
-    // random 16: it cannot seed two centroids inside one dense cluster.
+    // sample×cells pairs (constant work AT GATE k). Farthest-first beats a
+    // bare random 16: it cannot seed two centroids inside one dense cluster.
+    //
+    // LARGE k ([[SeedGreedyMax]] <): the greedy loop is O(16·k³) dist
+    // evaluations on ONE driver thread — the r5 scale rehearsal measured
+    // it dominating the whole query 26:1 at k=320 — so big-k seeding takes
+    // the k smallest-mix64 vectors directly (hash-uniform over the corpus,
+    // the same TakeOrdered plan, zero driver quadratics) and lets the
+    // Lloyd passes shape the layout; the oracle-matched gate path (k=16)
+    // keeps greedy farthest-first bit-for-bit.
     val sample = vecs
       .map { case (id, v) => (Hashing.mix64(id), id, v) }
-      .orderBy("_1").limit(16 * IvfCells)
+      .orderBy("_1").limit(if (IvfCells <= SeedGreedyMax) 16 * IvfCells else IvfCells)
       .collect().sortBy(_._1).map { case (_, id, v) => (id, v) }
     def cosDist(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
-    while (chosen.length < math.min(IvfCells, sample.length)) {
-      // farthest point from its nearest chosen center (ties → smaller id)
-      val next = sample.filterNot(p => chosen.exists(_._1 == p._1))
-        .maxBy { case (id, v) => (chosen.map(c => cosDist(c._2, v)).min, -id) }
-      chosen += next
-    }
+    val chosen: Seq[(Long, Array[Double])] =
+      if (IvfCells > SeedGreedyMax) sample.toSeq
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer(sample.head)
+        while (acc.length < math.min(IvfCells, sample.length)) {
+          // farthest point from its nearest chosen center (ties → smaller id)
+          val next = sample.filterNot(p => acc.exists(_._1 == p._1))
+            .maxBy { case (id, v) => (acc.map(c => cosDist(c._2, v)).min, -id) }
+          acc += next
+        }
+        acc.toSeq
+      }
     var centroids = chosen.toArray.sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to IvfLloydIters) {
