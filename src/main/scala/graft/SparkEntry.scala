@@ -67,6 +67,7 @@ object SparkEntry {
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
       "curation_pipeline" -> ((s, d) => Sampling.curationPipeline(s, d)),
+      "pack_sequences"    -> (Sampling.packSequences _),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
@@ -124,6 +125,7 @@ object SparkEntry {
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
       "curation_pipeline" -> Sampling.curationPipelineOracle,
+      "pack_sequences"    -> Sampling.packSequencesOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "multimodal_resize"      -> Multimodal.resizePayloadsOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,

@@ -109,4 +109,81 @@ object Sampling {
        |  row_number() OVER (PARTITION BY doc_id % 8
        |                     ORDER BY md5(text) ASC, doc_id ASC) AS pos
        |FROM kept""".stripMargin
+
+  // ------------------------------------------------------ sequence packing
+  /** Token budget per packed sequence — gate-scale setting (the synthetic
+    * docs run 20–80 whitespace tokens, so sequences pack 3–8 docs); the
+    * production context length is the parameter. */
+  val PackBudget = 256L
+  val PackBuckets = 8
+
+  /** Sequence PACKING: assign documents to fixed token-budget training
+    * sequences — the step that turns a curated corpus into dense context
+    * windows (unpacked short docs waste the attention matrix on padding).
+    *
+    * Policy: NEXT-FIT in (bucket, doc_id) order — a document starts a new
+    * sequence when it would overflow the budget. Deterministic (pure
+    * function of the corpus), so the DuckDB twin replicates it exactly via
+    * a recursive CTE, advancing every bucket one row per step. A document
+    * longer than the budget lands alone in its own sequence (it overflows
+    * whatever is open, and everything after it overflows it in turn) —
+    * the consumer's truncate/split policy stays out of the packer.
+    *
+    * Scale shape: buckets are the parallelism unit ([[trainShards]]'s
+    * doc_id-modulo convention — dense ids at the gate; hash the id at
+    * deploy if ids cluster); each bucket packs independently in one task
+    * with O(1) state, so the operator is one shuffle + a linear scan, and
+    * `buckets` grows with the corpus exactly like shards. Next-fit trades
+    * ~¼ fill vs global first-fit-decreasing in the worst case but needs
+    * no global sort and no length histogram; measured fill on the gate
+    * corpus is asserted ≥ 0.75 in CurationSpec. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOf(Tables.documents(s, d), PackBudget, PackBuckets)
+
+  private[graft] def packSequencesOf(docs: DataFrame, budget: Long,
+                                     buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long").as("tok"),
+        ($"doc_id" % buckets).cast("long").as("bucket"))
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"doc_id")
+      .select($"doc_id", $"bucket", $"tok")
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        // O(1) state: the open sequence of the current bucket
+        var curBucket = Long.MinValue
+        var seq = 0L; var acc = 0L
+        rows.map { case (id, b, t) =>
+          if (b != curBucket) { curBucket = b; seq = 1L; acc = t }
+          else if (acc + t <= budget) acc += t
+          else { seq += 1; acc = t }
+          (id, b, seq, t)
+        }
+      }
+      .toDF("doc_id", "bucket", "seq_no", "n_tokens")
+  }
+
+  /** DuckDB twin of [[packSequences]]: same token count as the text-stats
+    * oracles, same modulo bucket, and the next-fit fold as a recursive CTE
+    * that advances each bucket one row_number per step (state = (seq_no,
+    * acc) carried on the recursion edge). */
+  val packSequencesOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS tok,
+       |    CAST(doc_id % $PackBuckets AS BIGINT) AS bucket
+       |  FROM documents),
+       |r AS (SELECT doc_id, tok, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM t),
+       |p AS (
+       |  SELECT bucket, rn, doc_id, tok, CAST(1 AS BIGINT) AS seq_no, tok AS acc
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.bucket, r.rn, r.doc_id, r.tok,
+       |    CASE WHEN p.acc + r.tok <= $PackBudget THEN p.seq_no ELSE p.seq_no + 1 END,
+       |    CASE WHEN p.acc + r.tok <= $PackBudget THEN p.acc + r.tok ELSE r.tok END
+       |  FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+       |SELECT doc_id, bucket, seq_no, tok AS n_tokens FROM p""".stripMargin
 }

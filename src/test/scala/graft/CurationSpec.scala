@@ -39,4 +39,42 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Double, Int, Int)].collect()
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("sequence packing: budget respected, dense seq ids, useful fill on the gate corpus") {
+    import graft.operators.Sampling
+    val rows = Sampling.packSequences(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(r => (r._2, r._3))
+    // every sequence fits the budget, except a singleton oversize doc
+    bySeq.foreach { case ((b, sq), ds) =>
+      val total = ds.map(_._4).sum
+      assert(total <= Sampling.PackBudget || ds.length == 1,
+        s"bucket $b seq $sq holds $total tokens in ${ds.length} docs")
+    }
+    // per bucket, sequence ids are dense 1..max (the next-fit fold never
+    // skips or reuses an id)
+    rows.groupBy(_._2).foreach { case (b, ds) =>
+      val ids = ds.map(_._3).distinct.sorted
+      assert(ids === (1L to ids.max), s"bucket $b seq ids: ${ids.toSeq}")
+    }
+    // packing is pointless if sequences are mostly padding: overall fill
+    // (total tokens / sequences x budget) must clear 0.75 on this corpus
+    val fill = rows.map(_._4).sum.toDouble / (bySeq.size * Sampling.PackBudget)
+    assert(fill >= 0.75, s"fill = $fill over ${bySeq.size} sequences")
+    info(f"pack fill = $fill%.3f over ${bySeq.size} sequences")
+  }
+
+  test("sequence packing: planted next-fit semantics incl. oversize singleton") {
+    import graft.operators.Sampling
+    // budget 10, one bucket; token counts 4,4,4,9,11,2 -> the next-fit
+    // fold closes at every overflow and isolates the oversize doc
+    val docs = Seq(4, 4, 4, 9, 11, 2).zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong * 8, Seq.fill(n)("w").mkString(" ")) // ids ≡ 0 (mod 8): one bucket
+    }.toDF("doc_id", "text")
+    val got = Sampling.packSequencesOf(docs, budget = 10L, buckets = 8)
+      .select("doc_id", "seq_no").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((8L, 1L), (16L, 1L), (24L, 2L),
+      (32L, 3L), (40L, 4L), (48L, 5L)))
+  }
 }
