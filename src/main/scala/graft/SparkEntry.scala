@@ -30,6 +30,7 @@ object SparkEntry {
       "rwlg_dataframe"    -> (TextOps.rwlgDataFrame _),
       // text analysis
       "text_token_stats"  -> (TextOps.tokenStats _),
+      "text_chunks"       -> (TextOps.chunkDocuments _),
       "text_bpe_tokens"   -> (TextOps.bpeTokens _),
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_fingerprint"  -> (TextOps.fingerprint _),
@@ -93,6 +94,7 @@ object SparkEntry {
       "rwlg_maple_juice" -> TextOps.rwlgOracle,
       "rwlg_dataframe"   -> TextOps.rwlgOracle,
       "text_token_stats" -> TextOps.tokenStatsOracle,
+      "text_chunks"      -> TextOps.chunkDocumentsOracle,
       "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_fingerprint" -> TextOps.fingerprintOracle,

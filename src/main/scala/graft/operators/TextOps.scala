@@ -153,6 +153,63 @@ object TextOps {
       |       / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------- chunking
+  /** Chunk window/stride in whitespace tokens — gate-scale settings (the
+    * synthetic docs run 20–80 tokens, so long docs yield 2–3 overlapping
+    * chunks); production context/overlap are the obvious knobs. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Document CHUNKING — [[graft.operators.Sampling.packSequences]]'s
+    * counterpart: packing joins short docs into one context window, this
+    * splits long docs into [[ChunkSize]]-token windows every
+    * [[ChunkStride]] tokens (overlap = size − stride preserves context at
+    * the cuts), the preprocessing step both RAG indexing and long-doc
+    * training share. Emits (doc_id, chunk_no, start_tok, n_chunk_tokens,
+    * chunk_text); a doc of n tokens yields 1 + ⌊(max(n,1)−1)/stride⌋
+    * chunks (an empty doc yields one empty chunk — the consumer decides
+    * emptiness policy, the chunker stays total).
+    *
+    * Fully declarative — tokenize, `posexplode(sequence(...))`, `slice`,
+    * `array_join`, all codegen'd builtins; map-only plan (census: 0
+    * shuffles), so it scales like any projection. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    chunkDocumentsOf(Tables.documents(s, d))
+
+  private[graft] def chunkDocumentsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", tokensCol)
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"toks", $"n",
+        posexplode(expr(
+          s"sequence(0, cast((greatest(n, 1) - 1) / $ChunkStride as int) * $ChunkStride, $ChunkStride)"))
+          .as(Seq("chunk_no", "start_tok")))
+      .select($"doc_id", $"chunk_no",
+        $"start_tok",
+        least(lit(ChunkSize), greatest($"n" - $"start_tok", lit(0)))
+          .as("n_chunk_tokens"),
+        array_join(slice($"toks", $"start_tok" + 1, lit(ChunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]]: same tokenization, same
+    * start-position arithmetic via `range` + `unnest`, 1-based inclusive
+    * list slicing mirroring Spark's `slice(arr, start, length)`. */
+  val chunkDocumentsOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |c AS (SELECT doc_id, toks, n, u.s AS start_tok,
+       |    CAST(u.s // $ChunkStride AS INT) AS chunk_no
+       |  FROM n, unnest(range(0, (greatest(n, 1) - 1) // $ChunkStride * $ChunkStride + 1,
+       |                        $ChunkStride)) AS u(s))
+       |SELECT doc_id, chunk_no, CAST(start_tok AS INT) AS start_tok,
+       |  CAST(least($ChunkSize, greatest(n - start_tok, 0)) AS INT) AS n_chunk_tokens,
+       |  array_to_string(toks[start_tok + 1 : start_tok + $ChunkSize], ' ') AS chunk_text
+       |FROM c""".stripMargin
+
   // ------------------------------------------------ BPE-ish pre-tokenizer
   /** GPT-2-style pre-tokenization segments: letter runs / digit runs /
     * punctuation runs, each optionally preceded by one space, plus

@@ -236,4 +236,31 @@ class TextSpec extends SparkTestBase {
       assert(h === 64 + (len * 7) % 512)
     }
   }
+
+  test("chunking: stride/overlap reconstruction, short and empty docs total") {
+    import graft.operators.TextOps
+    val words = (1 to 80).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),            // 80 tokens -> 4 chunks (starts 0,24,48,72)
+      (2L, "a b c"),                        // 3 tokens  -> 1 chunk
+      (3L, "")                              // empty     -> 1 empty chunk
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocumentsOf(docs)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).map(c => (c._2, c._3, c._4)) ===
+      Seq((0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 8)))
+    // every chunk's text is exactly the token slice it claims
+    got(1L).foreach { case (_, _, start, n, txt) =>
+      assert(txt === words.slice(start, start + math.min(TextOps.ChunkSize, 80 - start)).mkString(" "))
+      assert(n === math.min(TextOps.ChunkSize, 80 - start))
+    }
+    // consecutive chunks overlap by size - stride tokens
+    got(1L).sliding(2).foreach {
+      case Array(a, b) => assert(b._3 - a._3 === TextOps.ChunkStride)
+      case _           =>
+    }
+    assert(got(2L).toSeq === Seq((2L, 0, 0, 3, "a b c")))
+    assert(got(3L).toSeq === Seq((3L, 0, 0, 0, "")))
+  }
 }
