@@ -63,6 +63,8 @@ object PlanCensus {
       "localCheckpoint lineage cuts inside the star-contraction fixpoint loop"),
     "text_tfidf_top_terms" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row N aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "text_lm_bits" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "dedup_winnow_candidates" -> Map("BroadcastNestedLoopJoin" ->
       "df-cap sizing folded into the plan: crossJoin(broadcast(single-row ndocs aggregate)); build side is exactly 1 row"),
     "dedup_ngram_jaccard" -> Map("BroadcastNestedLoopJoin" ->

@@ -43,6 +43,7 @@ object SparkEntry {
       "text_source_stats"    -> (Corpus.sourceStats _),
       "train_mix_weights"    -> (Corpus.mixWeights _),
       "text_tfidf_top_terms" -> (Corpus.tfidfTopTerms _),
+      "text_lm_bits"         -> (Corpus.lmBits _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -112,6 +113,7 @@ object SparkEntry {
       "text_source_stats"    -> Corpus.sourceStatsOracle,
       "train_mix_weights"    -> Corpus.mixWeightsOracle,
       "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
+      "text_lm_bits"         -> Corpus.lmBitsOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,

@@ -88,6 +88,55 @@ object Corpus {
       .select($"doc_id", $"term", $"tf", $"rank", round($"tfidf", 4).as("tfidf"))
   }
 
+  /** Unigram-LM perplexity score (the CCNet perplexity-filter shape, but
+    * corpus-internal so it needs no external model file): train an
+    * add-one-smoothed unigram LM on the corpus itself — p(w) = (c(w)+1) /
+    * (N+V) — and score each document by its mean negative log2 token
+    * probability (bits/token). Boilerplate-heavy docs score low,
+    * rare-token soup scores high; a perplexity filter cuts both tails.
+    * Documents with zero tokens have no defined score and are omitted
+    * (the consumer's emptiness policy, as with [[Sampling.packSequences]]).
+    *
+    * Shape: explode → vocabulary count (two-phase) → word join back (the
+    * vocabulary is corpus-proportional — no broadcast hint, AQE sizes it,
+    * and hot words like stop-words are exactly the skew-join-split case
+    * rehearsed in SCALE_r5.md) → per-doc aggregate. N and V ride one
+    * broadcast single-row aggregate (the scalar-subquery shape).
+    * Float note: the per-doc sum of logs associates differently in DuckDB
+    * than in Spark's partial aggregation; bounded by ulps and absorbed by
+    * the shared 4dp rounding, like every double aggregate oracle here. */
+  def lmBits(s: SparkSession, d: String): DataFrame =
+    lmBitsOf(Tables.documents(s, d))
+
+  private[graft] def lmBitsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs.select($"doc_id",
+      explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+    val c = words.groupBy($"word").agg(count(lit(1)).as("c"))
+    val nv = c.agg(sum($"c").cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("v_total"))
+    words.join(c, "word").crossJoin(broadcast(nv))
+      .withColumn("bits", -log(2.0, ($"c" + 1) / ($"n_total" + $"v_total")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"bits") / count(lit(1)), 4).as("bits_per_token"))
+  }
+
+  /** DuckDB twin of [[lmBits]] — ln(x)/ln(2) mirrors Spark's
+    * `log(base, x)` evaluation shape. */
+  val lmBitsOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |c AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+      |t AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+      |             CAST(count(*) AS DOUBLE) AS v_total FROM c)
+      |SELECT tok.doc_id, count(*) AS n_tokens,
+      |  round(sum(-(ln((c.c + 1) / (t.n_total + t.v_total)) / ln(2))) / count(*), 4)
+      |    AS bits_per_token
+      |FROM tok JOIN c USING (word) CROSS JOIN t
+      |GROUP BY tok.doc_id""".stripMargin
+
   val tfidfTopTermsOracle: String =
     s"""WITH w AS (SELECT doc_id,
        |    unnest(list_filter(string_split_regex(text, '${"\\"}s+'), x -> x <> '')) AS term

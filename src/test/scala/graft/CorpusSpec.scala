@@ -50,4 +50,20 @@ class CorpusSpec extends SparkTestBase {
       assert(c >= Dedup.ContaminationMin && c <= 1.0 + 1e-9)
     }
   }
+
+  test("unigram-LM bits/token: hand-computed probabilities, empty doc omitted") {
+    import graft.operators.Corpus
+    // corpus "a a b" + "b c": c(a)=2 c(b)=2 c(c)=1, N=5, V=3 ->
+    // p(a)=p(b)=3/8, p(c)=2/8 with add-one smoothing
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.lmBitsOf(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def bits(p: Double) = -(math.log(p) / math.log(2))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((1L, 3L, r4((bits(3 / 8.0) * 2 + bits(3 / 8.0)) / 3))))
+    assert(got(2L) === ((2L, 2L, r4((bits(3 / 8.0) + bits(2 / 8.0)) / 2))))
+    assert(!got.contains(3L)) // zero tokens -> no defined score
+    // a common-token doc must score strictly fewer bits than a rare-token doc
+    assert(got(1L)._3 < got(2L)._3)
+  }
 }
