@@ -26,7 +26,11 @@ object SkewRehearsal {
   def main(args: Array[String]): Unit = {
     val dirs: Seq[(String, String)] = (if (args.nonEmpty) args.toSeq
       else Seq("uniform=target/sf1", "skew5=target/sf1skew5"))
-      .map { a => val Array(k, v) = a.split("=", 2); (k, v) }
+      .map { a =>
+        require(a.contains("="),
+          s"usage: runMain graft.SkewRehearsal <label>=<dir> [<label>=<dir> ...], got '$a'")
+        val Array(k, v) = a.split("=", 2); (k, v)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,11 +78,12 @@ object SkewRehearsal {
           fn(spark, dir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
-        // final adaptive plan inspection: collect (tiny output for the two
-        // aggregates; bounded session rows) so df's own QueryExecution
-        // finalizes, then count skew-split SMJs in the executed plan
+        // final adaptive plan inspection: materialize df's own
+        // QueryExecution WITHOUT a driver collect (sessionize emits
+        // corpus-proportional rows) — run the executed plan's RDD and
+        // count only partition sizes, then read the finalized plan
         val df = fn(spark, dir)
-        df.collect()
+        df.queryExecution.executedPlan.execute().count()
         val planStr = df.queryExecution.executedPlan.toString
         val skewJoins = "skew=true".r.findAllMatchIn(planStr).size
         if (sys.env.contains("SPARK_GRAFT_SKEW_EXPLAIN")) println(planStr)

@@ -377,36 +377,52 @@ object Similarity {
          |c${k}n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c$k)""".stripMargin
     private val passes = (1 to IvfLloydIters).map(lloydPass).mkString(",\n")
 
+  /** Seeding CTEs, mirroring the engine's [[SeedGreedyMax]] branch: gate k
+    * uses greedy farthest-first over the 16·k sample (recursive `sel`);
+    * large k takes the k smallest-mix64 vectors directly — same split as
+    * `lloydCentroids`, so the oracle stays an exact twin under a
+    * `GRAFT_IVF_CELLS` override instead of silently diverging. */
+  private def seedCtes: String =
+    if (IvfCells <= SeedGreedyMax)
+      s"""smp AS (SELECT vec_id, v, m FROM
+         |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT ${16 * IvfCells}),
+         |-- all pairwise sample cos-dists, precomputed WITHOUT correlation:
+         |-- DuckDB lambdas cannot capture correlated outer columns, so the
+         |-- recursive step below only does list_contains lookups over this
+         |sd AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    1.0 - ${dotf("a.v", "b.v")} / (sqrt(${n2f("a.v")}) * sqrt(${n2f("b.v")})) AS dist
+         |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
+         |sel AS (
+         |  SELECT 1 AS step, [s0.vec_id] AS ids
+         |  FROM (SELECT vec_id FROM smp ORDER BY m LIMIT 1) s0
+         |  UNION ALL
+         |  SELECT s.step + 1,
+         |    list_append(s.ids, (
+         |      SELECT d.idb FROM sd d
+         |      WHERE list_contains(s.ids, d.ida) AND NOT list_contains(s.ids, d.idb)
+         |      GROUP BY d.idb ORDER BY min(d.dist) DESC, d.idb ASC LIMIT 1))
+         |  FROM sel s
+         |  WHERE s.step < least($IvfCells, (SELECT count(*) FROM smp))
+         |),
+         |ch AS (SELECT unnest(ids) AS id
+         |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)),
+         |c0 AS (SELECT row_number() OVER (ORDER BY ch.id) - 1 AS cid, p.v AS cv
+         |  FROM ch JOIN smp p ON p.vec_id = ch.id)""".stripMargin
+    else
+      s"""smp AS (SELECT vec_id, v, m FROM
+         |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT $IvfCells),
+         |-- big-k branch (engine's SeedGreedyMax): seeds are the k
+         |-- smallest-mix64 vectors themselves, cells numbered by vec_id
+         |c0 AS (SELECT row_number() OVER (ORDER BY p.vec_id) - 1 AS cid, p.v AS cv
+         |  FROM smp p)""".stripMargin
+
   /** Shared CTE chain: raw embeddings → deterministic sample → k-means++
     * seeds → [[IvfLloydIters]] Lloyd passes → `asg` = (vec_id, cell), the
     * corpus cell assignment. Everything through `asg` is common to the
     * IVF top-k twin and the SemDeDup twin; suffix CTEs differ. */
   private def ivfCorpusCtes: String =
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |smp AS (SELECT vec_id, v, m FROM
-       |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT ${16 * IvfCells}),
-       |-- all pairwise sample cos-dists, precomputed WITHOUT correlation:
-       |-- DuckDB lambdas cannot capture correlated outer columns, so the
-       |-- recursive step below only does list_contains lookups over this
-       |sd AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-       |    1.0 - ${dotf("a.v", "b.v")} / (sqrt(${n2f("a.v")}) * sqrt(${n2f("b.v")})) AS dist
-       |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
-       |sel AS (
-       |  SELECT 1 AS step, [s0.vec_id] AS ids
-       |  FROM (SELECT vec_id FROM smp ORDER BY m LIMIT 1) s0
-       |  UNION ALL
-       |  SELECT s.step + 1,
-       |    list_append(s.ids, (
-       |      SELECT d.idb FROM sd d
-       |      WHERE list_contains(s.ids, d.ida) AND NOT list_contains(s.ids, d.idb)
-       |      GROUP BY d.idb ORDER BY min(d.dist) DESC, d.idb ASC LIMIT 1))
-       |  FROM sel s
-       |  WHERE s.step < least($IvfCells, (SELECT count(*) FROM smp))
-       |),
-       |ch AS (SELECT unnest(ids) AS id
-       |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)),
-       |c0 AS (SELECT row_number() OVER (ORDER BY ch.id) - 1 AS cid, p.v AS cv
-       |  FROM ch JOIN smp p ON p.vec_id = ch.id),
+       |$seedCtes,
        |c0n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c0),
        |u0 AS (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e),
        |u AS (SELECT vec_id,

@@ -79,14 +79,28 @@ object EventStream {
     * read-back is only so the finite-gate harness can compare results;
     * production consumers read the sink directory directly. */
   def runAppendToFileSink(s: SparkSession, df: DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
+    // under target/, not /tmp: repeated harness runs (Bench repeats,
+    // Verify) would otherwise accumulate unbounded data+checkpoint dirs
+    // outside the build tree; target/ is bounded by `sbt clean`
+    val base = java.nio.file.Paths.get("target", "stream_sink",
+      java.lang.Long.toHexString(System.nanoTime()))
+    java.nio.file.Files.createDirectories(base)
     val out = s"$base/out"
     val q = df.writeStream.outputMode(OutputMode.Append())
       .format("parquet").option("path", out)
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(out)
+    // a stream that emitted nothing (empty source, or every window still
+    // inside the watermark) writes no parquet files — read.parquet would
+    // throw "unable to infer schema"; the correct result is an EMPTY
+    // frame with the stream's schema
+    val wrote = new java.io.File(out).listFiles() match {
+      case null => false
+      case fs   => fs.exists(_.getName.endsWith(".parquet"))
+    }
+    if (wrote) s.read.parquet(out)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
   /** Streaming exact dedup over the event stream with state actually
@@ -286,23 +300,52 @@ object EventStream {
         if (open) close()
         out.result()
       }
-      .groupByKey(_.user_id)
-      .flatMapGroups { (user: Long, it: Iterator[SessPiece]) =>
-        // local runs are time-disjoint per the range partitioning; the sort
-        // key is fully deterministic so equal-ts boundary splits merge the
-        // same way every run
-        val fs = it.toArray.sortBy(p => (p.start_ts, p.last_ts, p.n, p.sum))
-        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        var last = 0L; var n = 0L; var sum = 0.0; var open = false
-        fs.foreach { f =>
-          if (!open) { last = f.last_ts; n = f.n; sum = f.sum; open = true }
-          else if (f.start_ts - last <= 1800) {
-            last = math.max(last, f.last_ts); n += f.n; sum += f.sum }
-          else { sessions += ((n, sum)); last = f.last_ts; n = f.n; sum = f.sum }
-        }
-        if (open) sessions += ((n, sum))
-        sessions.iterator.zipWithIndex.map { case ((nn, ss), i) =>
-          SessionAgg(user, i + 1L, nn, roundHalfUp2(ss))
+      // merge stage: secondary sort, NOT groupByKey — a flatMapGroups
+      // would buffer one user's whole piece set in a single task's heap,
+      // which is exactly the adversarial bot (1-event sessions at corpus
+      // share) this operator exists to survive. Hash-repartition the
+      // summaries by user, sort within partitions on the fully
+      // deterministic key (so equal-ts boundary splits merge identically
+      // every run — local runs are time-disjoint per the range
+      // partitioning), and run one O(1)-state chain fold; the sort's
+      // spillable machinery carries the hot user, never the heap.
+      .repartition(col("user_id"))
+      .sortWithinPartitions(
+        col("user_id"), col("start_ts"), col("last_ts"), col("n"), col("sum"))
+      .as[SessPiece]
+      .mapPartitions { ps =>
+        // streaming fold, one emitted session at a time — no output
+        // buffering either (the hot user's sessions flow through, never
+        // accumulate), mirroring sessionizeBatchEquivalent's iterator
+        new scala.collection.AbstractIterator[SessionAgg] {
+          private var open = false
+          private var u = 0L; private var sid = 0L; private var last = 0L
+          private var n = 0L; private var sum = 0.0
+          private var pending: Option[SessionAgg] = None
+          private def closed: SessionAgg = SessionAgg(u, sid, n, roundHalfUp2(sum))
+          private def advance(): Unit = {
+            while (pending.isEmpty && ps.hasNext) {
+              val f = ps.next()
+              if (!open || f.user_id != u) {
+                if (open) pending = Some(closed)
+                open = true; u = f.user_id; sid = 1L
+                last = f.last_ts; n = f.n; sum = f.sum
+              } else if (f.start_ts - last <= 1800) {
+                last = math.max(last, f.last_ts); n += f.n; sum += f.sum
+              } else {
+                pending = Some(closed); sid += 1
+                last = f.last_ts; n = f.n; sum = f.sum
+              }
+            }
+            if (pending.isEmpty && !ps.hasNext && open) {
+              pending = Some(closed); open = false
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): SessionAgg = {
+            advance()
+            val h = pending.get; pending = None; h
+          }
         }
       }
       .toDF("user_id", "session_id", "n_events", "session_value")

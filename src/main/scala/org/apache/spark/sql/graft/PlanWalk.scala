@@ -24,11 +24,12 @@ object PlanWalk {
 
   final case class Counts(shuffles: Int, broadcasts: Int,
                           cartesian: Boolean, bnlj: Boolean,
-                          existingRdd: Boolean, fullWidthScan: Boolean)
+                          existingRdd: Boolean, fullWidthScan: Boolean,
+                          bnljCount: Int)
 
   def countsOf(root: SparkPlan): Counts = {
-    var sh = 0; var bc = 0
-    var cart = false; var bnlj = false; var rdd = false; var wide = false
+    var sh = 0; var bc = 0; var bnljN = 0
+    var cart = false; var rdd = false; var wide = false
     val seenCaches = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
@@ -53,7 +54,7 @@ object PlanWalk {
         case other =>
           other match {
             case _: CartesianProductExec        => cart = true
-            case _: BroadcastNestedLoopJoinExec => bnlj = true
+            case _: BroadcastNestedLoopJoinExec => bnljN += 1
             case _: RDDScanExec                 => rdd = true
             case _                              => ()
           }
@@ -62,6 +63,40 @@ object PlanWalk {
       p.subqueries.foreach(walk)
     }
     walk(root)
-    Counts(sh, bc, cart, bnlj, rdd, wide)
+    Counts(sh, bc, cart, bnljN > 0, rdd, wide, bnljN)
+  }
+
+  /** The build-side subtree of every BroadcastNestedLoopJoin in the tree
+    * (AQE/stages descended) — lets a spec assert each one is the benign
+    * 1-row scalar-subquery shape rather than exempting a query wholesale. */
+  def bnljBuildPlans(root: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val out = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case j: BroadcastNestedLoopJoinExec =>
+          out += (j.buildSide match {
+            case BuildLeft  => j.left
+            case BuildRight => j.right
+          })
+          j.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  /** True iff the subtree aggregates to exactly one row: some aggregate
+    * node with NO grouping expressions (the scalar-subquery build shape). */
+  def isSingleRowAggregate(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => isSingleRowAggregate(a.executedPlan)
+    case q: QueryStageExec        => isSingleRowAggregate(q.plan)
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || a.children.exists(isSingleRowAggregate)
+    case other => other.children.exists(isSingleRowAggregate)
   }
 }

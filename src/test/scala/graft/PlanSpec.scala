@@ -93,12 +93,25 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("winnow near-dup pairs: candidate generation is an equi-join on the fingerprint") {
+    val df = graft.operators.TextOps.winnowCandidates(spark, sf)
+    df.write.mode("overwrite").format("noop").save() // AQE-finalize
+    // NestedLoops ARE expected here — but ONLY the crossJoin(broadcast(
+    // 1-row ndocs aggregate)) that folds the df-cap into the plan (the
+    // scalar-subquery shape, replicated into each branch that consumes
+    // the capped index). Checking every BNLJ's BUILD SIDE on the tree
+    // (not the explain text, which repeats nodes across AQE sections)
+    // keeps the guard: a genuine quadratic BNLJ (e.g. a candidate
+    // self-join that lost its fingerprint key) has a non-single-row
+    // build and fails here instead of hiding under the per-query
+    // census exemption
+    import org.apache.spark.sql.graft.PlanWalk
+    val c = PlanWalk.countsOf(df.queryExecution.executedPlan)
+    assert(!c.cartesian)
+    val builds = PlanWalk.bnljBuildPlans(df.queryExecution.executedPlan)
+    assert(builds.nonEmpty)
+    builds.foreach(b =>
+      assert(PlanWalk.isSingleRowAggregate(b), s"non-scalar BNLJ build:\n$b"))
     val p = planOf(graft.operators.TextOps.winnowCandidates(spark, sf))
-    // a NestedLoop IS now expected: the crossJoin(broadcast(1-row ndocs
-    // aggregate)) that folds the df-cap into the plan (the scalar-subquery
-    // shape — PlanCensus exempts it with a 1-row-build justification);
-    // candidate generation itself must stay an equi-join
-    assert(!p.contains("Cartesian"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }

@@ -58,8 +58,9 @@ def main():
             n_pass += 1
         else:
             print(f"FAIL {q}: rows got={len(got)} exp={len(exp)}")
-            diff_g = [r for r in got if r not in set(exp)][:3]
-            diff_e = [r for r in exp if r not in set(got)][:3]
+            es, gs = set(exp), set(got)
+            diff_g = [r for r in got if r not in es][:3]
+            diff_e = [r for r in exp if r not in gs][:3]
             for r in diff_g: print(f"   got-only: {r}")
             for r in diff_e: print(f"   exp-only: {r}")
             n_fail += 1
@@ -78,19 +79,29 @@ def bound_sketches(con, out_dir):
     land in <outDir>/sketch_bounds.json."""
     import os
     rsd, tol = 0.02, 3 * 0.02
+
+    # an empty result dir must report FAIL-BOUND, not crash the formatter;
+    # exact count 0 is a bounded comparison too (abs diff gate), not a
+    # division error
+    def rel_err(a, e):
+        return abs(a - e) / e if e else (0.0 if a == 0 else float("inf"))
+
+    def fmt4(w):
+        return "n/a" if w is None else f"{w:.4f}"
+
     results, fails = {}, 0
     q25 = f"{out_dir}/q25_approx_distinct"
     if os.path.isdir(q25):
         rows = con.sql(
             f"SELECT l_returnflag, approx_parts, exact_parts FROM '{q25}/*.parquet'"
         ).fetchall()
-        worst = max((abs(a - e) / e) for _, a, e in rows) if rows else None
+        worst = max((rel_err(a, e)) for _, a, e in rows) if rows else None
         ok = bool(rows) and all(
             abs(a - e) <= max(2, tol * e) for _, a, e in rows)
         results["q25_approx_distinct"] = {
             "groups": len(rows), "max_rel_err": worst, "tol": tol, "ok": ok}
         print(f"{'BOUNDED' if ok else 'FAIL-BOUND'} q25_approx_distinct: "
-              f"{len(rows)} groups, max rel err {worst:.4f} vs tol {tol}")
+              f"{len(rows)} groups, max rel err {fmt4(worst)} vs tol {tol}")
         fails += 0 if ok else 1
     prof = f"{out_dir}/profile_lineitem_approx"
     exact = f"{out_dir}/profile_lineitem"
@@ -99,13 +110,13 @@ def bound_sketches(con, out_dir):
             f"""SELECT a.column_name, a.n_distinct, e.n_distinct
                 FROM '{prof}/*.parquet' a JOIN '{exact}/*.parquet' e
                 USING (column_name)""").fetchall()
-        worst = max((abs(a - e) / e) for _, a, e in rows) if rows else None
+        worst = max((rel_err(a, e)) for _, a, e in rows) if rows else None
         ok = bool(rows) and all(
             abs(a - e) <= max(2, tol * e) for _, a, e in rows)
         results["profile_lineitem_approx"] = {
             "groups": len(rows), "max_rel_err": worst, "tol": tol, "ok": ok}
         print(f"{'BOUNDED' if ok else 'FAIL-BOUND'} profile_lineitem_approx: "
-              f"{len(rows)} columns, max rel err {worst:.4f} vs tol {tol}")
+              f"{len(rows)} columns, max rel err {fmt4(worst)} vs tol {tol}")
         fails += 0 if ok else 1
     if results:
         json.dump(results, open(f"{out_dir}/sketch_bounds.json", "w"), indent=1)

@@ -7,26 +7,12 @@ Same canonicalization as tools/check.py (columns sorted by name, rows
 sorted, floats to 9g), but takes the SQL from a file so a single oracle can
 be iterated without re-running graft.Verify.
 """
-import sys, math
+import os
+import sys
 import duckdb
 
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        rr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.9g}"
-            rr.append(str(v))
-        out.append(tuple(rr))
-    out.sort()
-    return out
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import canon  # ONE canonicalizer — check.py's gate compare
 
 
 def main():
@@ -44,8 +30,9 @@ def main():
     if got == want:
         print("MATCH")
     else:
-        only_got = [r for r in got if r not in set(want)]
-        only_want = [r for r in want if r not in set(got)]
+        ws, gs = set(want), set(got)
+        only_got = [r for r in got if r not in ws]
+        only_want = [r for r in want if r not in gs]
         print(f"MISMATCH: {len(only_got)} spark-only, {len(only_want)} oracle-only")
         for r in only_got[:10]:
             print("  spark-only:", r)
