@@ -150,6 +150,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pack + chunk == in-memory models on random corpora (property, 8 seeds)") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextOps}
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n     <- Gen.choose(5, 40)
+      sizes <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(0, 12),    // typical docs
+        1 -> Gen.const(0),         // empty
+        1 -> Gen.choose(13, 30))) // oversize vs the budget below
+    } yield sizes.zipWithIndex.map { case (k, i) =>
+      ((i + 1).toLong, Seq.tabulate(k)(j => s"t${i}x$j").mkString(" ")) }
+    samples(corpusGen, 8).foreach { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      def toks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      // ---- packing vs in-memory next-fit (budget 10, 4 buckets)
+      val wantPack = corpus.groupBy(_._1 % 4).toSeq.flatMap { case (b, ds) =>
+        var seq = 0L; var acc = 0L
+        ds.sortBy(_._1).map { case (id, t) =>
+          val n = toks(t).length.toLong
+          if (seq == 0L || acc + n > 10) { seq += 1; acc = n } else acc += n
+          (id, b, seq, n)
+        }
+      }.toSet
+      val gotPack = Sampling.packSequencesOf(docs, budget = 10L, buckets = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotPack === wantPack, s"corpus sizes: ${corpus.map(_._2.length)}")
+      // ---- chunking vs direct slice arithmetic
+      val wantChunks = corpus.flatMap { case (id, t) =>
+        val ts = toks(t)
+        val starts = 0 to math.max(ts.length - 1, 0) by TextOps.ChunkStride
+        starts.zipWithIndex.map { case (s0, i) =>
+          (id, i, s0, math.min(TextOps.ChunkSize, math.max(ts.length - s0, 0)),
+            ts.slice(s0, s0 + TextOps.ChunkSize).mkString(" ")) }
+      }.toSet
+      val gotChunks = TextOps.chunkDocumentsOf(docs)
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(gotChunks === wantChunks)
+    }
+  }
+
   test("maple∘juice word count == in-memory groupBy count (property, 8 samples)") {
     import spark.implicits._
     val mj = new MapleJuice(spark)
