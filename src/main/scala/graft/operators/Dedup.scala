@@ -31,6 +31,70 @@ object Dedup {
     * Scala caps AND both DuckDB oracles, so they cannot drift. */
   val DfCapCeiling = 64L
 
+  // ------------------------------------- identical-copy collapse/expansion
+  /** Shared identical-copy guard for the df-pruned pairwise operators
+    * ([[ngramJaccardPairsOf]], [[TextOps.winnowCandidatesOf]]): collapse
+    * byte-identical docs to their min-doc_id representative BEFORE the
+    * pruned index is built, score pairs among representatives only, then
+    * expand rep pairs back to copy pairs and add the within-group clique
+    * at score 1.0.
+    *
+    * Why: with the absolute [[DfCapCeiling]], a cluster of more than ~64
+    * identical copies makes every one of its index keys hot, so all pairs
+    * inside it silently vanish from a pruned index — and duplicate-heavy
+    * clusters are precisely what a dedup operator must find. Collapsing
+    * first bounds every cluster's index contribution to ONE doc; the
+    * expansion is output-bound (those pairs ARE the result).
+    *
+    * `eligible` scopes the collapse to docs that can produce index keys at
+    * all (gram-bearing / long-enough) — an ineligible doc can never pair,
+    * and keeping it out preserves the node universe. `score` names the score
+    * column `scoreReps` emits alongside (doc_a, doc_b); identical text ⇒
+    * identical key set ⇒ the rep's score transfers to every copy pair. */
+  private[graft] def expandCollapsedPairs(
+      docs: DataFrame, eligible: Column, score: String)(
+      scoreReps: DataFrame => DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val withH = docs.filter(eligible).select($"doc_id", md5($"text").as("h"))
+    val groups = withH.groupBy($"h").agg(min($"doc_id").as("rep"))
+    val members = withH.join(groups, "h").select($"doc_id", $"rep")
+    val repDocs = docs.join(
+      groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
+    val repPairs = scoreReps(repDocs)
+    val expanded = repPairs
+      .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
+      .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
+      .select(least($"ma", $"mb").as("doc_a"),
+        greatest($"ma", $"mb").as("doc_b"), col(score))
+    val withinGroup = members.as("a").join(members.as("b"),
+        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(1.0).as(score))
+    expanded.union(withinGroup)
+  }
+
+  /** DuckDB twin of [[expandCollapsedPairs]]'s collapse half: the
+    * `wg`/`grp`/`mem`/`repdocs` CTE prologue (no leading `WITH`, no
+    * trailing comma). `eligibleWhere` mirrors the `eligible` predicate. */
+  private[graft] def collapseCtes(eligibleWhere: String): String =
+    s"""wg AS (SELECT doc_id, md5(text) AS h FROM documents
+       |  WHERE $eligibleWhere),
+       |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
+       |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
+       |repdocs AS (SELECT d.doc_id, d.text
+       |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep)""".stripMargin
+
+  /** DuckDB twin of [[expandCollapsedPairs]]'s expansion half: the final
+    * SELECT over a rep-pair CTE named `rp` with score column `score`. */
+  private[graft] def expandCollapsedSql(score: String): String =
+    s"""SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |       greatest(ma.doc_id, mb.doc_id) AS doc_b, $score
+       |FROM rp JOIN mem ma ON ma.rep = rp.doc_a JOIN mem mb ON mb.rep = rp.doc_b
+       |UNION ALL
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS $score
+       |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
+
   /** Distinct word-3-gram shingles per doc, via the native codegen'd
     * WordGrams expression (semantics asserted equal to the DuckDB oracle's
     * list-lambda form in ExpressionsSpec; the interpreted lambda tree it
@@ -109,50 +173,31 @@ object Dedup {
                                          cacheGrams: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // identical-copy collapse, scoped to GRAM-BEARING docs (a gram-less
-    // doc can never pair; keeping it out preserves the node universe)
-    val withH = docs
-      .filter(size(org.apache.spark.sql.graft.GraftFunctions
-        .wordGrams($"text", 3)) > 0)
-      .select($"doc_id", md5($"text").as("h"))
-    val groups = withH.groupBy($"h").agg(min($"doc_id").as("rep"))
-    val members = withH.join(groups, "h").select($"doc_id", $"rep")
-    val repDocs = docs.join(
-      groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
-
-    // cacheGrams: the gram frame feeds the df aggregate, the pruned index,
-    // and the sizes join (bounded-corpus default, as with the LSH gram
-    // cache); at 100 TB set false — recomputing a scan is cheaper than
-    // churning a cache (same contract as minhashLshPairs)
-    val grams0 = gramsOf(repDocs)
-    val grams = if (cacheGrams) grams0.cache() else grams0
-    val (rarePairs, hot, g) = prunedRarePairs(grams)
-    val hotSets = g.join(broadcast(hot), Seq("gram"))
-      .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
-    val sizes = grams.select($"doc_id", size($"grams").as("n"))
-    val repPairs = rarePairs
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .join(hotSets.select($"doc_id".as("doc_a"), $"hg".as("ha")), Seq("doc_a"), "left")
-      .join(hotSets.select($"doc_id".as("doc_b"), $"hg".as("hb")), Seq("doc_b"), "left")
-      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
-        .otherwise(size(array_intersect($"ha", $"hb"))))
-      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
-      .filter($"jac" >= 0.5)
-      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
-
-    // expand rep pairs to copy pairs (identical text ⇒ identical gram set
-    // ⇒ same jac), and add the within-group clique at jac 1.0
-    val expanded = repPairs
-      .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
-      .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
-      .select(least($"ma", $"mb").as("doc_a"),
-        greatest($"ma", $"mb").as("doc_b"), $"jac")
-    val withinGroup = members.as("a").join(members.as("b"),
-        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        lit(1.0).as("jac"))
-    expanded.union(withinGroup)
+    // collapse scoped to GRAM-BEARING docs; see [[expandCollapsedPairs]]
+    expandCollapsedPairs(docs,
+      size(org.apache.spark.sql.graft.GraftFunctions.wordGrams($"text", 3)) > 0,
+      "jac") { repDocs =>
+      // cacheGrams: the gram frame feeds the df aggregate, the pruned index,
+      // and the sizes join (bounded-corpus default, as with the LSH gram
+      // cache); at 100 TB set false — recomputing a scan is cheaper than
+      // churning a cache (same contract as minhashLshPairs)
+      val grams0 = gramsOf(repDocs)
+      val grams = if (cacheGrams) grams0.cache() else grams0
+      val (rarePairs, hot, g) = prunedRarePairs(grams)
+      val hotSets = g.join(broadcast(hot), Seq("gram"))
+        .groupBy($"doc_id").agg(collect_set($"gram").as("hg"))
+      val sizes = grams.select($"doc_id", size($"grams").as("n"))
+      rarePairs
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .join(hotSets.select($"doc_id".as("doc_a"), $"hg".as("ha")), Seq("doc_a"), "left")
+        .join(hotSets.select($"doc_id".as("doc_b"), $"hg".as("hb")), Seq("doc_b"), "left")
+        .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
+          .otherwise(size(array_intersect($"ha", $"hb"))))
+        .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
+        .filter($"jac" >= 0.5)
+        .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+    }
   }
 
   /** Rare-index candidate pairs with rare-shared counts, plus the hot-gram
@@ -190,13 +235,11 @@ object Dedup {
   }
 
   val ngramJaccardOracle: String =
-    s"""WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
-      |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 3),
-      |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
-      |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
-      |t AS (SELECT d.doc_id,
-      |    list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS toks
-      |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep),
+    s"""WITH ${collapseCtes(
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 3")},
+      |t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      |  FROM repdocs),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
@@ -215,12 +258,7 @@ object Dedup {
       |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |  WHERE c / (sa.n + sb.n - c) >= 0.5)
-      |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-      |       greatest(ma.doc_id, mb.doc_id) AS doc_b, jac
-      |FROM rp JOIN mem ma ON ma.rep = rp.doc_a JOIN mem mb ON mb.rep = rp.doc_b
-      |UNION ALL
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jac
-      |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
+      |${expandCollapsedSql("jac")}""".stripMargin
 
   // ------------------------------------------------------------ MinHash LSH
   /** MinHash signatures (128 perms) + banded LSH (32 bands × 4 rows →

@@ -410,72 +410,56 @@ object TextOps {
                                         cacheFps: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // identical-copy collapse, scoped to fingerprint-BEARING docs (text
-    // shorter than k emits no fingerprints and can never pair; keeping
-    // such docs out preserves the node universe)
-    val withH = docs.filter(length($"text") >= WinnowK)
-      .select($"doc_id", md5($"text").as("h"))
-    val groups = withH.groupBy($"h").agg(min($"doc_id").as("rep"))
-    val members = withH.join(groups, "h").select($"doc_id", $"rep")
-    val repDocs = docs.join(
-      groups.select($"rep".as("doc_id")), Seq("doc_id"), "left_semi")
+    // collapse scoped to fingerprint-BEARING docs (text shorter than k
+    // emits no fingerprints); see [[Dedup.expandCollapsedPairs]]
+    Dedup.expandCollapsedPairs(docs, length($"text") >= WinnowK,
+      "winnow_jac") { repDocs =>
 
-    val fps0 = winnowFingerprintsOf(repDocs)
-    val fps = if (cacheFps) fps0.cache() else fps0
-    // df cap: max(16, 1%) absolute-bounded at [[Dedup.DfCapCeiling]] — a
-    // pure percentage cap grows with the corpus, making the per-bucket
-    // self-join (0.01·n)² = quadratic overall (measured: 65× time at 10×
-    // docs in the sf1 rehearsal), and even a loose ceiling leaves a
-    // quadratic transition regime (see the constant's doc). True
-    // near-dup pairs share many fingerprints including single-digit-df
-    // ones, so the tight ceiling costs no measurable recall (TextSpec
-    // recall bound holds). The doc count is a broadcast single-row
-    // aggregate (the scalar-subquery shape, as in tf-idf) — part of the
-    // one plan, no separate driver-side count() action.
-    val nd = fps.agg(countDistinct($"doc_id").as("ndocs"))
-    val hot = fps.groupBy($"fingerprint")
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nd))
-      .filter($"df" > least(greatest(lit(16L), ($"ndocs" / 100).cast("long")),
-        lit(Dedup.DfCapCeiling)))
-      .select($"fingerprint")
-    // hot set is small by construction (fingerprints in >1% of docs)
-    val rare = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
-    // exact-intersection under the prune (same trick as the n-gram
-    // Jaccard operator): the rare self-join counts c_rare per pair in ONE
-    // aggregate — no distinct pass, no full fingerprint sets shipped per
-    // candidate — and the hot contribution |hot(a)∩hot(b)| is added back
-    // from per-doc HOT sets (small by construction), so the emitted score
-    // is the exact full-set jaccard at pruned-index cost
-    val rarePairs = rare.as("a").join(rare.as("b"),
-        $"a.fingerprint" === $"b.fingerprint" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c_rare"))
-    val hotSets = fps.join(broadcast(hot), Seq("fingerprint"))
-      .groupBy($"doc_id").agg(collect_set($"fingerprint").as("hf"))
-    val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val repPairs = rarePairs
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .join(hotSets.select($"doc_id".as("doc_a"), $"hf".as("ha")), Seq("doc_a"), "left")
-      .join(hotSets.select($"doc_id".as("doc_b"), $"hf".as("hb")), Seq("doc_b"), "left")
-      .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
-        .otherwise(size(array_intersect($"ha", $"hb"))))
-      .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
-      .filter($"jac" >= WinnowJaccard)
-      .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
-
-    // expand rep pairs to copy pairs, add the within-group clique at 1.0
-    val expanded = repPairs
-      .join(members.select($"rep".as("doc_a"), $"doc_id".as("ma")), "doc_a")
-      .join(members.select($"rep".as("doc_b"), $"doc_id".as("mb")), "doc_b")
-      .select(least($"ma", $"mb").as("doc_a"),
-        greatest($"ma", $"mb").as("doc_b"), $"winnow_jac")
-    val withinGroup = members.as("a").join(members.as("b"),
-        $"a.rep" === $"b.rep" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        lit(1.0).as("winnow_jac"))
-    expanded.union(withinGroup)
+      val fps0 = winnowFingerprintsOf(repDocs)
+      val fps = if (cacheFps) fps0.cache() else fps0
+      // df cap: max(16, 1%) absolute-bounded at [[Dedup.DfCapCeiling]] — a
+      // pure percentage cap grows with the corpus, making the per-bucket
+      // self-join (0.01·n)² = quadratic overall (measured: 65× time at 10×
+      // docs in the sf1 rehearsal), and even a loose ceiling leaves a
+      // quadratic transition regime (see the constant's doc). True
+      // near-dup pairs share many fingerprints including single-digit-df
+      // ones, so the tight ceiling costs no measurable recall (TextSpec
+      // recall bound holds). The doc count is a broadcast single-row
+      // aggregate (the scalar-subquery shape, as in tf-idf) — part of the
+      // one plan, no separate driver-side count() action.
+      val nd = fps.agg(countDistinct($"doc_id").as("ndocs"))
+      val hot = fps.groupBy($"fingerprint")
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter($"df" > least(greatest(lit(16L), ($"ndocs" / 100).cast("long")),
+          lit(Dedup.DfCapCeiling)))
+        .select($"fingerprint")
+      // hot set is small by construction (fingerprints in >1% of docs)
+      val rare = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+      // exact-intersection under the prune (same trick as the n-gram
+      // Jaccard operator): the rare self-join counts c_rare per pair in ONE
+      // aggregate — no distinct pass, no full fingerprint sets shipped per
+      // candidate — and the hot contribution |hot(a)∩hot(b)| is added back
+      // from per-doc HOT sets (small by construction), so the emitted score
+      // is the exact full-set jaccard at pruned-index cost
+      val rarePairs = rare.as("a").join(rare.as("b"),
+          $"a.fingerprint" === $"b.fingerprint" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("c_rare"))
+      val hotSets = fps.join(broadcast(hot), Seq("fingerprint"))
+        .groupBy($"doc_id").agg(collect_set($"fingerprint").as("hf"))
+      val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      rarePairs
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .join(hotSets.select($"doc_id".as("doc_a"), $"hf".as("ha")), Seq("doc_a"), "left")
+        .join(hotSets.select($"doc_id".as("doc_b"), $"hf".as("hb")), Seq("doc_b"), "left")
+        .withColumn("c", $"c_rare" + when($"ha".isNull || $"hb".isNull, 0)
+          .otherwise(size(array_intersect($"ha", $"hb"))))
+        .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
+        .filter($"jac" >= WinnowJaccard)
+        .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
+    }
   }
 
   /** DuckDB twin of [[winnowCandidates]] — including the df-prune AND the
@@ -487,12 +471,7 @@ object TextOps {
     * pairs to copy pairs and adds the within-group clique at 1.0, as in
     * the engine. */
   val winnowCandidatesOracle: String =
-    s"""WITH wg AS (SELECT doc_id, md5(text) AS h FROM documents
-       |  WHERE length(text) >= $WinnowK),
-       |grp AS (SELECT h, min(doc_id) AS rep FROM wg GROUP BY h),
-       |mem AS (SELECT w.doc_id, g.rep FROM wg w JOIN grp g USING (h)),
-       |repdocs AS (SELECT d.doc_id, d.text
-       |  FROM documents d SEMI JOIN grp ON d.doc_id = grp.rep),
+    s"""WITH ${Dedup.collapseCtes(s"length(text) >= $WinnowK")},
        |${winnowCtesFrom("repdocs")},
        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM fps),
        |hot AS (SELECT fp FROM fps GROUP BY fp
@@ -508,12 +487,7 @@ object TextOps {
        |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS winnow_jac
        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE c / (sa.n + sb.n - c) >= $WinnowJaccard)
-       |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-       |       greatest(ma.doc_id, mb.doc_id) AS doc_b, winnow_jac
-       |FROM rp JOIN mem ma ON ma.rep = rp.doc_a JOIN mem mb ON mb.rep = rp.doc_b
-       |UNION ALL
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS winnow_jac
-       |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
+       |${Dedup.expandCollapsedSql("winnow_jac")}""".stripMargin
 
   // ------------------------------------------------------- PII redaction
   /** PII redaction — the standard pre-training curation pass: mask email

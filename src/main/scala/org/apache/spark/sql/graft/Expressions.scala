@@ -141,6 +141,38 @@ object ExprHelpers {
   private def cachedSeeds(k: Int): Array[Long] =
     seedCache.computeIfAbsent(k, kk => Hashing.seeds(kk))
 
+  /** Bloom-filter bit positions of a key: pos(i) = mix64(fnv1a64(key) ^
+    * seed(i)) masked to the low `log2m` bits — the SAME deterministic
+    * fnv→splitmix64 family as MinHash, so the filter contents (and its
+    * false positives) are reproducible across JVMs and in the DuckDB
+    * oracle. */
+  def bloomPositions(s: UTF8String, k: Int, log2m: Int): ArrayData = {
+    val base = fnv1a64Utf8(s)
+    val seeds = cachedSeeds(k)
+    val mask = (1L << log2m) - 1L
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = Hashing.mix64(base ^ seeds(i)) & mask; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Membership probe against a bitmap of 2^log2m bits stored as longs
+    * (word j holds bits [64j, 64j+64)): true iff ALL k positions of
+    * [[bloomPositions]] are set. */
+  def bloomContains(bits: ArrayData, s: UTF8String, k: Int, log2m: Int): Boolean = {
+    val base = fnv1a64Utf8(s)
+    val seeds = cachedSeeds(k)
+    val mask = (1L << log2m) - 1L
+    var i = 0
+    while (i < k) {
+      val pos = Hashing.mix64(base ^ seeds(i)) & mask
+      if (((bits.getLong((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
