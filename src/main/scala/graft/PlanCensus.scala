@@ -69,5 +69,7 @@ object PlanCensus {
       "df-cap sizing folded into the plan: crossJoin(broadcast(single-row ndocs aggregate)); build side is exactly 1 row"),
     "dedup_ngram_jaccard" -> Map("BroadcastNestedLoopJoin" ->
       "df-cap sizing folded into the plan: crossJoin(broadcast(single-row ndocs aggregate)); build side is exactly 1 row"),
+    "dedup_contamination_bloom" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row Bloom bitmap aggregate)) — the scalar-subquery shape; build side is exactly 1 row of fixed 128 KiB"),
   )
 }

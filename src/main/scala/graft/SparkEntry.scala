@@ -53,6 +53,7 @@ object SparkEntry {
       "dedup_embedding_cosine" -> (Dedup.embeddingPairs _),
       "dedup_keep_list"        -> (Dedup.keepList _),
       "dedup_contamination"    -> (Dedup.contamination _),
+      "dedup_contamination_bloom" -> (Dedup.bloomContamination _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       // similarity search
@@ -115,6 +116,7 @@ object SparkEntry {
       "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
       "text_lm_bits"         -> Corpus.lmBitsOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
+      "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,

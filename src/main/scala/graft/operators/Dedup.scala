@@ -347,13 +347,22 @@ object Dedup {
     * signatures for ~half of all (doc, permutation) cells, which shifts
     * band buckets and flips candidate pairs near the recall threshold
     * (the same signed-minima trap the winnow oracle documents). */
-  val minhashLshOracle: String = {
+  /** SQL builders for exact 64-bit unsigned arithmetic in DuckDB (HUGEINT
+    * intermediates, explicit mod-2^64): every oracle that must replicate
+    * the engine's fnv1a64 → splitmix64 hash family bit-for-bit composes
+    * from these — MinHash-LSH, sign-LSH ANN, and the Bloom filter. */
+  private[operators] object SqlU64 {
     val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+
+    /** (a * c) mod 2^64 with `a` a HUGEINT in [0, 2^64): 32-bit limbs so no
+      * intermediate exceeds HUGEINT range. */
     def mul(a: String, c: Long): String = {
       val bh = c >>> 32
       val bl = c & 0xFFFFFFFFL
       s"((( ($a) * $bl ) % $U + ((( ($a) * $bh ) % 4294967296) * 4294967296)) % $U)"
     }
+
+    /** splitmix64 finalizer — twin of [[graft.functions.Hashing.mix64]]. */
     def mix(x: String): String = {
       val s1 = s"((($x) + CAST(11400714819323198485 AS HUGEINT)) % $U)"
       val x1 = s"(xor($s1, $s1 // (1::HUGEINT << 30)))"
@@ -362,8 +371,28 @@ object Dedup {
       val s3 = mul(x2, 0x94d049bb133111ebL)
       s"xor($s3, $s3 // (1::HUGEINT << 31))"
     }
+
+    /** A Long rendered as its unsigned HUGEINT literal. */
     def uns(l: Long): String =
       s"CAST(${java.lang.Long.toUnsignedString(l)} AS HUGEINT)"
+
+    /** vocab/vbytes/fnv CTE chain: distinct `gram`s of CTE `src` hashed to
+      * unsigned-64 `h` by fnv1a64 over UTF-8 bytes (via hex expansion) —
+      * twin of [[graft.functions.Hashing.fnv1a64]]. Emits CTEs `vocab`,
+      * `vb`, `vbytes`, `fnv(gram, h)`. */
+    def fnvCtes(src: String): String =
+      s"""vocab AS (SELECT DISTINCT gram FROM $src),
+         |vb AS (SELECT gram, hex(encode(gram)) AS hx FROM vocab),
+         |vbytes AS (SELECT gram, list_transform(range(length(hx) // 2),
+         |    i -> CAST(16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
+         |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM vb),
+         |fnv AS (SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+         |    (h, c) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
+         |               * 1099511628211) % $U) AS h FROM vbytes)""".stripMargin
+  }
+
+  val minhashLshOracle: String = {
+    import SqlU64.{U, mix, uns}
     val seedList = graft.functions.Hashing.seeds(MinHashPerms)
       .map(uns).mkString("[", ", ", "]")
     val initList = (0 until MinHashBands)
@@ -378,14 +407,7 @@ object Dedup {
        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
        |  FROM t WHERE len(toks) >= 3),
        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-       |vocab AS (SELECT DISTINCT gram FROM g),
-       |vb AS (SELECT gram, hex(encode(gram)) AS hx FROM vocab),
-       |vbytes AS (SELECT gram, list_transform(range(length(hx) // 2),
-       |    i -> CAST(16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
-       |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM vb),
-       |fnv AS (SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-       |    (h, c) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
-       |               * 1099511628211) % $U) AS h FROM vbytes),
+       |${SqlU64.fnvCtes("g")},
        |gh AS (SELECT g.doc_id, f.h FROM g JOIN fnv f USING (gram)),
        |seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
        |          FROM unnest(range($MinHashPerms)) AS t(i)),
@@ -635,6 +657,117 @@ object Dedup {
        |  round(overlap / s.n, 4) AS containment
        |FROM ov JOIN sz s ON s.doc_id = train_doc
        |WHERE overlap / s.n >= $ContaminationMin""".stripMargin
+
+  // --------------------------------------------- bloom decontamination
+  /** [[contamination]]'s 100 TB-eval variant: when the eval side is itself
+    * too large to broadcast as a raw gram index (a full benchmark-suite
+    * union, or a holdout SPLIT that grows with the corpus), its grams are
+    * folded into a FIXED-size Bloom bitmap — 2^[[BloomLog2m]] bits =
+    * 128 KiB at the default, regardless of eval cardinality — and every
+    * training document is scored map-side by the fraction of its grams the
+    * filter contains. Emits (train_doc, n_grams, n_hit, hit_rate) for
+    * hit_rate >= [[BloomHitMin]].
+    *
+    * Scale shape: the build side is ONE typed single-row aggregation —
+    * each task ORs the positions it sees into its own 128 KiB bitmap
+    * buffer (map-side partials), and the final merge ORs one buffer per
+    * task — so the only shuffled bytes are nTasks × 128 KiB. The probe is
+    * `crossJoin(broadcast(1-row bitmap))` — the same census-exempted
+    * scalar-subquery shape as tf-idf — so the corpus never shuffles and
+    * the probe stays map-side
+    * ([[org.apache.spark.sql.graft.BloomContains]]). (A first cut built
+    * the dense array declaratively as `transform(sequence(0, words-1),
+    * w -> coalesce(m[w], 0))` over a `map_from_entries` row — correct,
+    * but `GetMapValue` is a LINEAR scan per lookup, and 16k lookups ×
+    * 16k-entry map = 134M interpreted comparisons on one thread: 8.2 s
+    * of the query's 9 s. The Aggregator build measures 0.3 s.)
+    *
+    * Determinism: positions come from the SAME fnv1a64 → splitmix64 seed
+    * stream as MinHash (`mix64(fnv1a64(gram) ^ seed(i)) & (2^log2m - 1)`),
+    * so the filter contents — INCLUDING its false positives — are
+    * bit-reproducible across JVMs, and the DuckDB twin replicates the
+    * probe exactly: "probabilistic" again does not mean "unverifiable". */
+  val BloomK = 5
+  val BloomLog2m = 20
+  val BloomHitMin = 0.3
+
+  def bloomContamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions
+    val g = gramsOf(Tables.documents(s, d))
+    val nWords = 1 << (BloomLog2m - 6)
+    // empty-array zero is the no-rows-seen sentinel (the meanAgg idiom) —
+    // a task that saw no eval grams ships 0 bytes, not 128 KiB of zeros
+    val bloomAgg = new org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+      def reduce(b: Array[Long], pos: Long): Array[Long] = {
+        val acc = if (b.length == 0) new Array[Long](nWords) else b
+        acc((pos >>> 6).toInt) |= 1L << (pos & 63L).toInt
+        acc
+      }
+      def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+        if (x.length == 0) y
+        else if (y.length == 0) x
+        else {
+          var i = 0
+          while (i < x.length) { x(i) |= y(i); i += 1 }
+          x
+        }
+      def finish(r: Array[Long]): Array[Long] =
+        if (r.length == 0) new Array[Long](nWords) else r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+    }
+    val bitmap = g.filter($"doc_id" < EvalSetSize)
+      .select(explode($"grams").as("gram"))
+      .select(explode(
+        GraftFunctions.bloomPositions($"gram", BloomK, BloomLog2m)).as("pos"))
+      .as[Long]
+      .select(bloomAgg.toColumn.name("bloom"))
+      .toDF()
+    g.filter($"doc_id" >= EvalSetSize)
+      .crossJoin(broadcast(bitmap))
+      .select($"doc_id".as("train_doc"),
+        size($"grams").cast("long").as("n_grams"),
+        size(filter($"grams", gm =>
+          GraftFunctions.bloomContains($"bloom", gm, BloomK, BloomLog2m)))
+          .cast("long").as("n_hit"))
+      .filter($"n_hit" / $"n_grams" >= BloomHitMin)
+      .select($"train_doc", $"n_grams", $"n_hit",
+        round($"n_hit" / $"n_grams", 4).as("hit_rate"))
+  }
+
+  /** DuckDB twin of [[bloomContamination]]: replays the position stream
+    * (fnv → k seeded splitmix64 mixes, mod 2^log2m) through [[SqlU64]],
+    * builds the eval position SET (a bitmap and a distinct-set are the
+    * same predicate), and declares a gram "contained" iff all
+    * [[BloomK]] of its positions are present — false positives and all. */
+  val bloomContaminationOracle: String = {
+    import SqlU64.{mix, uns}
+    val seedList = graft.functions.Hashing.seeds(BloomK)
+      .map(uns).mkString("[", ", ", "]")
+    val m = 1L << BloomLog2m
+    s"""WITH $gramCtes,
+       |${SqlU64.fnvCtes("g")},
+       |seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
+       |          FROM unnest(range($BloomK)) AS t(i)),
+       |pos AS (SELECT f.gram, ${mix("xor(f.h, seeds.s)")} % $m AS p
+       |  FROM fnv f CROSS JOIN seeds),
+       |epos AS (SELECT DISTINCT p.p FROM g JOIN pos p USING (gram)
+       |  WHERE g.doc_id < $EvalSetSize),
+       |hit AS (SELECT p.gram FROM pos p LEFT JOIN epos e ON p.p = e.p
+       |  GROUP BY p.gram HAVING count(*) = count(e.p))
+       |SELECT g.doc_id AS train_doc, max(s.n) AS n_grams,
+       |  count(h.gram) AS n_hit,
+       |  round(count(h.gram) / max(s.n), 4) AS hit_rate
+       |FROM g JOIN sz s USING (doc_id) LEFT JOIN hit h ON g.gram = h.gram
+       |WHERE g.doc_id >= $EvalSetSize
+       |GROUP BY 1
+       |HAVING count(h.gram) / max(s.n) >= $BloomHitMin""".stripMargin
+  }
 
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash per doc (bit-majority over token hashes), near-dup

@@ -336,21 +336,9 @@ object Similarity {
       s"list_reduce(list_prepend(0.0, list_transform(range(64), j -> $t)), (a, x) -> a + x)"
   private def dotf(a: String, b: String): String = fold(s"$a[j+1] * $b[j+1]")
   private def n2f(a: String): String = fold(s"$a[j+1] * $a[j+1]")
-  // splitmix64 over HUGEINT (same construction as the minhash-LSH twin)
-  private val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
-  private def mul(a: String, c: Long): String = {
-      val bh = c >>> 32
-      val bl = c & 0xFFFFFFFFL
-      s"((( ($a) * $bl ) % $U + ((( ($a) * $bh ) % 4294967296) * 4294967296)) % $U)"
-    }
-    private def mix(x: String): String = {
-      val s1 = s"((($x) + CAST(11400714819323198485 AS HUGEINT)) % $U)"
-      val x1 = s"(xor($s1, $s1 // (1::HUGEINT << 30)))"
-      val s2 = mul(x1, 0xbf58476d1ce4e5b9L)
-      val x2 = s"(xor($s2, $s2 // (1::HUGEINT << 27)))"
-      val s3 = mul(x2, 0x94d049bb133111ebL)
-      s"xor($s3, $s3 // (1::HUGEINT << 31))"
-    }
+  // splitmix64 over HUGEINT — the one shared construction ([[Dedup.SqlU64]])
+  private val U = Dedup.SqlU64.U
+  private def mix(x: String): String = Dedup.SqlU64.mix(x)
     private val mixU = mix("CAST(vec_id AS HUGEINT)")
     private val mixSigned =
       s"""CAST(CASE WHEN $mixU >= CAST(9223372036854775808 AS HUGEINT)

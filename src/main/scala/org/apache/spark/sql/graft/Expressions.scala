@@ -319,6 +319,49 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bloom_pos(str, k, log2m)` → array<bigint>: the k Bloom-filter
+  * bit positions of a key (deterministic fnv→splitmix64 family, masked to
+  * 2^log2m bits). The BUILD side of the distributed Bloom: explode these
+  * and OR them into a bitmap. */
+case class BloomPositions(child: Expression, k: Int, log2m: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 64, s"bloom k out of range: $k")
+  require(log2m >= 6 && log2m <= 32, s"bloom log2m out of range: $log2m")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.bloomPositions(input.asInstanceOf[UTF8String], k, log2m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ExprHelpers.bloomPositions($c, $k, $log2m)")
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
+/** `graft_bloom_contains(bits, str, k, log2m)` → boolean: the PROBE side —
+  * true iff all k positions of the key are set in the bitmap (an
+  * array<bigint> of 2^(log2m-6) words, usually a plan literal). Same hash
+  * family as [[BloomPositions]] by construction. */
+case class BloomContains(left: Expression, right: Expression, k: Int, log2m: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 64, s"bloom k out of range: $k")
+  require(log2m >= 6 && log2m <= 32, s"bloom log2m out of range: $log2m")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  override protected def nullSafeEval(bits: Any, s: Any): Any =
+    ExprHelpers.bloomContains(bits.asInstanceOf[ArrayData],
+      s.asInstanceOf[UTF8String], k, log2m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, c) => s"org.apache.spark.sql.graft.ExprHelpers.bloomContains($b, $c, $k, $log2m)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_wordgrams(text, n)` → array<string>: distinct word n-grams. */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -352,6 +395,10 @@ object GraftFunctions {
     ExpressionUtils.column(WinnowFingerprints(expression(c), k, w))
   def rollingHashes(c: Column, k: Int): Column =
     ExpressionUtils.column(RollingHashes(expression(c), k))
+  def bloomPositions(c: Column, k: Int, log2m: Int): Column =
+    ExpressionUtils.column(BloomPositions(expression(c), k, log2m))
+  def bloomContains(bits: Column, c: Column, k: Int, log2m: Int): Column =
+    ExpressionUtils.column(BloomContains(expression(bits), expression(c), k, log2m))
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -415,6 +462,19 @@ object GraftFunctions {
       exprs => RollingHashes(exprs.head,
         if (exprs.length > 1) foldableInt("graft_rollhash", exprs(1)) else 8),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_pos",
+      exprs => BloomPositions(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_bloom_pos", exprs(1)) else 5,
+        if (exprs.length > 2) foldableInt("graft_bloom_pos", exprs(2)) else 20),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => {
+        require(exprs.length >= 2,
+          s"graft_bloom_contains takes >= 2 arguments, got ${exprs.length}")
+        BloomContains(exprs.head, exprs(1),
+          if (exprs.length > 2) foldableInt("graft_bloom_contains", exprs(2)) else 5,
+          if (exprs.length > 3) foldableInt("graft_bloom_contains", exprs(3)) else 20)
+      }, "built-in")
   }
 }
 
@@ -456,6 +516,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_rollhash", classOf[RollingHashes],
       exprs => RollingHashes(exprs.head,
         if (exprs.length > 1) foldableInt("graft_rollhash", exprs(1)) else 8))
+    inject(ext, "graft_bloom_pos", classOf[BloomPositions],
+      exprs => BloomPositions(exprs.head,
+        if (exprs.length > 1) foldableInt("graft_bloom_pos", exprs(1)) else 5,
+        if (exprs.length > 2) foldableInt("graft_bloom_pos", exprs(2)) else 20))
+    inject(ext, "graft_bloom_contains", classOf[BloomContains], exprs => {
+      require(exprs.length >= 2,
+        s"graft_bloom_contains takes >= 2 arguments, got ${exprs.length}")
+      BloomContains(exprs.head, exprs(1),
+        if (exprs.length > 2) foldableInt("graft_bloom_contains", exprs(2)) else 5,
+        if (exprs.length > 3) foldableInt("graft_bloom_contains", exprs(3)) else 20)
+    })
     inject(ext, "graft_dot", classOf[ArrayDotProduct], exprs => {
       require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
       ArrayDotProduct(exprs.head, exprs(1))

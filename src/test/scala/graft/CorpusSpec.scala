@@ -51,6 +51,35 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("bloom contamination: rate dominates exact union-containment, no false negatives") {
+    import org.apache.spark.sql.functions._
+    // exact per-train-doc fraction of grams present in the eval gram UNION —
+    // the bloom can only ADD (false positives), never subtract
+    val g = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions.wordGrams($"text", 3).as("grams"))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", explode($"grams").as("gram"))
+    val evalGrams = g.filter($"doc_id" < Dedup.EvalSetSize)
+      .select("gram").distinct().withColumn("hitx", lit(1))
+    val exact = g.filter($"doc_id" >= Dedup.EvalSetSize)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg((count($"hitx") / count(lit(1))).as("exact_rate"))
+      .as[(Long, Double)].collect().toMap
+    val bloom = Dedup.bloomContamination(spark, sf)
+      .select("train_doc", "hit_rate").as[(Long, Double)].collect().toMap
+    assert(bloom.nonEmpty, "sf corpus is known to contain contaminated docs")
+    bloom.foreach { case (d, r) =>
+      assert(d >= Dedup.EvalSetSize)
+      assert(r >= Dedup.BloomHitMin && r <= 1.0 + 1e-9)
+      assert(r >= exact(d) - 1e-3, s"doc $d bloom rate $r below exact ${exact(d)}")
+    }
+    exact.collect { case (d, r) if r >= Dedup.BloomHitMin => d }.foreach { d =>
+      assert(bloom.contains(d), s"exact-contaminated doc $d missing from bloom flags")
+    }
+  }
+
   test("unigram-LM bits/token: hand-computed probabilities, empty doc omitted") {
     import graft.operators.Corpus
     // corpus "a a b" + "b c": c(a)=2 c(b)=2 c(c)=1, N=5, V=3 ->

@@ -27,6 +27,27 @@ class ExpressionsSpec extends SparkTestBase {
     assert(got.toSeq === expected)
   }
 
+  test("bloom build+probe round trip: inserted keys always probe true, disjoint keys rarely") {
+    val k = 5; val log2m = 16
+    val inserted = (1 to 256).map(i => s"k$i")
+    val pos = inserted.toDF("s")
+      .select(explode(GraftFunctions.bloomPositions($"s", k, log2m)).as("p"))
+      .as[Long].collect()
+    assert(pos.forall(p => p >= 0 && p < (1L << log2m)), "positions out of range")
+    // driver-built bitmap (same word layout the operator's bit_or fold uses)
+    val bits = new Array[Long](1 << (log2m - 6))
+    pos.foreach(p => bits((p >>> 6).toInt) |= 1L << (p & 63).toInt)
+    val probed = (inserted ++ (1 to 256).map(i => s"x$i")).toDF("s")
+      .select($"s", GraftFunctions.bloomContains(
+        typedLit(bits.toSeq), $"s", k, log2m))
+      .as[(String, Boolean)].collect().toMap
+    inserted.foreach(s => assert(probed(s), s"inserted key $s probed false"))
+    // <= 1280 of 65536 bits set -> per-key fp rate ~ 0.02^5; 256 probes
+    // should see none, but allow a loose bound so the test isn't flaky
+    // against future constant changes
+    assert((1 to 256).count(i => probed(s"x$i")) <= 8, "false-positive burst")
+  }
+
   test("graft_minhash expression equals a direct Scala computation") {
     val grams = Seq("aa bb", "bb cc", "cc dd")
     val got = Seq(grams).toDF("g")
