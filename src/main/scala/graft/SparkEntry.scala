@@ -56,6 +56,7 @@ object SparkEntry {
       "dedup_contamination_bloom" -> (Dedup.bloomContamination _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
+      "dedup_paragraphs"       -> (Dedup.paragraphDedup _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -119,6 +120,7 @@ object SparkEntry {
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
+      "dedup_paragraphs"      -> Dedup.paragraphDedupOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "ann_lsh_topk"   -> Similarity.annLshTopKOracle,

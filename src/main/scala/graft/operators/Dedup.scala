@@ -1102,6 +1102,95 @@ object Dedup {
        |SELECT doc_id, s AS span_start, e AS span_end, e - s AS span_len
        |FROM sp""".stripMargin
 
+  // ----------------------------------------------------- paragraph dedup
+  /** MassiveText-style exact PARAGRAPH dedup (Rae et al. 2021, Gopher
+    * §A.1.2): split each page on newlines, keep only the globally FIRST
+    * occurrence of every paragraph (ordered by (page_id, idx)), drop all
+    * later occurrences, and reassemble the cleaned page — the
+    * delimiter-aligned middle ground between [[exactDedup]] (whole doc)
+    * and [[spanCleanedDocs]] (arbitrary substrings).
+    *
+    * Shape: the canonical occurrence per paragraph is a
+    * `min(struct(page_id, idx))` AGGREGATE joined back on `md5(para)` —
+    * the [[spanCleanedDocsOf]] idiom: map-side combined, no window over
+    * the paragraph partition (a boilerplate paragraph duplicated m times
+    * would funnel into one straggler task), and the shuffle carries
+    * 16-byte digests, never paragraph text twice. Reassembly is a
+    * per-page sort + join over that page's own (tiny) kept list.
+    * Whitespace-only paragraphs are structure, not content — always kept,
+    * never canonical-checked (else every blank line after the first would
+    * vanish corpus-wide).
+    *
+    * The corpus documents are single-line, so the GATE input composes
+    * pages FROM them ([[paragraphPages]]): even pages pair docs
+    * (2k, 2k+1), odd pages pair (2k-1, 2k), each joined by '\n' — every
+    * document's text appears in exactly two pages, so keep-first has real
+    * work on every row and the expected drop set is fully determined
+    * (the [[exactDedup]] planted-input precedent). */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    paragraphCleanedPagesOf(
+      paragraphPages(Tables.documents(s, d).select($"doc_id", $"text")))
+  }
+
+  /** Even/odd offset pairing of consecutive docs into newline-joined
+    * pages: page 2k = docs (2k, 2k+1), page 2k+1 = docs (2k-1, 2k). */
+  private[graft] def paragraphPages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val a = docs.select(expr("(doc_id div 2) * 2").as("page_id"),
+      $"doc_id", $"text")
+    val b = docs.select(expr("((doc_id + 1) div 2) * 2 + 1").as("page_id"),
+      $"doc_id", $"text")
+    a.union(b).groupBy($"page_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"doc_id", $"text"))),
+        x => x("text")), "\n").as("text"))
+  }
+
+  /** [[paragraphDedup]] over an arbitrary (page_id, text) frame. Emits
+    * (page_id, n_paras, n_kept, clean_text); a page whose every paragraph
+    * was dropped is emitted with n_kept = 0 and empty clean_text. */
+  private[graft] def paragraphCleanedPagesOf(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    val paras = pages
+      .select($"page_id", posexplode(split($"text", "\n")).as(Seq("idx", "para")))
+      .withColumn("h", md5($"para"))
+    val canon = paras.groupBy($"h")
+      .agg(min(struct($"page_id", $"idx")).as("first"))
+    paras.join(canon, "h")
+      .withColumn("keep",
+        (struct($"page_id", $"idx") === $"first") || trim($"para") === "")
+      .groupBy($"page_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"idx", $"para")))),
+          x => x("para")), "\n").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[paragraphDedup]]: same page composition, keep-first
+    * as a row_number window over the paragraph text (equivalent to the
+    * engine's min-struct aggregate — rn = 1 ⟺ the (page_id, idx)
+    * minimum), same always-keep rule for whitespace-only paragraphs. */
+  val paragraphDedupOracle: String =
+    """WITH pa AS (SELECT 2 * (doc_id // 2) AS page_id, doc_id, text FROM documents),
+      |pb AS (SELECT 2 * ((doc_id + 1) // 2) + 1 AS page_id, doc_id, text FROM documents),
+      |pages AS (SELECT page_id, string_agg(text, chr(10) ORDER BY doc_id) AS text
+      |  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) u GROUP BY page_id),
+      |pl AS (SELECT page_id, string_split(text, chr(10)) AS ps FROM pages),
+      |paras AS (SELECT page_id, i AS idx, ps[i+1] AS para
+      |  FROM pl, unnest(range(len(ps))) AS t(i)),
+      |ranked AS (SELECT page_id, idx, para,
+      |    row_number() OVER (PARTITION BY para ORDER BY page_id, idx) AS rn
+      |  FROM paras),
+      |flagged AS (SELECT page_id, idx, para,
+      |    (rn = 1 OR trim(para) = '') AS keep FROM ranked)
+      |SELECT page_id, count(*) AS n_paras,
+      |  count(*) FILTER (WHERE keep) AS n_kept,
+      |  coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '')
+      |    AS clean_text
+      |FROM flagged GROUP BY page_id""".stripMargin
+
   // ----------------------------------------------------- embedding near-dup
   /** Exact embedding-cosine near-dup pairs (cosine >= 0.35).
     *

@@ -226,6 +226,37 @@ class DedupSpec extends SparkTestBase {
     assert(out === ((1L, d.substring(0, i2), 41)))
   }
 
+  test("paragraph dedup: keep-first across pages, blanks always kept, reassembly exact") {
+    import spark.implicits._
+    val pages = Seq(
+      (0L, "alpha beta\ncommon para\n\ntail one"),
+      (1L, "common para\nunique two\n\ncommon para"),
+      (2L, "alpha beta")
+    ).toDF("page_id", "text")
+    val got = Dedup.paragraphCleanedPagesOf(pages)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // page 0 holds the first occurrence of everything: kept verbatim
+    assert(got(0L) === ((0L, 4L, 4L, "alpha beta\ncommon para\n\ntail one")))
+    // page 1: "common para" is canonical at (0,1) -> BOTH its occurrences
+    // here drop (idx 0 and idx 3); the blank line always survives
+    assert(got(1L) === ((1L, 4L, 2L, "unique two\n")))
+    // page 2: single already-seen paragraph -> emitted empty, not omitted
+    assert(got(2L) === ((2L, 1L, 0L, "")))
+  }
+
+  test("paragraph dedup gate shape: every document's text drops exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // gate pages plant each doc's text in exactly two pages; the base
+    // table has no identical texts, so keep-first drops one copy per doc
+    val n = graft.core.Tables.documents(spark, sf).count()
+    val out = Dedup.paragraphDedup(spark, sf)
+      .agg(sum($"n_paras").as("paras"), sum($"n_kept").as("kept"))
+      .as[(Long, Long)].head()
+    assert(out._1 === 2 * n, "every doc should appear in exactly two pages")
+    assert(out._1 - out._2 === n, "exactly one copy of each doc should drop")
+  }
+
   test("simhash saturated band bucket is excluded from candidates (cap guard)") {
     import spark.implicits._
     // 300 signatures share band 0's chunk 0x1111 (> SimhashBucketCap) but
