@@ -238,8 +238,23 @@ object TextOps {
     * filter, all codegen'd builtins. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    qualityMetricsOf(Tables.documents(s, d))
+      .select(
+        $"doc_id",
+        $"n_toks".as("n_tokens"),
+        round($"n_stop" / cast2d($"n_toks"), 4).as("stopword_ratio"),
+        round($"n_punct" / cast2d(length($"text")), 4).as("punct_ratio"),
+        round($"n_digit" / cast2d(length($"text")), 4).as("digit_ratio"),
+        $"quality_score")
+  }
+
+  /** Shared scored-docs frame (token/stopword/punct/digit counts + the
+    * 4dp composite `quality_score`) — ONE copy of the score formula,
+    * selected from by [[qualityScore]] and [[qualityQuantileFilter]]. */
+  private def qualityMetricsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val stop = "('the','a','of','and','to','in','is','it')"
-    Tables.documents(s, d)
+    docs
       .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
       .withColumn("n_toks", size($"toks"))
       .withColumn("n_stop", expr(s"size(filter(toks, x -> x IN $stop))"))
@@ -247,36 +262,81 @@ object TextOps {
         length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
       .withColumn("n_digit",
         length($"text") - length(regexp_replace($"text", "[0-9]", "")))
-      .select(
-        $"doc_id",
-        $"n_toks".as("n_tokens"),
-        round($"n_stop" / cast2d($"n_toks"), 4).as("stopword_ratio"),
-        round($"n_punct" / cast2d(length($"text")), 4).as("punct_ratio"),
-        round($"n_digit" / cast2d(length($"text")), 4).as("digit_ratio"),
+      .withColumn("quality_score",
         round(
           least(lit(1.0), $"n_toks" / 100.0) * 0.5 +
             ($"n_stop" / cast2d($"n_toks")) * 0.3 +
-            (lit(1.0) - $"n_punct" / cast2d(length($"text"))) * 0.2, 4)
-          .as("quality_score"))
+            (lit(1.0) - $"n_punct" / cast2d(length($"text"))) * 0.2, 4))
   }
 
-  val qualityScoreOracle: String =
-    """WITH t AS (SELECT doc_id, text,
+  /** Per-source quality-quantile filter (the CCNet/RefinedWeb calibration
+    * shape): a doc is kept iff its quality score is at or above its OWN
+    * source's q-th percentile — a global threshold over-prunes sources
+    * whose style scores systematically lower. Emits every doc with its
+    * score, its source's threshold, and the keep verdict.
+    *
+    * Scale shape: the threshold table is one row per source (bounded, so
+    * the join-back is an explicit `broadcast()`, the nation/region hint
+    * class). `exact = true` (the gate/oracle mode) ranks with the exact
+    * sort-based `percentile`; at 100 TB pass `exact = false` for
+    * `approx_percentile` (KLL sketch, [[QualityApproxAcc]]) — one
+    * map-side-combined pass, no per-source sort. TextSpec asserts both
+    * modes agree at gate scale. */
+  val QualityQuantile = 0.25
+  val QualityApproxAcc = 10000
+
+  def qualityQuantileFilter(s: SparkSession, d: String): DataFrame =
+    qualityQuantileFilterOf(Tables.documents(s, d), exact = true)
+
+  private[graft] def qualityQuantileFilterOf(
+      docs: DataFrame, exact: Boolean): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = qualityMetricsOf(docs).select($"doc_id", $"source", $"quality_score")
+    val thrExpr =
+      if (exact) s"percentile(quality_score, $QualityQuantile)"
+      else s"approx_percentile(quality_score, $QualityQuantile, $QualityApproxAcc)"
+    val thr = sc.groupBy($"source").agg(expr(thrExpr).as("thr"))
+    sc.join(broadcast(thr), "source")
+      .select($"doc_id", $"source", $"quality_score",
+        round($"thr", 4).as("src_thr"),
+        ($"quality_score" >= $"thr").as("keep"))
+  }
+
+  /** Shared DuckDB twin of [[qualityMetricsOf]]: CTEs t/m/sc with sc
+    * carrying the counts and the 4dp composite `quality_score`. */
+  private val qualityCtes: String =
+    """t AS (SELECT doc_id, source, text,
       |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents),
-      |m AS (SELECT doc_id, text, len(toks) AS n_toks,
+      |m AS (SELECT doc_id, source, text, len(toks) AS n_toks,
       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
-      |  FROM t)
-      |SELECT doc_id, n_toks AS n_tokens,
+      |  FROM t),
+      |sc AS (SELECT doc_id, source, text, n_toks, n_stop, n_punct, n_digit,
+      |  round(least(1.0, n_toks / 100.0) * 0.5
+      |    + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
+      |    + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
+      |  FROM m)""".stripMargin
+
+  val qualityScoreOracle: String = "WITH " + qualityCtes + "\n" +
+    """SELECT doc_id, n_toks AS n_tokens,
       | round(n_stop / CAST(n_toks AS DOUBLE), 4) AS stopword_ratio,
       | round(n_punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
       | round(n_digit / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
-      | round(least(1.0, n_toks / 100.0) * 0.5
-      |   + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
-      |   + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
-      |FROM m""".stripMargin
+      | quality_score
+      |FROM sc""".stripMargin
+
+  /** DuckDB twin of [[qualityQuantileFilter]]: `quantile_cont` computes
+    * the same linear interpolation at p·(n−1) as Spark's exact
+    * `percentile`, over the same 4dp-rounded scores. */
+  val qualityQuantileFilterOracle: String = "WITH " + qualityCtes + ",\n" +
+    s"""thr AS (SELECT source, quantile_cont(quality_score, $QualityQuantile) AS thr
+       |  FROM sc GROUP BY source)
+       |SELECT sc.doc_id, sc.source, sc.quality_score,
+       |  round(thr.thr, 4) AS src_thr,
+       |  (sc.quality_score >= thr.thr) AS keep
+       |FROM sc JOIN thr USING (source)""".stripMargin
 
   // -------------------------------------------------------- fingerprinting
   /** Canonical document fingerprint: md5 of whitespace-normalized,

@@ -19,6 +19,34 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("quality quantile filter: per-source keep fraction, threshold membership, approx parity") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = TextOps.qualityQuantileFilterOf(docs, exact = true)
+      .select("doc_id", "source", "quality_score", "src_thr", "keep")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(exact.length === docs.count())
+    // keep verdict is consistent with the emitted threshold (4dp rounding
+    // can place score and thr within half an ulp -> compare with slack)
+    exact.foreach { case (id, _, score, thr, keep) =>
+      if (score >= thr + 5e-5) assert(keep, s"doc $id above thr but dropped")
+      if (score < thr - 5e-5) assert(!keep, s"doc $id below thr but kept")
+    }
+    // per source: at least (1-q) of docs keep, and at least one drops
+    // (scores are not all tied at this sf)
+    exact.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = rows.count(_._5)
+      assert(kept >= (rows.length * (1 - TextOps.QualityQuantile)).floor.toInt,
+        s"source $src kept too few")
+      assert(kept < rows.length, s"source $src dropped nothing")
+    }
+    // the approx_percentile scale mode agrees with exact at gate scale
+    val approx = TextOps.qualityQuantileFilterOf(docs, exact = false)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val exactKeep = exact.filter(_._5).map(_._1).toSet
+    assert(approx === exactKeep, "approx mode keep set diverged from exact")
+  }
+
   test("quality score is within [0,1]-ish bounds and deterministic") {
     val a = TextOps.qualityScore(spark, sf).select("doc_id", "quality_score")
       .as[(Long, Double)].collect().toMap
