@@ -78,11 +78,16 @@ object Multimodal {
   /** Feature-extraction stage over the binary column: per-payload mean
     * byte (the per-pixel-reduction shape) and frame count at a fixed
     * sampling stride — same per-partition batch pattern as [[decodeMeta]].
-    * The closure emits raw integer sums; the mean is rounded in SQL-land
-    * so the rounding semantics are Spark's `round` (= DuckDB's on these
-    * values), making the query fully hash-checkable against
-    * [[extractFeaturesOracle]] (byte values recovered in DuckDB from the
-    * hex expansion of the blob). */
+    * The closure emits raw integer sums; the 4dp mean is computed as
+    * INTEGER round-half-up of the true rational —
+    * `floor((sum·20000 + n) / (2n)) / 10000` — because rounding the
+    * double `sum/n` is a knife edge: Spark rounds the exact binary value
+    * via BigDecimal HALF_UP while DuckDB rounds a scaled double, and at
+    * sf1 two of 50k payloads landed on an x.x1245 half-boundary where the
+    * two disagree by one ulp of the 4th decimal. Integer division of
+    * identical integers is identical everywhere; the twin
+    * ([[extractFeaturesOracle]], byte values recovered in DuckDB from the
+    * hex expansion of the blob) uses the same formula. */
   def extractFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     binaryTable(s, d)
@@ -99,7 +104,8 @@ object Multimodal {
       .toDF("doc_id", "byte_sum", "byte_len", "n_frames")
       .select($"doc_id",
         when($"byte_len" === 0, 0.0)
-          .otherwise(round($"byte_sum" / $"byte_len".cast("double"), 4))
+          .otherwise(
+            expr("(byte_sum * 20000 + byte_len) div (byte_len * 2)") / 10000.0)
           .as("mean_byte"),
         $"n_frames")
   }
@@ -154,10 +160,10 @@ object Multimodal {
       |                  octet_length(encode(text)) AS n FROM documents)
       |SELECT doc_id,
       | CASE WHEN n = 0 THEN 0.0 ELSE
-      |   round(list_sum(list_transform(range(n), i ->
+      |   CAST((CAST(list_sum(list_transform(range(n), i ->
       |     (strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16 +
-      |     (strpos('0123456789ABCDEF', h[2*i+2]) - 1)))
-      |     / CAST(n AS DOUBLE), 4) END AS mean_byte,
+      |     (strpos('0123456789ABCDEF', h[2*i+2]) - 1))) AS BIGINT)
+      |     * 20000 + n) // (2 * n) AS BIGINT) / 10000.0 END AS mean_byte,
       | CAST(ceil(n / 32.0) AS INT) AS n_frames
       |FROM t""".stripMargin
 

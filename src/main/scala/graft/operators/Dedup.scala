@@ -632,13 +632,19 @@ object Dedup {
   val EvalSetSize = 50L
   val ContaminationMin = 0.3
 
-  def contamination(s: SparkSession, d: String): DataFrame = {
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOf(Tables.documents(s, d), EvalSetSize)
+
+  /** [[contamination]] over an arbitrary frame / eval prefix (the scale
+    * rehearsal's exact-baseline knob). */
+  private[graft] def contaminationOf(docs: DataFrame, evalMax: Long): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val g = gramsOf(Tables.documents(s, d))
+    val g = gramsOf(docs)
       .select($"doc_id", size($"grams").as("n"), explode($"grams").as("gram"))
-    val evalG = g.filter($"doc_id" < EvalSetSize)
+    val evalG = g.filter($"doc_id" < evalMax)
       .select($"doc_id".as("eval_doc"), $"gram")
-    val trainG = g.filter($"doc_id" >= EvalSetSize)
+    val trainG = g.filter($"doc_id" >= evalMax)
       .select($"doc_id".as("train_doc"), $"n", $"gram")
     trainG.join(broadcast(evalG), "gram")
       .groupBy($"train_doc", $"eval_doc")
@@ -691,11 +697,22 @@ object Dedup {
   val BloomLog2m = 20
   val BloomHitMin = 0.3
 
-  def bloomContamination(s: SparkSession, d: String): DataFrame = {
+  def bloomContamination(s: SparkSession, d: String): DataFrame =
+    bloomContaminationOf(Tables.documents(s, d), EvalSetSize, BloomK, BloomLog2m)
+
+  /** [[bloomContamination]] over an arbitrary (doc_id, text) frame with a
+    * chosen eval prefix and filter geometry. Size `log2m` to the eval
+    * side: FP rate ≈ (1 − e^(−k·n/m))^k, so 2^20 bits carry ~100k grams
+    * at <1e-4 and 2^24 (2 MiB — still trivially broadcastable) carries a
+    * multi-million-gram eval split, the regime the scale rehearsal
+    * measures. */
+  private[graft] def bloomContaminationOf(
+      docs: DataFrame, evalMax: Long, k: Int, log2m: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.graft.GraftFunctions
-    val g = gramsOf(Tables.documents(s, d))
-    val nWords = 1 << (BloomLog2m - 6)
+    val g = gramsOf(docs)
+    val nWords = 1 << (log2m - 6)
     // empty-array zero is the no-rows-seen sentinel (the meanAgg idiom) —
     // a task that saw no eval grams ships 0 bytes, not 128 KiB of zeros
     val bloomAgg = new org.apache.spark.sql.expressions.Aggregator[
@@ -721,19 +738,19 @@ object Dedup {
       def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
     }
-    val bitmap = g.filter($"doc_id" < EvalSetSize)
+    val bitmap = g.filter($"doc_id" < evalMax)
       .select(explode($"grams").as("gram"))
       .select(explode(
-        GraftFunctions.bloomPositions($"gram", BloomK, BloomLog2m)).as("pos"))
+        GraftFunctions.bloomPositions($"gram", k, log2m)).as("pos"))
       .as[Long]
       .select(bloomAgg.toColumn.name("bloom"))
       .toDF()
-    g.filter($"doc_id" >= EvalSetSize)
+    g.filter($"doc_id" >= evalMax)
       .crossJoin(broadcast(bitmap))
       .select($"doc_id".as("train_doc"),
         size($"grams").cast("long").as("n_grams"),
         size(filter($"grams", gm =>
-          GraftFunctions.bloomContains($"bloom", gm, BloomK, BloomLog2m)))
+          GraftFunctions.bloomContains($"bloom", gm, k, log2m)))
           .cast("long").as("n_hit"))
       .filter($"n_hit" / $"n_grams" >= BloomHitMin)
       .select($"train_doc", $"n_grams", $"n_hit",

@@ -150,6 +150,43 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("paragraph dedup == in-memory keep-first model on random pages (property, 8 seeds)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a small paragraph vocabulary forces cross-page duplicates; blanks
+    // (empty and whitespace-only) exercise the always-keep rule, including
+    // at page head/tail (trailing-empty split semantics)
+    val paraGen = Gen.frequency(
+      6 -> Gen.oneOf("alpha beta", "common para", "gamma delta x",
+        "tail one", "unique words here"),
+      2 -> Gen.oneOf("", "   "),
+      2 -> Gen.listOfN(8, Gen.oneOf('a' to 'e')).map(_.mkString))
+    val pageGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, paraGen))
+      .map(_.mkString("\n"))
+    val corpusGen: Gen[Seq[(Long, String)]] = Gen.choose(2, 8)
+      .flatMap(n => Gen.listOfN(n, pageGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(corpusGen, 8).foreach { corpus =>
+      // model: split with limit -1 (Spark's split keeps trailing empties),
+      // canonical = min (page_id, idx) per non-blank paragraph text
+      val paras = for { (pid, t) <- corpus
+                        (p, i) <- t.split("\n", -1).zipWithIndex }
+        yield (pid, i, p)
+      val canon = paras.filter(_._3.trim.nonEmpty).groupBy(_._3)
+        .map { case (p, os) => p -> os.map(o => (o._1, o._2)).min }
+      val want = corpus.map { case (pid, t) =>
+        val ps = t.split("\n", -1).zipWithIndex
+        val kept = ps.filter { case (p, i) =>
+          p.trim.isEmpty || canon(p) == ((pid, i)) }
+        (pid, ps.length.toLong, kept.length.toLong,
+          kept.map(_._1).mkString("\n"))
+      }.toSet
+      val got = Dedup.paragraphCleanedPagesOf(corpus.toDF("page_id", "text"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got === want, s"corpus: $corpus")
+    }
+  }
+
   test("pack + chunk == in-memory models on random corpora (property, 8 seeds)") {
     import spark.implicits._
     import graft.operators.{Sampling, TextOps}

@@ -9,7 +9,7 @@ by graft.Verify: columns sorted by name, rows sorted by all columns, values
 compared exactly (floats to 9dp to forgive representation noise only —
 queries are expected to round themselves).
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 
 def canon(rows, cols):
@@ -27,12 +27,37 @@ def canon(rows, cols):
     out.sort()
     return out
 
+def make_views(con, sf_dir):
+    """ONE table-view setup for check.py and check_one.py."""
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # driver testdata ships single parquet FILES; ScaleGen rehearsal
+        # corpora are Spark-written DIRECTORIES of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        if t == "events":
+            # driver parquet annotates ts as TIMESTAMP_NS; Spark (which
+            # reads it via nanosAsLong) re-writes rehearsal corpora as
+            # plain INT64 — restore a timestamp type so the oracle SQL
+            # binds identically on both corpus families. µs floor is
+            # oracle-equivalent: every oracle consumes ts at µs or coarser
+            # (epoch_us/date_trunc/date_diff), and each of those floors a
+            # TIMESTAMP_NS exactly like make_timestamp(ts // 1000) does
+            # (no oracle touches epoch_ns; this DuckDB lacks
+            # make_timestamp_ns).
+            (ts_type,) = [r[1] for r in
+                          con.execute("DESCRIBE events").fetchall()
+                          if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute("CREATE OR REPLACE VIEW events AS SELECT * "
+                            f"REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    make_views(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(glob.glob(f"{out_dir}/*/")):

@@ -12,15 +12,13 @@ import sys
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check import canon  # ONE canonicalizer — check.py's gate compare
+from check import canon, make_views  # ONE canonicalizer/view setup — check.py's
 
 
 def main():
     sf_dir, res_dir, sql_file = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    make_views(con, sf_dir)
     got_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
     got = canon(got_rel.fetchall(), got_rel.columns)
     want_rel = con.sql(open(sql_file).read())
