@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.EvalRehearsal [dir=target/sf1] [evalSizes=50,2000,10000]
   *
   * log2m is sized to the eval split (see [[graft.operators.Dedup
-  * .bloomContaminationOf]]): 2^24 bits = 2 MiB carries a multi-million-
-  * gram eval side at FP ≲ 1%, still trivially broadcastable. */
+  * .bloomContaminationOf]] for the FP curve): 2^24 bits = 2 MiB holds
+  * this sweep's largest eval side (~470k grams) at FP ≈ 4e-5, still
+  * trivially broadcastable; a multi-million-gram eval side would step up
+  * to 2^27 = 16 MiB. */
 object EvalRehearsal {
 
   def main(args: Array[String]): Unit = {
@@ -44,8 +46,8 @@ object EvalRehearsal {
     }
 
     sizes.foreach { evalMax =>
-      val evalGrams = graft.operators.Dedup.bloomContaminationOf(
-        docs, evalMax, 5, 24) // force plan build only below
+      val bloomFlagged = graft.operators.Dedup.bloomContaminationOf(
+        docs, evalMax, 5, 24)
       val nEvalGrams = docs.filter(col("doc_id") < evalMax)
         .select(explode(org.apache.spark.sql.graft.GraftFunctions
           .wordGrams(col("text"), 3)).as("gram"))
@@ -54,7 +56,7 @@ object EvalRehearsal {
         graft.operators.Dedup.contaminationOf(docs, evalMax)
           .select("train_doc").distinct().count()
       }
-      val (tBloom, nBloom) = timed { evalGrams.count() }
+      val (tBloom, nBloom) = timed { bloomFlagged.count() }
       println(f"[evalrehearsal] eval=$evalMax%-6d evalGrams=$nEvalGrams%-9d " +
         f"exact=${tExact}%6.2fs (flagged=$nExact) " +
         f"bloom=${tBloom}%6.2fs (flagged=$nBloom, bitmap=2MiB const)")

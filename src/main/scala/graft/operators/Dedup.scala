@@ -702,10 +702,12 @@ object Dedup {
 
   /** [[bloomContamination]] over an arbitrary (doc_id, text) frame with a
     * chosen eval prefix and filter geometry. Size `log2m` to the eval
-    * side: FP rate ≈ (1 − e^(−k·n/m))^k, so 2^20 bits carry ~100k grams
-    * at <1e-4 and 2^24 (2 MiB — still trivially broadcastable) carries a
-    * multi-million-gram eval split, the regime the scale rehearsal
-    * measures. */
+    * side: FP ≈ (1 − e^(−k·n/m))^k at k=5, so 2^20 bits hold ~10k grams
+    * at FP ≈ 2e-7 and ~100k at ≈ 8e-3; 2^24 (2 MiB — still trivially
+    * broadcastable) holds ~500k grams at ≈ 4e-5 and ~1.5M at ≈ 0.7%.
+    * Past that, grow log2m (2^27 = 16 MiB carries ~10M grams at <1%) —
+    * an underprovisioned filter inflates hit_rate toward 1 on CLEAN docs
+    * and over-drops training data. */
   private[graft] def bloomContaminationOf(
       docs: DataFrame, evalMax: Long, k: Int, log2m: Int): DataFrame = {
     val s = docs.sparkSession
@@ -754,7 +756,13 @@ object Dedup {
           .cast("long").as("n_hit"))
       .filter($"n_hit" / $"n_grams" >= BloomHitMin)
       .select($"train_doc", $"n_grams", $"n_hit",
-        round($"n_hit" / $"n_grams", 4).as("hit_rate"))
+        // 4dp as INTEGER round-half-up of the true rational (the
+        // Multimodal idiom): round()-ing the double n_hit/n_grams is a
+        // knife edge — an n_grams like 160 makes x.xxxx5 rationals whose
+        // doubles Spark (BigDecimal HALF_UP) and DuckDB (scaled-double
+        // round) resolve to different 4th decimals
+        (expr("(n_hit * 20000 + n_grams) div (n_grams * 2)") / 10000.0)
+          .as("hit_rate"))
   }
 
   /** DuckDB twin of [[bloomContamination]]: replays the position stream
@@ -779,7 +787,8 @@ object Dedup {
        |  GROUP BY p.gram HAVING count(*) = count(e.p))
        |SELECT g.doc_id AS train_doc, max(s.n) AS n_grams,
        |  count(h.gram) AS n_hit,
-       |  round(count(h.gram) / max(s.n), 4) AS hit_rate
+       |  ((count(h.gram) * 20000 + max(s.n)) // (max(s.n) * 2)) / 10000.0
+       |    AS hit_rate
        |FROM g JOIN sz s USING (doc_id) LEFT JOIN hit h ON g.gram = h.gram
        |WHERE g.doc_id >= $EvalSetSize
        |GROUP BY 1

@@ -291,15 +291,23 @@ object TextOps {
   private[graft] def qualityQuantileFilterOf(
       docs: DataFrame, exact: Boolean): DataFrame = {
     import docs.sparkSession.implicits._
-    val sc = qualityMetricsOf(docs).select($"doc_id", $"source", $"quality_score")
+    // rank and threshold in INTEGER space (score × 10⁴, exact by the 4dp
+    // grid): the interpolated percentile then works on small integers with
+    // quarter fractions — every term exact in double, so engine and oracle
+    // agree bit-for-bit regardless of interpolation arrangement, and the
+    // keep compare can never hit the Spark-vs-DuckDB round-half knife edge
+    // (the class the Multimodal fix documents)
+    val sc = qualityMetricsOf(docs)
+      .select($"doc_id", $"source", $"quality_score",
+        expr("cast(round(quality_score * 10000) as bigint)").as("sx"))
     val thrExpr =
-      if (exact) s"percentile(quality_score, $QualityQuantile)"
-      else s"approx_percentile(quality_score, $QualityQuantile, $QualityApproxAcc)"
-    val thr = sc.groupBy($"source").agg(expr(thrExpr).as("thr"))
+      if (exact) s"percentile(sx, $QualityQuantile)"
+      else s"approx_percentile(sx, $QualityQuantile, $QualityApproxAcc)"
+    val thr = sc.groupBy($"source").agg(expr(thrExpr).as("tx"))
     sc.join(broadcast(thr), "source")
       .select($"doc_id", $"source", $"quality_score",
-        round($"thr", 4).as("src_thr"),
-        ($"quality_score" >= $"thr").as("keep"))
+        ($"tx" / 10000.0).as("src_thr"),
+        ($"sx" >= $"tx").as("keep"))
   }
 
   /** Shared DuckDB twin of [[qualityMetricsOf]]: CTEs t/m/sc with sc
@@ -329,14 +337,17 @@ object TextOps {
 
   /** DuckDB twin of [[qualityQuantileFilter]]: `quantile_cont` computes
     * the same linear interpolation at p·(n−1) as Spark's exact
-    * `percentile`, over the same 4dp-rounded scores. */
+    * `percentile` — over the same ×10⁴ INTEGER scores, where every
+    * interpolation term is exact in double. */
   val qualityQuantileFilterOracle: String = "WITH " + qualityCtes + ",\n" +
-    s"""thr AS (SELECT source, quantile_cont(quality_score, $QualityQuantile) AS thr
-       |  FROM sc GROUP BY source)
-       |SELECT sc.doc_id, sc.source, sc.quality_score,
-       |  round(thr.thr, 4) AS src_thr,
-       |  (sc.quality_score >= thr.thr) AS keep
-       |FROM sc JOIN thr USING (source)""".stripMargin
+    s"""scx AS (SELECT doc_id, source, quality_score,
+       |  CAST(round(quality_score * 10000) AS BIGINT) AS sx FROM sc),
+       |thr AS (SELECT source, quantile_cont(sx, $QualityQuantile) AS tx
+       |  FROM scx GROUP BY source)
+       |SELECT scx.doc_id, scx.source, scx.quality_score,
+       |  thr.tx / 10000.0 AS src_thr,
+       |  (scx.sx >= thr.tx) AS keep
+       |FROM scx JOIN thr USING (source)""".stripMargin
 
   // -------------------------------------------------------- fingerprinting
   /** Canonical document fingerprint: md5 of whitespace-normalized,

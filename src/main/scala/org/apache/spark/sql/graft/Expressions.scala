@@ -160,6 +160,13 @@ object ExprHelpers {
     * (word j holds bits [64j, 64j+64)): true iff ALL k positions of
     * [[bloomPositions]] are set. */
   def bloomContains(bits: ArrayData, s: UTF8String, k: Int, log2m: Int): Boolean = {
+    // fail LOUDLY on a bits/log2m mismatch: getLong past the array end on
+    // UnsafeArrayData is assert-only and would return garbage memberships
+    val expect = 1 << (log2m - 6)
+    if (bits.numElements() != expect)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: bitmap has ${bits.numElements()} words, " +
+          s"log2m=$log2m requires exactly $expect")
     val base = fnv1a64Utf8(s)
     val seeds = cachedSeeds(k)
     val mask = (1L << log2m) - 1L

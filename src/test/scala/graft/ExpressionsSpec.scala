@@ -46,6 +46,16 @@ class ExpressionsSpec extends SparkTestBase {
     // should see none, but allow a loose bound so the test isn't flaky
     // against future constant changes
     assert((1 to 256).count(i => probed(s"x$i")) <= 8, "false-positive burst")
+    // a bits/log2m mismatch must fail loudly, not read garbage memberships
+    val err = intercept[Throwable] {
+      Seq("k1").toDF("s")
+        .select(GraftFunctions.bloomContains(typedLit(Seq(0L)), $"s", k, log2m))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(err).contains("bitmap has"),
+      s"expected the bitmap-length guard, got: ${chain(err)}")
   }
 
   test("graft_minhash expression equals a direct Scala computation") {

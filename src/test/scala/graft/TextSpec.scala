@@ -40,11 +40,25 @@ class TextSpec extends SparkTestBase {
         s"source $src kept too few")
       assert(kept < rows.length, s"source $src dropped nothing")
     }
-    // the approx_percentile scale mode agrees with exact at gate scale
-    val approx = TextOps.qualityQuantileFilterOf(docs, exact = false)
-      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
-    val exactKeep = exact.filter(_._5).map(_._1).toSet
-    assert(approx === exactKeep, "approx mode keep set diverged from exact")
+    // approx mode: the KLL sketch returns a dataset ELEMENT where exact
+    // interpolates between two, so the thresholds may legitimately differ —
+    // any keep-verdict divergence must be confined to docs scoring inside
+    // the band between the two thresholds (asserting set equality here
+    // would be data-dependent: it held on this corpus, then failed on the
+    // next generator tweak)
+    val approxRows = TextOps.qualityQuantileFilterOf(docs, exact = false)
+      .select("doc_id", "source", "quality_score", "src_thr", "keep")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    val thrE = exact.map(r => r._2 -> r._4).toMap
+    val thrA = approxRows.map(r => r._2 -> r._4).toMap
+    val keepE = exact.map(r => r._1 -> r._5).toMap
+    val divergent = approxRows.filter { case (id, _, _, _, k) => k != keepE(id) }
+    divergent.foreach { case (id, src, score, _, _) =>
+      val lo = math.min(thrE(src), thrA(src))
+      val hi = math.max(thrE(src), thrA(src))
+      assert(score >= lo - 1e-9 && score <= hi + 1e-9,
+        s"doc $id verdict diverges outside the threshold band [$lo, $hi]")
+    }
   }
 
   test("quality score is within [0,1]-ish bounds and deterministic") {
