@@ -95,6 +95,23 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS $score
        |FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id""".stripMargin
 
+  // --------------------------------------------- knife-edge-free ratios
+  /** 4dp round-half-up of the INTEGER rational num/den, in pure integer
+    * arithmetic (the Multimodal idiom): `round()`-ing the double quotient
+    * is a knife edge — Spark rounds the exact binary value via BigDecimal
+    * HALF_UP while DuckDB rounds a scaled double, and the two disagree by
+    * the 4th decimal's ulp whenever the true rational lands on x.xxxx5
+    * (any denominator dividing 20000, e.g. a gram-set union of 160).
+    * Integer division of identical integers is identical everywhere; the
+    * SQL twin is [[ratio4Sql]]. `num`/`den` are SQL sub-expressions over
+    * in-scope columns. */
+  private[operators] def ratio4(num: String, den: String): Column =
+    expr(s"(($num) * 20000 + ($den)) div (($den) * 2)") / 10000.0
+
+  /** DuckDB twin of [[ratio4]]. */
+  private[operators] def ratio4Sql(num: String, den: String): String =
+    s"((($num) * 20000 + ($den)) // (($den) * 2)) / 10000.0"
+
   /** Distinct word-3-gram shingles per doc, via the native codegen'd
     * WordGrams expression (semantics asserted equal to the DuckDB oracle's
     * list-lambda form in ExpressionsSpec; the interpreted lambda tree it
@@ -196,7 +213,7 @@ object Dedup {
           .otherwise(size(array_intersect($"ha", $"hb"))))
         .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
         .filter($"jac" >= 0.5)
-        .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+        .select($"doc_a", $"doc_b", ratio4("c", "na + nb - c").as("jac"))
     }
   }
 
@@ -255,7 +272,7 @@ object Dedup {
       |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
       |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
       |  GROUP BY 1, 2),
-      |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
+      |rp AS (SELECT doc_a, doc_b, ${ratio4Sql("c", "sa.n + sb.n - c")} AS jac
       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |  WHERE c / (sa.n + sb.n - c) >= 0.5)
       |${expandCollapsedSql("jac")}""".stripMargin
@@ -330,7 +347,8 @@ object Dedup {
       .withColumn("c", size(array_intersect($"ga", $"gb")))
       .withColumn("jac", $"c" / (size($"ga") + size($"gb") - $"c"))
       .filter($"jac" >= 0.5)
-      .select($"doc_a", $"doc_b", round($"jac", 4).as("jac"))
+      .select($"doc_a", $"doc_b",
+        ratio4("c", "size(ga) + size(gb) - c").as("jac"))
   }
 
   /** DuckDB twin of [[minhashLshPairs]] — the operator is DETERMINISTIC
@@ -428,7 +446,7 @@ object Dedup {
        |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
        |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
        |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jac
+       |SELECT doc_a, doc_b, ${ratio4Sql("c", "sa.n + sb.n - c")} AS jac
        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
   }
@@ -651,7 +669,7 @@ object Dedup {
       .agg(count(lit(1)).as("overlap"), max($"n").as("n_train"))
       .filter($"overlap" / $"n_train" >= ContaminationMin)
       .select($"train_doc", $"eval_doc", $"overlap",
-        round($"overlap" / $"n_train", 4).as("containment"))
+        ratio4("overlap", "n_train").as("containment"))
   }
 
   val contaminationOracle: String = "WITH " + gramCtes + ",\n" +
@@ -660,7 +678,7 @@ object Dedup {
        |  WHERE tr.doc_id >= $EvalSetSize AND ev.doc_id < $EvalSetSize
        |  GROUP BY 1, 2)
        |SELECT train_doc, eval_doc, overlap,
-       |  round(overlap / s.n, 4) AS containment
+       |  ${ratio4Sql("overlap", "s.n")} AS containment
        |FROM ov JOIN sz s ON s.doc_id = train_doc
        |WHERE overlap / s.n >= $ContaminationMin""".stripMargin
 
@@ -756,13 +774,7 @@ object Dedup {
           .cast("long").as("n_hit"))
       .filter($"n_hit" / $"n_grams" >= BloomHitMin)
       .select($"train_doc", $"n_grams", $"n_hit",
-        // 4dp as INTEGER round-half-up of the true rational (the
-        // Multimodal idiom): round()-ing the double n_hit/n_grams is a
-        // knife edge — an n_grams like 160 makes x.xxxx5 rationals whose
-        // doubles Spark (BigDecimal HALF_UP) and DuckDB (scaled-double
-        // round) resolve to different 4th decimals
-        (expr("(n_hit * 20000 + n_grams) div (n_grams * 2)") / 10000.0)
-          .as("hit_rate"))
+        ratio4("n_hit", "n_grams").as("hit_rate"))
   }
 
   /** DuckDB twin of [[bloomContamination]]: replays the position stream
@@ -787,8 +799,7 @@ object Dedup {
        |  GROUP BY p.gram HAVING count(*) = count(e.p))
        |SELECT g.doc_id AS train_doc, max(s.n) AS n_grams,
        |  count(h.gram) AS n_hit,
-       |  ((count(h.gram) * 20000 + max(s.n)) // (max(s.n) * 2)) / 10000.0
-       |    AS hit_rate
+       |  ${ratio4Sql("count(h.gram)", "max(s.n)")} AS hit_rate
        |FROM g JOIN sz s USING (doc_id) LEFT JOIN hit h ON g.gram = h.gram
        |WHERE g.doc_id >= $EvalSetSize
        |GROUP BY 1

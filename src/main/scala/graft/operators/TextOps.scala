@@ -529,7 +529,8 @@ object TextOps {
           .otherwise(size(array_intersect($"ha", $"hb"))))
         .withColumn("jac", $"c" / ($"na" + $"nb" - $"c"))
         .filter($"jac" >= WinnowJaccard)
-        .select($"doc_a", $"doc_b", round($"jac", 4).as("winnow_jac"))
+        .select($"doc_a", $"doc_b",
+          Dedup.ratio4("c", "na + nb - c").as("winnow_jac"))
     }
   }
 
@@ -555,7 +556,8 @@ object TextOps {
        |  FROM cand c JOIN fps a ON a.doc_id = c.doc_a
        |              JOIN fps b ON b.doc_id = c.doc_b AND a.fp = b.fp
        |  GROUP BY 1, 2),
-       |rp AS (SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS winnow_jac
+       |rp AS (SELECT doc_a, doc_b,
+       |    ${Dedup.ratio4Sql("c", "sa.n + sb.n - c")} AS winnow_jac
        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE c / (sa.n + sb.n - c) >= $WinnowJaccard)
        |${Dedup.expandCollapsedSql("winnow_jac")}""".stripMargin
