@@ -727,6 +727,15 @@ object Dedup {
     * an underprovisioned filter inflates hit_rate toward 1 on CLEAN docs
     * and over-drops training data. */
   private[graft] def bloomContaminationOf(
+      docs: DataFrame, evalMax: Long, k: Int, log2m: Int): DataFrame =
+    bloomProbeOf(docs, bloomBitmapOf(docs, evalMax, k, log2m),
+      evalMax, k, log2m)
+
+  /** The BUILD half: the 1-row `bloom` bitmap frame over the eval prefix
+    * of `docs`. Also consumed standalone by the streaming admission
+    * filter ([[graft.streaming.EventStream.streamingDecontaminateBatch]]),
+    * whose static side this is. */
+  private[graft] def bloomBitmapOf(
       docs: DataFrame, evalMax: Long, k: Int, log2m: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -758,14 +767,24 @@ object Dedup {
       def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
     }
-    val bitmap = g.filter($"doc_id" < evalMax)
+    g.filter($"doc_id" < evalMax)
       .select(explode($"grams").as("gram"))
       .select(explode(
         GraftFunctions.bloomPositions($"gram", k, log2m)).as("pos"))
       .as[Long]
       .select(bloomAgg.toColumn.name("bloom"))
       .toDF()
-    g.filter($"doc_id" >= evalMax)
+  }
+
+  /** The PROBE half: score every non-eval doc of `docs` (batch OR
+    * streaming — the probe is stateless and map-side, so the same code
+    * serves both) against a 1-row `bloom` bitmap frame. */
+  private[graft] def bloomProbeOf(docs: DataFrame, bitmap: DataFrame,
+      evalMax: Long, k: Int, log2m: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions
+    gramsOf(docs).filter($"doc_id" >= evalMax)
       .crossJoin(broadcast(bitmap))
       .select($"doc_id".as("train_doc"),
         size($"grams").cast("long").as("n_grams"),

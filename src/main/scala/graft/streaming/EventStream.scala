@@ -123,6 +123,36 @@ object EventStream {
   val streamingDedupOracle: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // ------------------------------------------- streaming decontamination
+  private val documentsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  def readDocuments(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(documentsSchema).parquet(s"$d/documents.parque*")
+
+  /** Streaming decontamination ADMISSION filter: probe a document STREAM
+    * against the static Bloom bitmap of the eval set — the shape by which
+    * new crawl shards are admitted to a training corpus (the filter is
+    * built once from the fixed eval side; every arriving shard is scored
+    * map-side with no state and no shuffle on the stream). A stream-static
+    * join whose static side is the 1-row bitmap: Structured Streaming
+    * re-evaluates the static plan per micro-batch, which here costs one
+    * tiny cached-scan aggregate, and the probe itself is stateless — so
+    * Append mode emits every scored doc immediately and the gate runs the
+    * scale sink shape directly ([[runAppendToFileSink]]), like
+    * [[streamingDedupBatch]]. Equality with the batch operator on the
+    * finite stream is exact (same probe code — [[graft.operators.Dedup
+    * .bloomProbeOf]] serves both), so the DuckDB oracle is the batch
+    * twin's, and StreamingSpec additionally pins stream ≡ batch. */
+  def streamingDecontaminateBatch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val bitmap = Dedup.bloomBitmapOf(graft.core.Tables.documents(s, d),
+      Dedup.EvalSetSize, Dedup.BloomK, Dedup.BloomLog2m)
+    runAppendToFileSink(s,
+      Dedup.bloomProbeOf(readDocuments(s, d), bitmap,
+        Dedup.EvalSetSize, Dedup.BloomK, Dedup.BloomLog2m))
+  }
+
   // ------------------------------------------------- stateful sessionization
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

@@ -107,6 +107,18 @@ class StreamingSpec extends SparkTestBase {
     assert(byUser(4L) === Set((4L, 1L, 1L, (rows.last._1 % 7) / 4.0)))
   }
 
+  test("streaming decontamination admission filter equals the batch bloom operator") {
+    import graft.operators.Dedup
+    val stream = EventStream.streamingDecontaminateBatch(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = Dedup.bloomContamination(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the probe is stateless and shared code, so equality is exact — the
+    // stream admits/flags precisely the docs the batch operator would
+    assert(stream === batch)
+    assert(stream.nonEmpty, "gate corpus is known to contain contaminated docs")
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closed sessions are a prefix of batch sessions") {
     // run the streaming sessionizer over the finite event set; the last
     // (open) session per user is retained in state, all closed ones emitted
