@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * plans can be exercised beyond the gate scale — the evidence behind the
   * "would this hold at 100 TB" claims. Usage:
   *
-  *   runMain graft.ScaleGen [outDir=target/sf1] [srcDir=/root/testdata/sf0.1] [factor=10] [skewPct=0]
+  *   runMain graft.ScaleGen [outDir=target/sf1] [srcDir=/root/testdata/sf0.1] [factor=10] [skewPct=0] [contamPerMille=0]
   *
   * With `skewPct` > 0 the generator additionally plants ONE hot key per
   * join/partition axis — skewPct% of orders reassigned to one customer,
@@ -43,6 +43,7 @@ object ScaleGen {
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val skewPct = if (args.length > 3) args(3).toInt else 0
+    val contamPerMille = if (args.length > 4) args(4).toInt else 0
     val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -142,19 +143,35 @@ object ScaleGen {
     val sources = (0 until 20).map(i => s"src$i")
     // twin docs (id % 100 == 1) generate from the previous id's stream and
     // append one token -> jaccard ≈ 0.9 planted near-dup pairs at 1%;
-    // the tail cluster all generates from one base id -> identical copies
+    // the tail cluster all generates from one base id -> identical copies.
+    // With contamPerMille > 0 (5th CLI arg, default 0 -> byte-identical
+    // corpora), ~that fraction of train docs (id % (1000/c) == 7, id >= 50)
+    // instead generate from an EVAL doc's stream (base = id % 50) and
+    // append 3 own tokens -> gram containment ≈ 0.9 planted eval-subset
+    // contamination, so the decontamination rehearsals measure RECALL at
+    // scale, not just cost (the round-6 honest-accounting gap).
+    val contamEvery = if (contamPerMille > 0) 1000L / contamPerMille else 0L
+    val isContam =
+      if (contamEvery > 0)
+        $"id" % contamEvery === 7 && $"id" >= 50 && $"id" < nDocs - cluster
+      else lit(false)
     val docs = spark.range(nDocs)
       .withColumn("base",
         when($"id" >= nDocs - cluster, lit(nDocs - cluster))
-          .otherwise(when($"id" % 100 === 1, $"id" - 1).otherwise($"id")))
+          .otherwise(when(isContam, $"id" % 50)
+            .otherwise(when($"id" % 100 === 1, $"id" - 1).otherwise($"id"))))
       .withColumn("n_tok", (pmod(xxhash64($"base", lit(0)), lit(60)) + 20).cast("int"))
       .withColumn("toks", expr(
         "transform(sequence(0, n_tok - 1), k -> " +
           s"element_at(${vocabSql(vocab)}, CAST(pmod(xxhash64(base, k), ${vocab.size}) + 1 AS INT)))"))
       .withColumn("text0", array_join($"toks", " "))
+      .withColumn("ownSuffix", expr(
+        "array_join(transform(sequence(0, 2), k -> " +
+          s"element_at(${vocabSql(vocab)}, CAST(pmod(xxhash64(id, k + 1000), ${vocab.size}) + 1 AS INT))), ' ')"))
       .withColumn("text",
-        when($"id" % 100 === 1 && $"id" < nDocs - cluster,
-          concat($"text0", lit(" twintoken"))).otherwise($"text0"))
+        when(isContam, concat($"text0", lit(" "), $"ownSuffix"))
+          .otherwise(when($"id" % 100 === 1 && $"id" < nDocs - cluster,
+            concat($"text0", lit(" twintoken"))).otherwise($"text0")))
       .select($"id".as("doc_id"), $"text",
         element_at(typedLit(langs), (pmod(xxhash64($"id", lit(1)), lit(langs.size)) + 1).cast("int")).as("lang"),
         element_at(typedLit(sources), (pmod(xxhash64($"id", lit(2)), lit(sources.size)) + 1).cast("int")).as("source"),
