@@ -34,12 +34,17 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(unknown =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names " +
         s"unknown query '$unknown' — ignored")))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // only SUCCESSFUL runs may contribute — a failed run's fast abort
-      // must never report as a fast query; a fully-failed query reports
-      // -1 and is listed in "failed"
+    // a series is only trustworthy if its runs AGREE — a 3x max/min spread
+    // means co-tenant noise / GC landed on this query (round 2 committed an
+    // 8.5 s min for a 0.3 s query; round 6 committed FOUR queries at 7-29x
+    // their true cost with max_dispersion 9.32 — its warning was printed
+    // and ignored, so the guard now ACTS instead of warning)
+    def dispersed(ts: Seq[Double]): Boolean =
+      ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 3.0 && ts.max - ts.min > 1.0
+    // only SUCCESSFUL runs may contribute — a failed run's fast abort
+    // must never report as a fast query; a fully-failed query reports
+    // -1 and is listed in "failed"
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
       val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a count() would let
@@ -56,35 +61,57 @@ object Bench {
       // queries: repeats above keep the intra-query steady-state benefit,
       // but no query's storage lingers under the rest of the suite
       spark.catalog.clearCache()
-      name -> times
+      times
     }
-    // dispersion guard: a min is only trustworthy if the runs agree — a
-    // 3x max/min spread means co-tenant noise / GC landed on this query
-    // (round 2's committed artifact recorded an 8.5 s min for a 0.3 s
-    // query that way); re-run on a quiet machine before trusting it
-    results.foreach { case (name, ts) =>
-      if (ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 3.0 && ts.max - ts.min > 1.0)
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        // auto-retry: a dispersed series is re-measured with a FRESH n-run
+        // series (up to maxRetries); the accepted series is the one whose
+        // runs agree best (lowest max/min; tie -> lowest min), so the
+        // committed min is always backed by a mutually-consistent series
+        // rather than one lucky (or unlucky) outlier
+        var best = measure(name, fn)
+        var retries = 0
+        while (dispersed(best) && retries < maxRetries) {
+          System.err.println(
+            f"[bench] $name dispersion ${best.max / best.min}%.1fx " +
+              f"(min ${best.min}%.2fs max ${best.max}%.2fs) — retrying " +
+              s"(${retries + 1}/$maxRetries)")
+          val fresh = measure(name, fn)
+          if (fresh.nonEmpty) {
+            val (fr, br) = (fresh.max / fresh.min, best.max / best.min)
+            if (fr < br || (fr == br && fresh.min < best.min)) best = fresh
+          }
+          retries += 1
+        }
+        (name, best, retries)
+      }
+    results.foreach { case (name, ts, _) =>
+      if (dispersed(ts))
         System.err.println(
-          f"[bench] WARNING: $name dispersion ${ts.max / ts.min}%.1fx " +
-            f"(min ${ts.min}%.2fs max ${ts.max}%.2fs over ${ts.length} runs) " +
-            "— environment noise suspected, re-run on a quiet machine")
+          f"[bench] WARNING: $name STILL dispersed ${ts.max / ts.min}%.1fx after " +
+            f"$maxRetries retries (min ${ts.min}%.2fs max ${ts.max}%.2fs) — " +
+            "environment noise persists; do NOT commit this artifact")
     }
-    val qs = results.map { case (k, ts) =>
+    val qs = results.map { case (k, ts, _) =>
       s"\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
     }.mkString("{", ",", "}")
-    // per-query {min,max,n_ok}: makes cross-run dispersion visible in the
-    // committed artifact itself (min alone hides that ALL runs were slow)
-    val spread = results.map { case (k, ts) =>
+    // per-query {min,max,n_ok,retries}: makes cross-run dispersion visible
+    // in the committed artifact itself (min alone hides that ALL runs were
+    // slow, and retries shows where the guard had to intervene)
+    val spread = results.map { case (k, ts, r) =>
       val (mn, mx) = if (ts.nonEmpty) (ts.min, ts.max) else (-1.0, -1.0)
-      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${ts.length}}"
+      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${ts.length},\"retries\":$r}"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts) if ts.isEmpty => s"\"$k\"" }
+    val failed = results.collect { case (k, ts, _) if ts.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // locale-proof rounding: Double.toString always uses '.', where the f
     // interpolator follows the default locale and can emit ',' — invalid JSON
     val maxDisp = math.round(results.collect {
-      case (_, ts) if ts.nonEmpty && ts.min > 0 => ts.max / ts.min
+      case (_, ts, _) if ts.nonEmpty && ts.min > 0 => ts.max / ts.min
     }.foldLeft(1.0)(math.max) * 100) / 100.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"failed":$failed,"sf":"$sfDir"}"""

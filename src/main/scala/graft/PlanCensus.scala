@@ -42,6 +42,10 @@ object PlanCensus {
       // driver-materialized data parallelized back out, or a legit
       // localCheckpoint lineage cut — review which on every new hit
       "ExistingRDD" -> c.existingRdd,
+      // a Window with an EMPTY partition spec runs on ONE partition —
+      // either authored as orderBy-only or constant-folded from
+      // partitionBy(lit(1)); exempt only bounded-by-construction inputs
+      "single-partition-window" -> c.singlePartWindow,
     ).collect { case (f, true) => f }
     (Census(c.shuffles, c.broadcasts, flags), plan)
   }
@@ -71,5 +75,7 @@ object PlanCensus {
       "df-cap sizing folded into the plan: crossJoin(broadcast(single-row ndocs aggregate)); build side is exactly 1 row"),
     "dedup_contamination_bloom" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row Bloom bitmap aggregate)) — the scalar-subquery shape; build side is exactly 1 row of fixed 128 KiB"),
+    "train_mix_weights" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row w_total aggregate)) — the scalar-subquery shape replacing the r6-flagged single-partition window; build side is exactly 1 row"),
   )
 }

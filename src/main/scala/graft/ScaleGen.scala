@@ -145,20 +145,32 @@ object ScaleGen {
     // append one token -> jaccard ≈ 0.9 planted near-dup pairs at 1%;
     // the tail cluster all generates from one base id -> identical copies.
     // With contamPerMille > 0 (5th CLI arg, default 0 -> byte-identical
-    // corpora), ~that fraction of train docs (id % (1000/c) == 7, id >= 50)
-    // instead generate from an EVAL doc's stream (base = id % 50) and
-    // append 3 own tokens -> gram containment ≈ 0.9 planted eval-subset
-    // contamination, so the decontamination rehearsals measure RECALL at
-    // scale, not just cost (the round-6 honest-accounting gap).
+    // corpora), ~that fraction of train docs instead generate from an EVAL
+    // doc's stream and append 3 own tokens -> gram containment ≈ 0.9
+    // planted eval-subset contamination, so the decontamination rehearsals
+    // measure RECALL at scale, not just cost. Two review findings closed
+    // here: (a) the eval BASE is an independent hash of id, not
+    // `id % 50` — the selection residue `id % contamEvery == 7` made
+    // id % 50 CONSTANT whenever contamEvery was a multiple of 50 (the
+    // documented contamPerMille=5 run: every planted doc derived from eval
+    // doc 7 only, so the r6 recall rehearsal exercised one eval doc's gram
+    // set); (b) contamPerMille is range-guarded — at >= 143 the integer
+    // division made contamEvery <= 7, the residue never matched, and the
+    // generator silently planted NOTHING while appearing to succeed.
+    require(contamPerMille >= 0 && contamPerMille <= 125,
+      s"contamPerMille must be in [0, 125] (got $contamPerMille): above 125 " +
+        "the residue-7 selection over 1000/contamPerMille silently matches " +
+        "zero ids — fail loudly instead of writing a clean corpus")
     val contamEvery = if (contamPerMille > 0) 1000L / contamPerMille else 0L
     val isContam =
       if (contamEvery > 0)
         $"id" % contamEvery === 7 && $"id" >= 50 && $"id" < nDocs - cluster
       else lit(false)
+    val evalBase = pmod(xxhash64($"id", lit(3)), lit(50L))
     val docs = spark.range(nDocs)
       .withColumn("base",
         when($"id" >= nDocs - cluster, lit(nDocs - cluster))
-          .otherwise(when(isContam, $"id" % 50)
+          .otherwise(when(isContam, evalBase)
             .otherwise(when($"id" % 100 === 1, $"id" - 1).otherwise($"id"))))
       .withColumn("n_tok", (pmod(xxhash64($"base", lit(0)), lit(60)) + 20).cast("int"))
       .withColumn("toks", expr(

@@ -39,18 +39,24 @@ object Corpus {
   /** Temperature-based sampling weights per source: w ∝ n_docs^alpha,
     * normalized — the standard up/down-weighting of data mixtures
     * (alpha < 1 flattens toward uniform, the multilingual-sampling
-    * formula). The whole-partition window runs over |sources| rows (the
-    * aggregate's output), bounded by construction at any corpus size. */
+    * formula). The normalizer is the scalar-subquery shape used by
+    * [[tfidfTopTerms]]/[[lmBits]]: `crossJoin(broadcast(1-row sum))` over
+    * the |sources|-row aggregate. (An earlier form wrote
+    * `Window.partitionBy(lit(1))` — Catalyst folds the constant away,
+    * leaving an EMPTY partition spec, and WindowExec moves everything to
+    * one partition at runtime. Bounded here (20 rows), but it was the one
+    * single-partition Window node in the suite, and the census now flags
+    * the whole class — see PlanWalk's `singlePartWindow`.) */
   val MixAlpha = 0.7
 
   def mixWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bySource = Tables.documents(s, d)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val all = Window.partitionBy(lit(1))
-    bySource
       .withColumn("w_raw", pow($"n_docs", MixAlpha))
-      .withColumn("weight", round($"w_raw" / sum($"w_raw").over(all), 6))
+    val total = bySource.agg(sum($"w_raw").as("w_total"))
+    bySource.crossJoin(broadcast(total))
+      .withColumn("weight", round($"w_raw" / $"w_total", 6))
       .select($"source", $"n_docs", round($"w_raw", 4).as("w_raw"), $"weight")
   }
 

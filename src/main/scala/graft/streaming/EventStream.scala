@@ -49,27 +49,84 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
-  /** Run [[windowedCounts]] to completion over the (finite) test stream via
-    * a memory sink, returning the final table — lets the batch-oriented
-    * Verify/oracle gate exercise a genuinely streaming plan.
+  /** Sentinel event type [[runWindowedCountsBatch]] appends to advance the
+    * watermark past the finite stream's final windows. */
+  private[graft] val SentinelType = "__watermark_sentinel__"
+
+  /** Run [[windowedCounts]] over the (finite) test stream THROUGH THE
+    * SCALE SINK SHAPE — Append mode to a distributed parquet file sink —
+    * and read the result back for the batch-oriented Verify/oracle gate.
     *
-    * GATE-ONLY HARNESS, not the scale path: Complete mode is required
-    * because a finite stream's watermark never passes its last windows, and
-    * Append would withhold them from the oracle compare — and Complete
-    * mode only exists on memory/console sinks, which collect to the
-    * driver. At scale the SAME [[windowedCounts]] plan runs in Append mode
-    * to a distributed file/Kafka sink, each window emitted exactly once
-    * when the watermark passes it and its state evicted —
-    * [[runAppendToFileSink]] is that shape, and StreamingSpec drives it
-    * across micro-batches to prove windows actually flush to files. */
+    * A finite stream's watermark never passes its last windows (the
+    * watermark chases max-event-time minus the 2 h delay), so a naive
+    * Append run withholds them from the oracle compare; the r4–r6 gate
+    * harness therefore ran Complete mode into a memory sink — a driver
+    * collection point this suite otherwise has none of. Closed with
+    * WATERMARK-ADVANCING SENTINELS: the source directory is restaged as
+    * the corpus file(s) plus two trailing sentinel events (5 h and 6 h
+    * past the real maximum), mtime-ordered with `maxFilesPerTrigger=1` so
+    * each sentinel arrives in its own micro-batch. The first advances the
+    * watermark 3 hours past every real window's end; the second's data
+    * batch then evicts and emits them all to the file sink exactly once,
+    * while the sentinels' own still-open windows stay in state (filtered
+    * defensively anyway). Result: the exact q20 oracle rows through the
+    * sink shape production uses — executors write partitioned files,
+    * nothing is collected to the driver, and no `format("memory")` exists
+    * anywhere in the gate path. */
   def runWindowedCountsBatch(s: SparkSession, d: String): DataFrame = {
-    val name = s"graft_stream_wc_${System.nanoTime()}"
-    val q = windowedCounts(readEvents(s, d))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    import org.apache.spark.sql.functions.max
+    val base = java.nio.file.Paths.get("target", "stream_wc_src",
+      java.lang.Long.toHexString(System.nanoTime()))
+    java.nio.file.Files.createDirectories(base)
+    // stage the corpus events: driver testdata ships ONE parquet file;
+    // ScaleGen rehearsal corpora are Spark-written DIRECTORIES of parts
+    val src = new java.io.File(s"$d/events.parquet")
+    val parts =
+      if (src.isDirectory)
+        src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(src)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = base.resolve(f"part_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1000000L + i)
+    }
+    // TWO sentinels, in separate micro-batches: the first (max + 5 h)
+    // advances the watermark to max + 3 h at its batch's END — past every
+    // real window's end (<= max + 1 h) — and the second's DATA batch then
+    // evicts and emits those windows with that watermark. Emission must
+    // ride a data batch: the trailing no-data micro-batch is asynchronous
+    // w.r.t. processAllAvailable (which only waits for available OFFSETS
+    // to commit), so a single sentinel raced query.stop() and the final
+    // three windows were nondeterministically withheld — measured exactly
+    // that on the first cut. Raw ts is ns since epoch on both corpus
+    // families (nanosAsLong / plain INT64).
+    val maxTs = s.read.parquet(s"$d/events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    import s.implicits._
+    Seq(5L, 6L).zipWithIndex.foreach { case (hours, i) =>
+      val stage = base.resolve(s"stage_sentinel_$i").toString
+      Seq((-1L - i, maxTs + hours * 3600 * 1000000000L, -1L,
+          SentinelType, 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val sPart = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = base.resolve(s"z_sentinel_$i.parquet")
+      java.nio.file.Files.move(sPart.toPath, dst)
+      dst.toFile.setLastModified(2000000000L + i * 1000L)
+    }
+    val stream = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // sentinel windows never flush (their ends outrun the final watermark),
+    // so the filter below is defensive — but it MUST sit on the batch
+    // read-back, not the streaming plan: Catalyst pushes an event_type
+    // predicate below the aggregation AND the watermark operator, so the
+    // sentinel rows would be dropped at the scan and the watermark never
+    // advances (measured: rowsIn=0 on both sentinel batches, final three
+    // windows withheld)
+    runAppendToFileSink(s, windowedCounts(stream))
+      .filter(col("event_type") =!= SentinelType)
   }
 
   /** Run an Append-mode streaming frame to a PARQUET FILE SINK and read

@@ -25,11 +25,11 @@ object PlanWalk {
   final case class Counts(shuffles: Int, broadcasts: Int,
                           cartesian: Boolean, bnlj: Boolean,
                           existingRdd: Boolean, fullWidthScan: Boolean,
-                          bnljCount: Int)
+                          bnljCount: Int, singlePartWindow: Boolean = false)
 
   def countsOf(root: SparkPlan): Counts = {
     var sh = 0; var bc = 0; var bnljN = 0
-    var cart = false; var rdd = false; var wide = false
+    var cart = false; var rdd = false; var wide = false; var spw = false
     val seenCaches = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
@@ -56,6 +56,16 @@ object PlanWalk {
             case _: CartesianProductExec        => cart = true
             case _: BroadcastNestedLoopJoinExec => bnljN += 1
             case _: RDDScanExec                 => rdd = true
+            // an EMPTY window partition spec moves the whole input to one
+            // partition at runtime ("Moving all data to a single partition"
+            // — WindowExec's own warning). Catalyst FOLDS constant specs
+            // like partitionBy(lit(1)) down to empty, so the authoring
+            // mistake is invisible in source review; the executed plan is
+            // where it shows (found on mixWeights, r6 judge)
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => spw = true
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.partitionSpec.isEmpty => spw = true
             case _                              => ()
           }
           other.children.foreach(walk)
@@ -63,7 +73,7 @@ object PlanWalk {
       p.subqueries.foreach(walk)
     }
     walk(root)
-    Counts(sh, bc, cart, bnljN > 0, rdd, wide, bnljN)
+    Counts(sh, bc, cart, bnljN > 0, rdd, wide, bnljN, spw)
   }
 
   /** The build-side subtree of every BroadcastNestedLoopJoin in the tree
