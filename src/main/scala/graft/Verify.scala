@@ -43,6 +43,52 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeSketchBounds(spark, outDir)
     spark.stop()
+  }
+
+  /** The two HLL++ queries have no DuckDB twin BY CONSTRUCTION (different
+    * register layouts), so the gate records them `no_oracle` — but their
+    * estimates CAN be held against their exact twins:
+    * |approx − exact| ≤ max(2, 3·rsd·exact) per group (rsd = 0.02, with a
+    * 2-count floor where HLL++ sparse mode is near-exact). tools/check.py
+    * computes the same bound; this copy ships the verdict WITH the dumped
+    * artifacts, so the driver's correctness directory carries the evidence
+    * for its two permanent no-oracle rows even when check.py never runs. */
+  private def writeSketchBounds(spark: SparkSession, outDir: String): Unit = try {
+    val rsd = 0.02
+    val tol = 3 * rsd
+    def relErr(a: Double, e: Double): Double =
+      if (e != 0) math.abs(a - e) / e else if (a == 0) 0.0 else Double.PositiveInfinity
+    def bound(pairs: Seq[(Double, Double)]): (Int, Double, Boolean) = {
+      val worst = if (pairs.isEmpty) Double.NaN else pairs.map((relErr _).tupled).max
+      val ok = pairs.nonEmpty &&
+        pairs.forall { case (a, e) => math.abs(a - e) <= math.max(2.0, tol * e) }
+      (pairs.size, worst, ok)
+    }
+    def exists(name: String) = Files.isDirectory(Paths.get(s"$outDir/$name"))
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (exists("q25_approx_distinct")) {
+      val pairs = spark.read.parquet(s"$outDir/q25_approx_distinct")
+        .select("approx_parts", "exact_parts").collect()
+        .map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble)).toSeq
+      val (n, worst, ok) = bound(pairs)
+      entries += s""""q25_approx_distinct":{"groups":$n,"max_rel_err":$worst,"tol":$tol,"ok":$ok}"""
+    }
+    if (exists("profile_lineitem_approx") && exists("profile_lineitem")) {
+      val a = spark.read.parquet(s"$outDir/profile_lineitem_approx")
+        .select("column_name", "n_distinct")
+      val e = spark.read.parquet(s"$outDir/profile_lineitem")
+        .select("column_name", "n_distinct").withColumnRenamed("n_distinct", "exact")
+      val pairs = a.join(e, "column_name").select("n_distinct", "exact").collect()
+        .map(r => (r.getLong(0).toDouble, r.getLong(1).toDouble)).toSeq
+      val (n, worst, ok) = bound(pairs)
+      entries += s""""profile_lineitem_approx":{"groups":$n,"max_rel_err":$worst,"tol":$tol,"ok":$ok}"""
+    }
+    if (entries.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"),
+        entries.mkString("{", ",", "}"))
+  } catch { case e: Throwable =>
+    System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")
   }
 }

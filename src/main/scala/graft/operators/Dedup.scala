@@ -739,8 +739,20 @@ object Dedup {
       docs: DataFrame, evalMax: Long, k: Int, log2m: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    bloomBitmapOfGrams(
+      gramsOf(docs).filter($"doc_id" < evalMax)
+        .select(explode($"grams").as("gram")),
+      k, log2m)
+  }
+
+  /** [[bloomBitmapOf]]'s build core over a bare (gram STRING) frame —
+    * split out so CorpusSpec can load a filter with a KNOWN gram count
+    * and measure the realized FP rate against the sizing curve above. */
+  private[graft] def bloomBitmapOfGrams(
+      grams: DataFrame, k: Int, log2m: Int): DataFrame = {
+    val s = grams.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.graft.GraftFunctions
-    val g = gramsOf(docs)
     val nWords = 1 << (log2m - 6)
     // empty-array zero is the no-rows-seen sentinel (the meanAgg idiom) —
     // a task that saw no eval grams ships 0 bytes, not 128 KiB of zeros
@@ -767,8 +779,7 @@ object Dedup {
       def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
         implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
     }
-    g.filter($"doc_id" < evalMax)
-      .select(explode($"grams").as("gram"))
+    grams
       .select(explode(
         GraftFunctions.bloomPositions($"gram", k, log2m)).as("pos"))
       .as[Long]

@@ -80,6 +80,44 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("bloom filter realized FP rate at load matches the sizing curve; overload over-drops") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GraftFunctions
+    // the sizing curve at Dedup.bloomContaminationOf is ANALYTIC — this
+    // test loads a real 2^20-bit filter and measures the curve's two
+    // regimes: the documented ~100k-gram load (predicted FP ≈ 8e-3) and a
+    // 10x overload (predicted FP ≈ 0.96), where every CLEAN doc's
+    // hit_rate crosses BloomHitMin — the over-drop failure mode of an
+    // underprovisioned filter
+    val k = Dedup.BloomK
+    val log2m = Dedup.BloomLog2m
+    val m = (1L << log2m).toDouble
+    val nProbes = 100000L
+    def predictedFp(n: Long): Double = math.pow(1 - math.exp(-k * n / m), k)
+    def realizedFp(n: Long): Double = {
+      // member/probe grams live in disjoint string spaces, so every probe
+      // hit is a genuine false positive
+      val members = spark.range(n).select(concat(lit("member_"), $"id").as("gram"))
+      val bitmap = Dedup.bloomBitmapOfGrams(members, k, log2m)
+      val misses = members.crossJoin(broadcast(bitmap))
+        .filter(!GraftFunctions.bloomContains($"bloom", $"gram", k, log2m)).count()
+      assert(misses === 0L, s"bloom must have ZERO false negatives (load $n)")
+      val fps = spark.range(nProbes)
+        .select(concat(lit("probe_"), $"id").as("gram"))
+        .crossJoin(broadcast(bitmap))
+        .filter(GraftFunctions.bloomContains($"bloom", $"gram", k, log2m)).count()
+      fps.toDouble / nProbes
+    }
+    val (fp1, pred1) = (realizedFp(100000L), predictedFp(100000L))
+    assert(fp1 >= pred1 / 2 && fp1 <= pred1 * 2,
+      s"realized FP $fp1 outside 2x of predicted $pred1 at 100k grams")
+    val (fp2, pred2) = (realizedFp(1000000L), predictedFp(1000000L))
+    assert(fp2 >= pred2 / 2 && fp2 <= math.min(1.0, pred2 * 2),
+      s"realized FP $fp2 outside 2x of predicted $pred2 at 1M grams")
+    assert(fp2 > Dedup.BloomHitMin,
+      "overloaded filter must demonstrate the over-drop regime: FP above the flag threshold")
+  }
+
   test("unigram-LM bits/token: hand-computed probabilities, empty doc omitted") {
     import graft.operators.Corpus
     // corpus "a a b" + "b c": c(a)=2 c(b)=2 c(c)=1, N=5, V=3 ->
