@@ -110,8 +110,17 @@ object Bench {
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
     // locale-proof rounding: Double.toString always uses '.', where the f
     // interpolator follows the default locale and can emit ',' — invalid JSON
+    //
+    // max_dispersion reports the SAME quantity the retry guard acts on:
+    // ratio counts only when the absolute spread exceeds 1 s. A 0.09 s min
+    // with a single 1.0 s outlier run is a 10x ratio but pure JIT/GC
+    // flutter — it cannot have corrupted the committed min, and headlining
+    // it would make every artifact read "noisy" while the actionable
+    // signal (a min that might itself be inflated) drowned. The full
+    // per-query min/max series stays visible in "spread" regardless.
     val maxDisp = math.round(results.collect {
-      case (_, ts, _) if ts.nonEmpty && ts.min > 0 => ts.max / ts.min
+      case (_, ts, _) if ts.nonEmpty && ts.min > 0 && ts.max - ts.min > 1.0 =>
+        ts.max / ts.min
     }.foldLeft(1.0)(math.max) * 100) / 100.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"failed":$failed,"sf":"$sfDir"}"""

@@ -45,6 +45,17 @@ object EvalRehearsal {
       (runs.map(_._1).min, runs.head._2)
     }
 
+    // planted ground truth, when the corpus was generated with
+    // contamPerMille > 0: ScaleGen's contam_manifest.parquet records every
+    // planted doc's (eval_base, kind, target_pct) — kind 0 is the strong
+    // ≈0.9-containment recall plant, kinds 1-3 are the BORDERLINE plants
+    // at target containment 26/30/34% straddling BloomHitMin = 0.3, where
+    // a single Bloom false positive could flip a verdict
+    val manifest =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/contam_manifest.parquet")))
+        Some(spark.read.parquet(s"$dir/contam_manifest.parquet").cache())
+      else None
+
     sizes.foreach { evalMax =>
       val bloomFlagged = graft.operators.Dedup.bloomContaminationOf(
         docs, evalMax, 5, 24)
@@ -52,14 +63,51 @@ object EvalRehearsal {
         .select(explode(org.apache.spark.sql.graft.GraftFunctions
           .wordGrams(col("text"), 3)).as("gram"))
         .agg(count_distinct(col("gram"))).head().getLong(0)
-      val (tExact, nExact) = timed {
-        graft.operators.Dedup.contaminationOf(docs, evalMax)
-          .select("train_doc").distinct().count()
-      }
+      val exactFlagged = graft.operators.Dedup.contaminationOf(docs, evalMax)
+        .select("train_doc").distinct()
+      val (tExact, nExact) = timed { exactFlagged.count() }
       val (tBloom, nBloom) = timed { bloomFlagged.count() }
       println(f"[evalrehearsal] eval=$evalMax%-6d evalGrams=$nEvalGrams%-9d " +
         f"exact=${tExact}%6.2fs (flagged=$nExact) " +
         f"bloom=${tBloom}%6.2fs (flagged=$nBloom, bitmap=2MiB const)")
+
+      manifest.foreach { m =>
+        // whole-corpus parity first: the two scans must flag the SAME doc
+        // set (the Bloom filter at this geometry should introduce zero
+        // verdict flips — measured, not assumed)
+        val ef = exactFlagged.withColumnRenamed("train_doc", "doc_id")
+        val bf = bloomFlagged.select(col("train_doc").as("doc_id"))
+        val onlyExact = ef.except(bf).count()
+        val onlyBloom = bf.except(ef).count()
+        println(f"[evalrehearsal] eval=$evalMax%-6d parity: " +
+          s"exact-only=$onlyExact bloom-only=$onlyBloom " +
+          (if (onlyExact == 0 && onlyBloom == 0) "(flag sets IDENTICAL)"
+           else "(MISMATCH)"))
+        // per-kind planted accounting; planted docs that fell inside the
+        // eval prefix are eval docs now, not train docs — excluded
+        val planted = m.filter(col("doc_id") >= evalMax)
+        val acc = planted
+          .join(ef.withColumn("x", lit(1)), Seq("doc_id"), "left")
+          .join(bf.withColumn("b", lit(1)), Seq("doc_id"), "left")
+          .groupBy(col("kind"), col("target_pct"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("x"), lit(0))).as("exact_hit"),
+            sum(coalesce(col("b"), lit(0))).as("bloom_hit"),
+            sum(when(coalesce(col("x"), lit(0)) =!= coalesce(col("b"), lit(0)), 1L)
+              .otherwise(0L)).as("flips"))
+          .orderBy(col("kind")).collect()
+        acc.foreach { r =>
+          val kind = r.getLong(0); val tgt = r.getInt(1)
+          val n = r.getLong(2); val eh = r.getLong(3)
+          val bh = r.getLong(4); val fl = r.getLong(5)
+          val label = if (kind == 0) "strong" else s"borderline($tgt%)"
+          println(f"[evalrehearsal] eval=$evalMax%-6d planted $label%-16s " +
+            f"n=$n%-5d exact_flagged=$eh%-5d bloom_flagged=$bh%-5d " +
+            s"verdict_flips=$fl" +
+            (if (kind == 0 && (eh != n || bh != n)) "  RECALL<1.0!" else "") +
+            (if (fl != 0) "  PARITY BROKEN!" else ""))
+        }
+      }
     }
     spark.stop()
   }

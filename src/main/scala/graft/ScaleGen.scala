@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * With `skewPct` > 0 the generator additionally plants ONE hot key per
   * join/partition axis — skewPct% of orders reassigned to one customer,
-  * skewPct% of lineitems to one order, skewPct% of events to one user —
+  * skewPct% of lineitems to one order, skewPct% of events to one user,
+  * skewPct% of documents reassigned to one SOURCE (the per-source
+  * quality-percentile group), and the identical-copy tail cluster grown
+  * 10× (one hot PARAGRAPH md5 in the keep-first aggregate and join) —
   * while everything else (row counts, shard shifts, value distributions)
   * stays byte-identical to the uniform run. That isolates the variable the
   * skew rehearsal measures: same volume, same plans, one hot partition
@@ -121,7 +124,11 @@ object ScaleGen {
 
     // ---------------------------------------------------------- documents
     val nDocs = 5000L * factor
-    val cluster = 1000L // identical-copy cluster at the tail
+    // identical-copy cluster at the tail; skew mode grows it 10× (the
+    // "hot paragraph" plant — every cluster doc contributes the same
+    // paragraphs to ~2 pages each, so the canonical-occurrence aggregate
+    // and the paras↔canon join see one md5 key carrying 10× the mass)
+    val cluster = if (skewPct > 0) math.min(10000L, nDocs / 5) else 1000L
     // varied letter shapes, not "tok0001"-style: a shared-prefix vocabulary
     // makes every char-8-gram collide corpus-wide, which inflates winnow /
     // span candidate volume far beyond anything natural text produces
@@ -146,9 +153,12 @@ object ScaleGen {
     // the tail cluster all generates from one base id -> identical copies.
     // With contamPerMille > 0 (5th CLI arg, default 0 -> byte-identical
     // corpora), ~that fraction of train docs instead generate from an EVAL
-    // doc's stream and append 3 own tokens -> gram containment ≈ 0.9
-    // planted eval-subset contamination, so the decontamination rehearsals
-    // measure RECALL at scale, not just cost. Two review findings closed
+    // doc's stream plus an own-token suffix — strong (containment ≈ 0.9)
+    // or borderline (≈ 0.26/0.30/0.34, see the kind block below) — planted
+    // eval-subset contamination, so the decontamination rehearsals
+    // measure RECALL and threshold-edge PARITY at scale, not just cost.
+    // A contam_manifest.parquet records every planted doc's ground truth.
+    // Two review findings closed
     // here: (a) the eval BASE is an independent hash of id, not
     // `id % 50` — the selection residue `id % contamEvery == 7` made
     // id % 50 CONSTANT whenever contamEvery was a multiple of 50 (the
@@ -166,29 +176,71 @@ object ScaleGen {
       if (contamEvery > 0)
         $"id" % contamEvery === 7 && $"id" >= 50 && $"id" < nDocs - cluster
       else lit(false)
-    val evalBase = pmod(xxhash64($"id", lit(3)), lit(50L))
-    val docs = spark.range(nDocs)
+    // eval base 1 is a DUD: eval doc 1 is the twin of doc 0 (its text is
+    // stream 0 + "twintoken"), so stream 1's grams appear in NO eval doc
+    // and a doc planted from it would be unfindable by ANY scan — a
+    // silent recall hole, not a detector miss. Remap 1 → 0.
+    val evalBaseRaw = pmod(xxhash64($"id", lit(3)), lit(50L))
+    val evalBase = when(evalBaseRaw === 1, lit(0L)).otherwise(evalBaseRaw)
+    // planted-contamination KINDS (hash of id): kind 0 = strong — the full
+    // eval doc text + 3 own tokens, gram containment ≈ 0.9, the recall
+    // plant; kinds 1-3 = BORDERLINE — own-token suffix sized so containment
+    // lands at ≈ 26% / 30% / 34%, straddling BloomHitMin = 0.3. Containment
+    // of "eval text (e toks) ++ own toks (o)" is (e−2)/(e+o−2), so
+    // o = round((e−2)·(100−t)/t) targets t% — the knife edge where a single
+    // Bloom false positive could flip a verdict, which is exactly what the
+    // borderline parity rehearsal (EvalRehearsal) measures.
+    val contamKind = pmod(xxhash64($"id", lit(17)), lit(4L))
+    val targetPct = element_at(typedLit(Seq(90, 26, 30, 34)),
+      contamKind.cast("int") + 1)
+    val docsGen = spark.range(nDocs)
+      .withColumn("is_contam", isContam)
+      .withColumn("kind", when(isContam, contamKind).otherwise(lit(-1L)))
       .withColumn("base",
         when($"id" >= nDocs - cluster, lit(nDocs - cluster))
           .otherwise(when(isContam, evalBase)
             .otherwise(when($"id" % 100 === 1, $"id" - 1).otherwise($"id"))))
       .withColumn("n_tok", (pmod(xxhash64($"base", lit(0)), lit(60)) + 20).cast("int"))
+      .withColumn("own_n",
+        when(isContam && $"kind" >= 1,
+          round(($"n_tok" - 2) * (lit(100) - targetPct) / targetPct).cast("int"))
+          .otherwise(lit(3)))
       .withColumn("toks", expr(
         "transform(sequence(0, n_tok - 1), k -> " +
           s"element_at(${vocabSql(vocab)}, CAST(pmod(xxhash64(base, k), ${vocab.size}) + 1 AS INT)))"))
       .withColumn("text0", array_join($"toks", " "))
       .withColumn("ownSuffix", expr(
-        "array_join(transform(sequence(0, 2), k -> " +
+        "array_join(transform(sequence(0, own_n - 1), k -> " +
           s"element_at(${vocabSql(vocab)}, CAST(pmod(xxhash64(id, k + 1000), ${vocab.size}) + 1 AS INT))), ' ')"))
       .withColumn("text",
         when(isContam, concat($"text0", lit(" "), $"ownSuffix"))
           .otherwise(when($"id" % 100 === 1 && $"id" < nDocs - cluster,
             concat($"text0", lit(" twintoken"))).otherwise($"text0")))
+    // hot SOURCE plant (skew mode): skewPct% of docs hash-reassigned to
+    // src0 — the per-source quality-percentile group that holds half the
+    // corpus, the doc-side analogue of the hot order/customer keys
+    val sourceCol = {
+      val uniform = element_at(typedLit(sources),
+        (pmod(xxhash64($"id", lit(2)), lit(sources.size)) + 1).cast("int"))
+      if (skewPct == 0) uniform
+      else when(pmod(xxhash64($"id", lit(13)), lit(100)) < lit(skewPct),
+        lit(sources.head)).otherwise(uniform)
+    }
+    val docs = docsGen
       .select($"id".as("doc_id"), $"text",
         element_at(typedLit(langs), (pmod(xxhash64($"id", lit(1)), lit(langs.size)) + 1).cast("int")).as("lang"),
-        element_at(typedLit(sources), (pmod(xxhash64($"id", lit(2)), lit(sources.size)) + 1).cast("int")).as("source"),
+        sourceCol.as("source"),
         length($"text").cast("long").as("n_chars"))
     write(docs, "documents", 8)
+    // planted-contamination manifest: (doc_id, eval_base, kind, target_pct)
+    // — the ground truth the recall/parity rehearsal joins against, written
+    // by the SAME run that planted, so accounting can never drift from the
+    // selection logic
+    if (contamPerMille > 0)
+      write(docsGen.filter($"is_contam")
+        .select($"id".as("doc_id"), $"base".as("eval_base"), $"kind",
+          targetPct.as("target_pct")),
+        "contam_manifest", 1)
 
     // --------------------------------------------------------- embeddings
     val nVecs = 2000L * factor

@@ -56,7 +56,20 @@ object SkewRehearsal {
       "q03_revenue_by_nation" -> (graft.operators.Relational.q03RevenueByNation _),
       "q19_regional_revenue"  -> (graft.operators.Relational.q19RegionalRevenue _),
       "stream_sessionize_batch" -> (graft.streaming.EventStream.sessionizeBatchEquivalent _),
-      "stream_sessionize_skewres" -> (graft.streaming.EventStream.sessionizeSkewResistant _))
+      "stream_sessionize_skewres" -> (graft.streaming.EventStream.sessionizeSkewResistant _),
+      // doc-side skew targets (ScaleGen skew mode plants a hot SOURCE —
+      // one per-source percentile group holding half the corpus — and a
+      // 10x hot PARAGRAPH via the grown identical-copy cluster):
+      // exact mode sorts the hot source's scores in one percentile group,
+      // approx mode is the map-side-combined KLL scale path; paragraphs'
+      // keep-first is a min-struct aggregate + a paras↔canon equi-join on
+      // the hot md5
+      "dedup_paragraphs" -> (graft.operators.Dedup.paragraphDedup _),
+      "text_quality_filter_exact" ->
+        ((s, d) => graft.operators.TextOps.qualityQuantileFilter(s, d)),
+      "text_quality_filter_approx" ->
+        ((s, d) => graft.operators.TextOps.qualityQuantileFilterOf(
+          graft.core.Tables.documents(s, d), exact = false)))
 
     dirs.foreach { case (label, dir) =>
       // measured hot-key share per skewed axis (top-1 key's row fraction)
@@ -66,9 +79,20 @@ object SkewRehearsal {
         val top = df.groupBy(col(key)).count().agg(max($"count")).head().getLong(0)
         math.round(top / total * 1000) / 1000.0
       }
+      // documents: hot-source share + hot-paragraph share (top text md5 —
+      // the identical-copy cluster's key in the keep-first aggregate)
+      def topTextShare(): Double = {
+        val df = graft.core.Tables(spark, dir, "documents")
+        val total = df.count().toDouble
+        val top = df.groupBy(md5(col("text"))).count().agg(max($"count"))
+          .head().getLong(0)
+        math.round(top / total * 1000) / 1000.0
+      }
       println(s"[skew] $label shares: lineitem.l_orderkey=${topShare("lineitem", "l_orderkey")} " +
         s"orders.o_custkey=${topShare("orders", "o_custkey")} " +
-        s"events.user_id=${topShare("events", "user_id")}")
+        s"events.user_id=${topShare("events", "user_id")} " +
+        s"documents.source=${topShare("documents", "source")} " +
+        s"documents.text=${topTextShare()}")
 
       queries.foreach { case (name, fn) =>
         // one untimed warmup absorbs JIT/codegen/file-listing, then timed

@@ -295,6 +295,37 @@ class DedupSpec extends SparkTestBase {
     assert(a != c)   // content-sensitive
   }
 
+  test("contamination knife edge: exact and bloom scans agree AT the 0.3 threshold") {
+    // hand-built docs whose gram containment lands EXACTLY on, just below,
+    // and just above ContaminationMin = BloomHitMin = 0.3 — the regime
+    // where a single Bloom false positive (or a float-compare divergence)
+    // would flip a verdict. Construction: eval doc 0 has 22 distinct
+    // tokens e1..e22 (20 distinct grams); train doc with h+2 eval tokens
+    // then m own tokens has h eval-contained grams of h+m total, so
+    // (h=5,m=15) → 5/20 = 0.25 clean, (h=6,m=14) → 6/20 = 0.30 flagged
+    // (>= is inclusive), (h=7,m=13) → 7/20 = 0.35 flagged.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evalToks = (1 to 22).map(i => s"e$i")
+    def train(id: Long, h: Int): (Long, String) =
+      (id, (evalToks.take(h + 2) ++ (1 to (20 - h)).map(i => s"o${id}x$i"))
+        .mkString(" "))
+    val docs = (Seq((0L, evalToks.mkString(" "))) ++
+      Seq(train(10L, 5), train(11L, 6), train(12L, 7)))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contaminationOf(docs, 1L)
+      .select($"train_doc", $"containment").as[(Long, Double)].collect().toMap
+    val bloom = Dedup.bloomContaminationOf(docs, 1L, Dedup.BloomK, Dedup.BloomLog2m)
+      .select($"train_doc", $"n_hit", $"hit_rate")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(exact.keySet === Set(11L, 12L), s"exact flagged ${exact.keySet}")
+    assert(bloom.keySet === Set(11L, 12L), s"bloom flagged ${bloom.keySet}")
+    assert(exact(11L) === 0.3 && exact(12L) === 0.35)
+    // bloom hit counts are the TRUE overlap — the filter at this load
+    // (20 grams in 2^20 bits) must contribute zero false-positive hits
+    assert(bloom(11L) === ((6L, 0.3)) && bloom(12L) === ((7L, 0.35)))
+  }
+
   test("embedding cosine pairs match a driver-side recomputation") {
     import spark.implicits._
     val vecs = graft.core.Tables.embeddings(spark, sf)
