@@ -11,19 +11,24 @@ import org.apache.spark.sql.SparkSession
   * 2^log2m bits, so at some eval size the exact scan stops being
   * shippable and the Bloom probe keeps the same map-only plan.
   *
-  *   runMain graft.EvalRehearsal [dir=target/sf1] [evalSizes=50,2000,10000]
+  *   runMain graft.EvalRehearsal [dir=target/sf1] [evalSizes=50,2000,10000] [log2m=24]
   *
   * log2m is sized to the eval split (see [[graft.operators.Dedup
   * .bloomContaminationOf]] for the FP curve): 2^24 bits = 2 MiB holds
-  * this sweep's largest eval side (~470k grams) at FP ≈ 4e-5, still
-  * trivially broadcastable; a multi-million-gram eval side would step up
-  * to 2^27 = 16 MiB. */
+  * the sf1 sweep's largest eval side (~470k grams) at FP ≈ 4e-5, still
+  * trivially broadcastable; a multi-million-gram eval side steps up to
+  * 2^27 = 16 MiB. The 3rd arg exists to DEMONSTRATE both halves of that
+  * guidance: the sf3 sweep at eval=30k (1.41M grams) measurably breaks
+  * knife-edge parity at 2^24 (FP ≈ 0.5% flips just-below-threshold docs
+  * to bloom-flagged) and restores it at 27 — the over-drop onset and its
+  * remedy, both observed rather than calculated. */
 object EvalRehearsal {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf1")
     val sizes = (if (args.length > 1) args(1) else "50,2000,10000")
       .split(",").map(_.trim.toLong).toSeq
+    val log2m = if (args.length > 2) args(2).toInt else 24
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +63,7 @@ object EvalRehearsal {
 
     sizes.foreach { evalMax =>
       val bloomFlagged = graft.operators.Dedup.bloomContaminationOf(
-        docs, evalMax, 5, 24)
+        docs, evalMax, 5, log2m)
       val nEvalGrams = docs.filter(col("doc_id") < evalMax)
         .select(explode(org.apache.spark.sql.graft.GraftFunctions
           .wordGrams(col("text"), 3)).as("gram"))
@@ -69,7 +74,8 @@ object EvalRehearsal {
       val (tBloom, nBloom) = timed { bloomFlagged.count() }
       println(f"[evalrehearsal] eval=$evalMax%-6d evalGrams=$nEvalGrams%-9d " +
         f"exact=${tExact}%6.2fs (flagged=$nExact) " +
-        f"bloom=${tBloom}%6.2fs (flagged=$nBloom, bitmap=2MiB const)")
+        f"bloom=${tBloom}%6.2fs (flagged=$nBloom, " +
+        s"bitmap=2^$log2m bits const)")
 
       manifest.foreach { m =>
         // whole-corpus parity first: the two scans must flag the SAME doc

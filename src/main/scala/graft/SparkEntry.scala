@@ -34,6 +34,7 @@ object SparkEntry {
       "text_bpe_tokens"   -> (TextOps.bpeTokens _),
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_quality_filter" -> (TextOps.qualityQuantileFilter _),
+      "text_gopher_rules" -> (TextOps.gopherRules _),
       "text_fingerprint"  -> (TextOps.fingerprint _),
       "text_winnow_fingerprints" -> (TextOps.winnowFingerprints _),
       "dedup_winnow_candidates"  -> (TextOps.winnowCandidates _),
@@ -103,6 +104,7 @@ object SparkEntry {
       "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_quality_filter" -> TextOps.qualityQuantileFilterOracle,
+      "text_gopher_rules" -> TextOps.gopherRulesOracle,
       "text_fingerprint" -> TextOps.fingerprintOracle,
       "text_winnow_fingerprints" -> TextOps.winnowFingerprintsOracle,
       "dedup_winnow_candidates"  -> TextOps.winnowCandidatesOracle,

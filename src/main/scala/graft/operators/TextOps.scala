@@ -349,6 +349,85 @@ object TextOps {
        |  (scx.sx >= thr.tx) AS keep
        |FROM scx JOIN thr USING (source)""".stripMargin
 
+  // ------------------------------------------------------ Gopher rule gate
+  /** Gopher-style hard rule filter (Rae et al. 2021, §A.1.1) — the
+    * boolean quality GATES every pre-training pipeline applies before any
+    * soft scoring, complementing [[qualityScore]]'s composite. Rules kept
+    * from the paper: word count in [50, 100,000]; mean word length in
+    * [3, 10]; symbol-to-word ratio ('#' or '...') <= 0.1; >= 80% of words
+    * contain an alphabetic character; >= 2 DISTINCT stopword hits. The
+    * paper's two line-shape rules (bullet-line / ellipsis-line fractions)
+    * are omitted: corpus documents are single-line by construction, so
+    * both are degenerate on every input this engine sees (documented
+    * divergence). The stop list is the engine's 8-word list (shared with
+    * [[qualityScore]]) rather than Gopher's: the corpus vocabulary
+    * contains only 'the'/'a' from Gopher's, which would pin the rule
+    * constant-false — the >= 2-distinct-hits RULE is the shape.
+    *
+    * Scale shape: map-only, one pass, zero shuffles — every metric
+    * computes from the token array in place, so the plan is a scan +
+    * project at any corpus size. Every threshold compares in INTEGER
+    * space (sum_len vs 3n/10n, 10·sym vs n, 5·alpha vs 4n, hits vs 2),
+    * so the engine-vs-oracle round-half knife edge is impossible by
+    * construction; displayed ratios use the shared ratio4 4dp form. */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, d))
+
+  /** [[gopherRules]] over an arbitrary (doc_id, text) frame — the
+    * boundary-value spec's entry (each rule pinned AT its threshold). */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stop = "'the','a','of','and','to','in','is','it'"
+    docs
+      .withColumn("toks", tokensCol)
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"))
+      .withColumn("n_sym", expr(
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
+          "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(array_intersect(toks, array($stop)))").cast("long"))
+      .select($"doc_id", $"n_words",
+        Dedup.ratio4("sum_len", "n_words").as("mean_word_len"),
+        Dedup.ratio4("n_sym", "n_words").as("symbol_ratio"),
+        Dedup.ratio4("n_alpha", "n_words").as("alpha_frac"),
+        $"n_stop".as("n_stop_distinct"),
+        ($"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
+          $"n_sym" * 10 <= $"n_words" &&
+          $"n_alpha" * 5 >= $"n_words" * 4 &&
+          $"n_stop" >= 2L).as("keep"))
+  }
+
+  /** DuckDB twin of [[gopherRules]] — same integer-space thresholds, same
+    * ratio4 display form ('//' = the engine's `div`). */
+  val gopherRulesOracle: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+       |  CAST((length(text) - length(replace(text, '#', '')))
+       |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+       |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  ${Dedup.ratio4Sql("sum_len", "n_words")} AS mean_word_len,
+       |  ${Dedup.ratio4Sql("n_sym", "n_words")} AS symbol_ratio,
+       |  ${Dedup.ratio4Sql("n_alpha", "n_words")} AS alpha_frac,
+       |  n_stop AS n_stop_distinct,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+       |    AND n_sym * 10 <= n_words
+       |    AND n_alpha * 5 >= n_words * 4
+       |    AND n_stop >= 2) AS keep
+       |FROM m""".stripMargin
+
   // -------------------------------------------------------- fingerprinting
   /** Canonical document fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key at scale (hash the normal form

@@ -305,4 +305,44 @@ class TextSpec extends SparkTestBase {
     assert(got(2L).toSeq === Seq((2L, 0, 0, 3, "a b c")))
     assert(got(3L).toSeq === Seq((3L, 0, 0, 0, "")))
   }
+
+  test("gopher rules: every threshold pinned AT its boundary, both sides") {
+    import spark.implicits._
+    // each doc isolates ONE rule at its exact edge while every other rule
+    // passes with margin; integer-space thresholds mean the edge cases
+    // are deterministic, not float-luck
+    def w(n: Int, word: String) = Seq.fill(n)(word)
+    val docs = Seq(
+      // word count: 50 (edge, keep) vs 49 (drop)
+      1L -> (w(48, "abcd") ++ Seq("the", "and")).mkString(" "),
+      2L -> (w(47, "abcd") ++ Seq("the", "and")).mkString(" "),
+      // mean word length: exactly 3.0 keep vs just below (148/50) drop
+      3L -> (w(48, "abc") ++ Seq("the", "and")).mkString(" "),
+      4L -> (w(47, "abc") ++ Seq("the", "and", "a")).mkString(" "),
+      // mean word length: exactly 10.0 keep vs 534/50 > 10 drop
+      5L -> (w(48, "abcdefghij") ++ Seq("the", "and")).mkString(" "),
+      6L -> (w(48, "abcdefghijk") ++ Seq("the", "and")).mkString(" "),
+      // alpha fraction: exactly 0.8 (40/50) keep vs 39/50 drop
+      7L -> (w(38, "abcd") ++ Seq("the", "and") ++ w(10, "123")).mkString(" "),
+      8L -> (w(37, "abcd") ++ Seq("the", "and") ++ w(11, "123")).mkString(" "),
+      // symbol ratio: 5 '#' in 50 words = 0.1 keep vs 6 drop
+      9L -> (w(43, "abcd") ++ Seq("the", "and") ++ w(5, "#")).mkString(" "),
+      10L -> (w(42, "abcd") ++ Seq("the", "and") ++ w(6, "#")).mkString(" "),
+      // stopwords: 2 distinct keep vs 1 drop (repeats don't count)
+      11L -> (w(48, "abcd") ++ Seq("the", "the")).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.gopherRulesOf(docs)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(
+      1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true,
+      6L -> false, 7L -> true, 8L -> false, 9L -> true, 10L -> false,
+      11L -> false))
+    // displayed metrics at the two interesting edges
+    val m = graft.operators.TextOps.gopherRulesOf(docs)
+      .select($"doc_id", $"mean_word_len", $"alpha_frac", $"n_stop_distinct")
+      .as[(Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(3L)._2 === 3.0)
+    assert(m(7L)._3 === 0.8)
+    assert(m(11L)._4 === 1L)
+  }
 }
