@@ -80,9 +80,12 @@ object EvalRehearsal {
       manifest.foreach { m =>
         // whole-corpus parity first: the two scans must flag the SAME doc
         // set (the Bloom filter at this geometry should introduce zero
-        // verdict flips — measured, not assumed)
-        val ef = exactFlagged.withColumnRenamed("train_doc", "doc_id")
-        val bf = bloomFlagged.select(col("train_doc").as("doc_id"))
+        // verdict flips — measured, not assumed). Cached AFTER the timed
+        // section: the two except()s and the accounting join below would
+        // otherwise rebuild the bloom bitmap and re-broadcast the eval
+        // gram index five more times per eval size.
+        val ef = exactFlagged.withColumnRenamed("train_doc", "doc_id").cache()
+        val bf = bloomFlagged.select(col("train_doc").as("doc_id")).cache()
         val onlyExact = ef.except(bf).count()
         val onlyBloom = bf.except(ef).count()
         println(f"[evalrehearsal] eval=$evalMax%-6d parity: " +
@@ -113,6 +116,7 @@ object EvalRehearsal {
             (if (kind == 0 && (eh != n || bh != n)) "  RECALL<1.0!" else "") +
             (if (fl != 0) "  PARITY BROKEN!" else ""))
         }
+        ef.unpersist(); bf.unpersist()
       }
     }
     spark.stop()

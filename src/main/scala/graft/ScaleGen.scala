@@ -235,12 +235,15 @@ object ScaleGen {
     // planted-contamination manifest: (doc_id, eval_base, kind, target_pct)
     // — the ground truth the recall/parity rehearsal joins against, written
     // by the SAME run that planted, so accounting can never drift from the
-    // selection logic
-    if (contamPerMille > 0)
-      write(docsGen.filter($"is_contam")
-        .select($"id".as("doc_id"), $"base".as("eval_base"), $"kind",
-          targetPct.as("target_pct")),
-        "contam_manifest", 1)
+    // selection logic. Written UNCONDITIONALLY (empty when nothing was
+    // planted): a contamPerMille=0 regeneration into a directory that
+    // previously held plants would otherwise leave the old manifest on
+    // disk, and the rehearsal would join stale ground truth against the
+    // clean corpus and report a phantom detector failure.
+    write(docsGen.filter($"is_contam")
+      .select($"id".as("doc_id"), $"base".as("eval_base"), $"kind",
+        targetPct.as("target_pct")),
+      "contam_manifest", 1)
 
     // --------------------------------------------------------- embeddings
     val nVecs = 2000L * factor

@@ -60,11 +60,16 @@ object Verify {
     val tol = 3 * rsd
     def relErr(a: Double, e: Double): Double =
       if (e != 0) math.abs(a - e) / e else if (a == 0) 0.0 else Double.PositiveInfinity
-    def bound(pairs: Seq[(Double, Double)]): (Int, Double, Boolean) = {
+    // worst is a STRING at the call sites: NaN (empty dump) / Infinity
+    // (exact=0, approx!=0) are not valid JSON literals, and the file must
+    // stay parseable precisely when something went wrong — the check.py
+    // twin serializes the same cases as null
+    def bound(pairs: Seq[(Double, Double)]): (Int, String, Boolean) = {
       val worst = if (pairs.isEmpty) Double.NaN else pairs.map((relErr _).tupled).max
+      val worstJson = if (worst.isNaN || worst.isInfinite) "null" else worst.toString
       val ok = pairs.nonEmpty &&
         pairs.forall { case (a, e) => math.abs(a - e) <= math.max(2.0, tol * e) }
-      (pairs.size, worst, ok)
+      (pairs.size, worstJson, ok)
     }
     def exists(name: String) = Files.isDirectory(Paths.get(s"$outDir/$name"))
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -319,9 +319,11 @@ class TextSpec extends SparkTestBase {
       // mean word length: exactly 3.0 keep vs just below (148/50) drop
       3L -> (w(48, "abc") ++ Seq("the", "and")).mkString(" "),
       4L -> (w(47, "abc") ++ Seq("the", "and", "a")).mkString(" "),
-      // mean word length: exactly 10.0 keep vs 534/50 > 10 drop
+      // mean word length upper bound: 486/50 keep, EXACTLY 500/50 = 10.0
+      // keep (inclusive edge — a <= regressed to < fails here), 534/50 drop
       5L -> (w(48, "abcdefghij") ++ Seq("the", "and")).mkString(" "),
       6L -> (w(48, "abcdefghijk") ++ Seq("the", "and")).mkString(" "),
+      12L -> (w(14, "abcdefghijk") ++ w(34, "abcdefghij") ++ Seq("the", "and")).mkString(" "),
       // alpha fraction: exactly 0.8 (40/50) keep vs 39/50 drop
       7L -> (w(38, "abcd") ++ Seq("the", "and") ++ w(10, "123")).mkString(" "),
       8L -> (w(37, "abcd") ++ Seq("the", "and") ++ w(11, "123")).mkString(" "),
@@ -336,12 +338,13 @@ class TextSpec extends SparkTestBase {
     assert(got === Map(
       1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true,
       6L -> false, 7L -> true, 8L -> false, 9L -> true, 10L -> false,
-      11L -> false))
+      11L -> false, 12L -> true))
     // displayed metrics at the two interesting edges
     val m = graft.operators.TextOps.gopherRulesOf(docs)
       .select($"doc_id", $"mean_word_len", $"alpha_frac", $"n_stop_distinct")
       .as[(Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
     assert(m(3L)._2 === 3.0)
+    assert(m(12L)._2 === 10.0)
     assert(m(7L)._3 === 0.8)
     assert(m(11L)._4 === 1L)
   }
