@@ -40,12 +40,15 @@ object SparkEntry {
       "dedup_winnow_candidates"  -> (TextOps.winnowCandidates _),
       "text_langid"       -> (TextOps.langId _),
       "text_redact_pii"   -> ((s, d) => TextOps.redactPii(s, d)),
+      "text_blocklist_filter" -> (TextOps.blocklistFilter _),
       "text_repetition"   -> (TextOps.repetitionSignals _),
       // corpus provenance / mixture layer
       "text_source_stats"    -> (Corpus.sourceStats _),
       "train_mix_weights"    -> (Corpus.mixWeights _),
       "text_tfidf_top_terms" -> (Corpus.tfidfTopTerms _),
       "text_lm_bits"         -> (Corpus.lmBits _),
+      "train_dsir_weights"   -> (Corpus.dsirWeights _),
+      "dedup_cross_source"   -> (Corpus.crossSourceOverlap _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -121,6 +124,9 @@ object SparkEntry {
       "train_mix_weights"    -> Corpus.mixWeightsOracle,
       "text_tfidf_top_terms" -> Corpus.tfidfTopTermsOracle,
       "text_lm_bits"         -> Corpus.lmBitsOracle,
+      "train_dsir_weights"   -> Corpus.dsirWeightsOracle,
+      "dedup_cross_source"   -> Corpus.crossSourceOverlapOracle,
+      "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,

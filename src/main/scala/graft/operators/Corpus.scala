@@ -143,6 +143,146 @@ object Corpus {
       |FROM tok JOIN c USING (word) CROSS JOIN t
       |GROUP BY tok.doc_id""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public arXiv:2302.03169):
+    * features are unigrams hashed into [[DsirBuckets]] buckets; fit two
+    * add-one-smoothed bag-of-buckets models — p over the TARGET slice
+    * (here: documents from [[DsirTargetSource]], standing in for the
+    * high-quality target corpus) and q over the WHOLE corpus — and score
+    * every document by its log importance ratio
+    * `log w(x) = Σ_tokens ln(p_bucket / q_bucket)`. Resampling docs with
+    * probability ∝ w(x) shifts the corpus mixture toward the target
+    * distribution; the weights are the operator's output (the resample
+    * itself is [[Sampling]]'s deterministic-hash territory).
+    *
+    * Scale shape: the bucket table is FIXED at [[DsirBuckets]] rows no
+    * matter the corpus size — both models ride one hash aggregate and a
+    * broadcast join, so the per-doc scoring join never shuffles the corpus
+    * against a corpus-sized model. Token→bucket hashing is md5-prefix mod B
+    * (not xxhash) solely so DuckDB can replay it bit-for-bit; per-doc
+    * bucket counts are aggregated BEFORE the ratio join, so the join input
+    * is |doc × distinct-bucket| rows, not |tokens|. Zero-token docs have no
+    * defined score and are omitted (the [[lmBits]] emptiness policy).
+    * Float note: the per-doc Σ c·ln(ratio) associates differently across
+    * partials than DuckDB's serial fold — absorbed by the shared 4dp
+    * rounding, like every double aggregate oracle here. */
+  val DsirBuckets = 1024
+  val DsirTargetSource = "src0"
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(Tables.documents(s, d))
+
+  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val B = DsirBuckets
+    val toks = docs.select($"doc_id", $"source",
+        explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+      .withColumn("bucket",
+        conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % B)
+    val perBucket = toks.groupBy($"bucket").agg(
+      count(lit(1)).as("c_all"),
+      sum(when($"source" === DsirTargetSource, 1L).otherwise(0L)).as("c_tgt"))
+    val totals = perBucket.agg(
+      sum($"c_all").cast("double").as("n_all"),
+      sum($"c_tgt").cast("double").as("n_tgt"))
+    val ratios = perBucket.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((($"c_tgt" + 1) / ($"n_tgt" + B)) / (($"c_all" + 1) / ($"n_all" + B))))
+      .select($"bucket", $"lr")
+    val docBuckets = toks.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    docBuckets.join(broadcast(ratios), "bucket")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        round(sum($"c" * $"lr"), 4).as("dsir_logw"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] — same md5-prefix bucket hash
+    * (`0x`-cast mirrors the engine's `conv(hex, 16, 10)`), same smoothing
+    * algebra in the same evaluation order, so per-bucket log-ratios are
+    * bit-equal and only the per-doc sum needs the 4dp rounding. */
+  val dsirWeightsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |tb AS (SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM tok),
+       |pb AS (SELECT bucket, count(*) AS c_all,
+       |    sum(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END) AS c_tgt
+       |  FROM tb GROUP BY bucket),
+       |t AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+       |             CAST(sum(c_tgt) AS DOUBLE) AS n_tgt FROM pb),
+       |r AS (SELECT bucket,
+       |    ln(((c_tgt + 1) / (n_tgt + $DsirBuckets)) /
+       |       ((c_all + 1) / (n_all + $DsirBuckets))) AS lr
+       |  FROM pb CROSS JOIN t),
+       |db AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2)
+       |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+       |  round(sum(db.c * r.lr), 4) AS dsir_logw
+       |FROM db JOIN r USING (bucket)
+       |GROUP BY db.doc_id""".stripMargin
+
+  /** Cross-source duplication-leakage matrix: for every pair of sources,
+    * how many winnowing fingerprints (MOSS scheme, [[TextOps.winnowFingerprints]])
+    * they share, plus a containment ratio normalized by the smaller side's
+    * fingerprint vocabulary. This is the provenance-level contamination
+    * report a mixture decision reads — two "independent" crawls sharing
+    * most of their fingerprint mass are one source wearing two names, and
+    * per-source mixture weights ([[mixWeights]]) silently double-count
+    * them.
+    *
+    * Scale shape: one aggregation keyed on (fingerprint) collects the
+    * ≤ |sources| distinct sources carrying it; the pair expansion is an
+    * IN-ROW array transform over that set (≤ |sources|² values, here
+    * ≤400, REGARDLESS of corpus size) — not a fingerprint self-join,
+    * which would recompute the fingerprint subtree per side and fan out
+    * per key at shuffle time. Both output branches (pair counts and
+    * per-source fingerprint totals) read the same grouped subtree, so the
+    * heavy exchanges are reuse candidates; the totals join back is a
+    * |sources|-row broadcast. No all-pairs over documents anywhere. */
+  def crossSourceOverlap(s: SparkSession, d: String): DataFrame =
+    crossSourceOverlapOf(Tables.documents(s, d))
+
+  private[graft] def crossSourceOverlapOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcFps = TextOps.winnowFingerprintsOf(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"fingerprint").distinct()
+    // per fingerprint: the sorted set of sources carrying it (bounded by
+    // |sources|); sort makes the in-row pair expansion emit a < b once
+    val sets = srcFps.groupBy($"fingerprint")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+    val counts = sets.select(explode($"ss").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_fps"))
+    val pairs = sets.select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), b -> struct(a AS sa, b AS sb))))"))
+        .as("p"))
+      .groupBy($"p.sa".as("source_a"), $"p.sb".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select($"source".as("source_a"), $"n_fps".as("n_a"))), "source_a")
+      .join(broadcast(counts.select($"source".as("source_b"), $"n_fps".as("n_b"))), "source_b")
+      .select($"source_a", $"source_b", $"n_shared",
+        round($"n_shared" / least($"n_a", $"n_b"), 4).as("containment"))
+  }
+
+  /** DuckDB twin of [[crossSourceOverlap]] — reuses the winnowing CTE
+    * chain ([[TextOps.winnowCtesFrom]]) whose hash parity is already
+    * pinned by the fingerprint oracles. */
+  val crossSourceOverlapOracle: String =
+    s"""WITH ${TextOps.winnowCtes},
+       |sf AS (SELECT DISTINCT d.source, f.fp
+       |  FROM fps f JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT source, count(*) AS n FROM sf GROUP BY source),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sf a JOIN sf b USING (fp)
+       |  WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_shared,
+       |  round(p.n_shared / least(ca.n, cb.n), 4) AS containment
+       |FROM p JOIN cnt ca ON ca.source = p.source_a
+       |       JOIN cnt cb ON cb.source = p.source_b""".stripMargin
+
   val tfidfTopTermsOracle: String =
     s"""WITH w AS (SELECT doc_id,
        |    unnest(list_filter(string_split_regex(text, '${"\\"}s+'), x -> x <> '')) AS term

@@ -428,6 +428,48 @@ object TextOps {
        |    AND n_stop >= 2) AS keep
        |FROM m""".stripMargin
 
+  // ------------------------------------------------------ blocklist filter
+  /** C4-style term-blocklist gate (Raffel et al. 2020 §2.2 — the public
+    * "List of Dirty, Naughty ..." word filter shape): a document is
+    * dropped if ANY token appears on the blocklist. Emits the per-doc
+    * blocked-token count alongside the verdict so the filter's aggression
+    * is auditable (the C4 paper's own ablation concern).
+    *
+    * The list here is a stand-in over the synthetic vocabulary (one term
+    * present in the corpus, one absent — so both the match and no-match
+    * paths execute); the real deployment swaps the array. Map-only: the
+    * token scan, the intersect, and the verdict all fuse into one
+    * whole-stage-codegen projection over the scan — no shuffle, no UDF,
+    * nothing leaves the stage. At 100 TB this is a free rider on whatever
+    * scan the pipeline already does. */
+  val Blocklist: Seq[String] = Seq("dup", "badword")
+
+  def blocklistFilter(s: SparkSession, d: String): DataFrame =
+    blocklistFilterOf(Tables.documents(s, d))
+
+  private[graft] def blocklistFilterOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("toks", tokensCol)
+      .withColumn("n_blocked",
+        expr(s"size(filter(toks, x -> array_contains(array($listSql), x)))")
+          .cast("long"))
+      .select($"doc_id", $"n_blocked", ($"n_blocked" === 0L).as("keep"))
+  }
+
+  /** DuckDB twin of [[blocklistFilter]]. */
+  val blocklistFilterOracle: String = {
+    val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+       |   x -> list_contains([$listSql], x))) AS BIGINT) AS n_blocked,
+       | len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+       |   x -> list_contains([$listSql], x))) = 0 AS keep
+       |FROM documents""".stripMargin
+  }
+
   // -------------------------------------------------------- fingerprinting
   /** Canonical document fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key at scale (hash the normal form

@@ -133,4 +133,67 @@ class CorpusSpec extends SparkTestBase {
     // a common-token doc must score strictly fewer bits than a rare-token doc
     assert(got(1L)._3 < got(2L)._3)
   }
+
+  test("DSIR weights: target-token docs outrank, hand-computed ratio, empty doc omitted") {
+    import org.apache.spark.sql.functions._
+    // target slice (src0) speaks "wiki"; the rest speaks "web". A doc made
+    // of the target's token must get a strictly higher importance weight
+    // than a doc made of the background's token.
+    val docs = Seq(
+      (0L, "wiki wiki", "src0"), (1L, "wiki web", "src0"),
+      (2L, "web web", "srcX"), (3L, "web web", "srcX"),
+      (4L, "wiki", "srcX"), (5L, "web", "srcX"), (6L, "", "srcX")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.dsirWeightsOf(docs)
+      .select("doc_id", "n_tokens", "dsir_logw")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(6L), "zero-token doc must be omitted")
+    // hand-computed: tokens N=10; wiki count 4 (3 in the target slice),
+    // web count 6 (1 in the target slice), target slice N_tgt=4. B=1024
+    // buckets; wiki and web land in distinct buckets (md5-spread), so
+    // lr(tok) = ln(((c_tgt+1)/(4+B)) / ((c_all+1)/(10+B)))
+    val B = Corpus.DsirBuckets.toDouble
+    def lr(cTgt: Long, cAll: Long) =
+      math.log(((cTgt + 1) / (4 + B)) / ((cAll + 1) / (10 + B)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (lrWiki, lrWeb) = (lr(3, 4), lr(1, 6))
+    assert(got(4L)._3 === r4(lrWiki))
+    assert(got(5L)._3 === r4(lrWeb))
+    assert(got(0L)._3 === r4(2 * lrWiki))
+    assert(lrWiki > lrWeb, "target-distinctive token must carry the higher log-ratio")
+    assert(got(0L)._3 > got(2L)._3, "all-target doc must outrank all-background doc")
+    // the model table the scoring join broadcasts is bounded by B buckets
+    // regardless of corpus size — the operator's 100 TB contract
+    val nBuckets = docs.filter(length($"text") > 0)
+      .select(explode(split($"text", " ")).as("w"))
+      .select((conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % Corpus.DsirBuckets).as("b"))
+      .distinct().count()
+    assert(nBuckets <= Corpus.DsirBuckets)
+  }
+
+  test("cross-source overlap: shared >=23-char substring links sources, disjoint stay unlinked") {
+    // winnowing guarantee (k=8, w=16): any shared substring of length
+    // >= w + k - 1 = 23 yields a shared fingerprint. srcA and srcB share a
+    // 40-char run; srcC is character-disjoint from both (digits vs letters)
+    // so it can share no 8-gram, hence no fingerprint.
+    val shared = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared", "srcA"),
+      (1L, s"$shared delta epsilon zeta", "srcB"),
+      (2L, "0123456789 9876543210 1029384756 5647382910", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.crossSourceOverlapOf(docs)
+      .select("source_a", "source_b", "n_shared", "containment")
+      .as[(String, String, Long, Double)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair.contains(("srcA", "srcB")), "sources sharing a long run must be linked")
+    val (_, _, nShared, containment) = byPair(("srcA", "srcB"))
+    assert(nShared >= 1)
+    assert(containment > 0 && containment <= 1.0 + 1e-9)
+    assert(!byPair.contains(("srcA", "srcC")) && !byPair.contains(("srcB", "srcC")),
+      "character-disjoint source must share no fingerprint")
+    // pairs are canonical (a < b) and unique
+    got.foreach { case (a, b, _, _) => assert(a < b) }
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+  }
 }

@@ -348,4 +348,28 @@ class TextSpec extends SparkTestBase {
     assert(m(7L)._3 === 0.8)
     assert(m(11L)._4 === 1L)
   }
+
+  test("blocklist filter: occurrence counts, substring non-matches, any-hit drops") {
+    import spark.implicits._
+    // Blocklist = ("dup", "badword"): token-level matching — "dupx" and
+    // "badwords" contain a blocked term as a SUBSTRING but are different
+    // tokens, so they must NOT match (the C4 filter is token-exact)
+    val docs = Seq(
+      1L -> "clean text with nothing blocked",
+      2L -> "one dup here",
+      3L -> "dup dup badword",
+      4L -> "dupx badwords duplicate", // substrings/superstrings only -> clean
+      5L -> ""
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.blocklistFilterOf(docs)
+      .select($"doc_id", $"n_blocked", $"keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0L, true)))
+    assert(got(2L) === ((2L, 1L, false)))
+    assert(got(3L) === ((3L, 3L, false)))
+    assert(got(4L) === ((4L, 0L, true)))
+    assert(got(5L) === ((5L, 0L, true))) // empty doc: nothing to block
+    // every doc gets a verdict (map-only gate never drops rows itself)
+    assert(got.size === 5)
+  }
 }
