@@ -79,5 +79,7 @@ object PlanCensus {
       "crossJoin(broadcast(single-row w_total aggregate)) — the scalar-subquery shape replacing the r6-flagged single-partition window; build side is exactly 1 row"),
     "train_dsir_weights" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (n_all,n_tgt) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "text_ccnet_buckets" -> Map("BroadcastNestedLoopJoin" ->
+      "inherits lmBits' crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
   )
 }

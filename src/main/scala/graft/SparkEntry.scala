@@ -49,6 +49,7 @@ object SparkEntry {
       "text_lm_bits"         -> (Corpus.lmBits _),
       "train_dsir_weights"   -> (Corpus.dsirWeights _),
       "dedup_cross_source"   -> (Corpus.crossSourceOverlap _),
+      "text_ccnet_buckets"   -> (Corpus.ccnetBuckets _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -126,6 +127,7 @@ object SparkEntry {
       "text_lm_bits"         -> Corpus.lmBitsOracle,
       "train_dsir_weights"   -> Corpus.dsirWeightsOracle,
       "dedup_cross_source"   -> Corpus.crossSourceOverlapOracle,
+      "text_ccnet_buckets"   -> Corpus.ccnetBucketsOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,

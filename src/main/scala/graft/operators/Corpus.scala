@@ -143,6 +143,77 @@ object Corpus {
       |FROM tok JOIN c USING (word) CROSS JOIN t
       |GROUP BY tok.doc_id""".stripMargin
 
+  /** CCNet-style language-model buckets (Wenzek et al. 2020, §4.3 —
+    * public arXiv:1911.00359): partition each LANGUAGE's documents into
+    * head / middle / tail by their LM score ([[lmBits]] bits/token — the
+    * corpus-internal stand-in for CCNet's external KenLM), so downstream
+    * mixing can keep the head, sample the middle, and drop the tail
+    * per-language instead of letting a global threshold gut low-resource
+    * languages (CCNet's stated motivation). Cut points are the per-language
+    * 25th/75th percentiles rather than CCNet's terciles — documented
+    * divergence: p = 1/3 makes the interpolated rank inexact in double and
+    * re-opens the engine-vs-oracle knife edge the integer-space thresholds
+    * exist to kill; quarter fractions keep every interpolation term exact
+    * (the [[TextOps.qualityQuantileFilter]] analysis).
+    *
+    * Scale shape: scoring is [[lmBitsOf]]'s broadcast-model shape; the cut
+    * table is ONE row per language (exact sort-based `percentile` here —
+    * the gate/oracle mode; `exact = false` switches to `approx_percentile`
+    * for the 100 TB one-pass path, CorpusSpec asserts the modes agree at
+    * gate scale) and broadcasts back. Ranking happens in ×10⁴ INTEGER
+    * space of the already-4dp-rounded score, same as the quality filter. */
+  val CcnetLow = 0.25
+  val CcnetHigh = 0.75
+
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsOf(Tables.documents(s, d), exact = true)
+
+  private[graft] def ccnetBucketsOf(docs: DataFrame, exact: Boolean): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bits = lmBitsOf(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("bx", expr("cast(round(bits_per_token * 10000) as bigint)"))
+    def thrExpr(p: Double) =
+      if (exact) s"percentile(bx, $p)" else s"approx_percentile(bx, $p, 10000)"
+    val thr = bits.groupBy($"lang").agg(
+      expr(thrExpr(CcnetLow)).as("tlo"),
+      expr(thrExpr(CcnetHigh)).as("thi"))
+    bits.join(broadcast(thr), "lang")
+      .select($"doc_id", $"lang", $"bits_per_token",
+        ($"tlo" / 10000.0).as("lo_thr"),
+        ($"thi" / 10000.0).as("hi_thr"),
+        when($"bx" <= $"tlo", "head")
+          .when($"bx" >= $"thi", "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
+  /** DuckDB twin of [[ccnetBuckets]] — the [[lmBitsOracle]] CTE chain
+    * plus `quantile_cont` cut points over the same ×10⁴ integers. */
+  val ccnetBucketsOracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |c AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+       |t AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+       |             CAST(count(*) AS DOUBLE) AS v_total FROM c),
+       |b AS (SELECT tok.doc_id,
+       |  round(sum(-(ln((c.c + 1) / (t.n_total + t.v_total)) / ln(2))) / count(*), 4)
+       |    AS bits_per_token
+       |  FROM tok JOIN c USING (word) CROSS JOIN t
+       |  GROUP BY tok.doc_id),
+       |bx AS (SELECT b.doc_id, d.lang, b.bits_per_token,
+       |  CAST(round(b.bits_per_token * 10000) AS BIGINT) AS bx
+       |  FROM b JOIN documents d USING (doc_id)),
+       |thr AS (SELECT lang, quantile_cont(bx, $CcnetLow) AS tlo,
+       |               quantile_cont(bx, $CcnetHigh) AS thi
+       |  FROM bx GROUP BY lang)
+       |SELECT bx.doc_id, bx.lang, bx.bits_per_token,
+       |  thr.tlo / 10000.0 AS lo_thr, thr.thi / 10000.0 AS hi_thr,
+       |  CASE WHEN bx.bx <= thr.tlo THEN 'head'
+       |       WHEN bx.bx >= thr.thi THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM bx JOIN thr USING (lang)""".stripMargin
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public arXiv:2302.03169):
     * features are unigrams hashed into [[DsirBuckets]] buckets; fit two

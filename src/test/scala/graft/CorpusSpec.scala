@@ -134,6 +134,49 @@ class CorpusSpec extends SparkTestBase {
     assert(got(1L)._3 < got(2L)._3)
   }
 
+  test("ccnet buckets: per-lang quartile split, head scores below tail, modes agree") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val got = Corpus.ccnetBucketsOf(docs, exact = true)
+      .select("doc_id", "lang", "bits_per_token", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // every bucket label is one of the three
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), s"$lang labels")
+      // ordering: max(head) <= min(middle-or-tail) etc — the cut points
+      // partition the score line
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.max <= m.min, s"$lang: head above middle")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.max <= t.min, s"$lang: middle above tail")
+      // quartile mass: head and tail each get >= ~15% of the language
+      // (exact 25% only without ties; ties at the cut inflate head/tail)
+      val n = rows.length.toDouble
+      if (n >= 20) {
+        assert(byBucket.getOrElse("head", Array.empty[Double]).length / n >= 0.15, s"$lang head mass")
+        assert(byBucket.getOrElse("tail", Array.empty[Double]).length / n >= 0.15, s"$lang tail mass")
+      }
+    }
+    // the one-pass approx mode: approx_percentile returns a MEMBER value
+    // where exact `percentile` interpolates between two members, so a doc
+    // whose score sits inside that gap can legitimately flip ONE step at a
+    // cut. Assert the honest contract: >= 99% agreement, and any flip is
+    // adjacent (head<->middle or middle<->tail, never head<->tail)
+    val approx = Corpus.ccnetBucketsOf(docs, exact = false)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val exactM = got.map(r => r._1 -> r._4).toMap
+    val flips = exactM.collect {
+      case (id, b) if approx(id) != b => (id, b, approx(id))
+    }
+    assert(flips.size <= math.max(1, exactM.size / 100),
+      s"approx mode diverged on ${flips.size}/${exactM.size} docs: $flips")
+    flips.foreach { case (id, a, b) =>
+      assert(Set(a, b) != Set("head", "tail"),
+        s"doc $id jumped two buckets ($a -> $b): not a cut-boundary artifact")
+    }
+  }
+
   test("DSIR weights: target-token docs outrank, hand-computed ratio, empty doc omitted") {
     import org.apache.spark.sql.functions._
     // target slice (src0) speaks "wiki"; the rest speaks "web". A doc made
