@@ -81,5 +81,7 @@ object PlanCensus {
       "crossJoin(broadcast(single-row (n_all,n_tgt) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "text_ccnet_buckets" -> Map("BroadcastNestedLoopJoin" ->
       "inherits lmBits' crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "text_bm25_topk" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
   )
 }

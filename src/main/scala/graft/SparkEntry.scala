@@ -50,6 +50,7 @@ object SparkEntry {
       "train_dsir_weights"   -> (Corpus.dsirWeights _),
       "dedup_cross_source"   -> (Corpus.crossSourceOverlap _),
       "text_ccnet_buckets"   -> (Corpus.ccnetBuckets _),
+      "text_bm25_topk"       -> (Corpus.bm25TopK _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -128,6 +129,7 @@ object SparkEntry {
       "train_dsir_weights"   -> Corpus.dsirWeightsOracle,
       "dedup_cross_source"   -> Corpus.crossSourceOverlapOracle,
       "text_ccnet_buckets"   -> Corpus.ccnetBucketsOracle,
+      "text_bm25_topk"       -> Corpus.bm25TopKOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,

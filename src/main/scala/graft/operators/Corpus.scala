@@ -214,6 +214,82 @@ object Corpus {
        |       ELSE 'middle' END AS bucket
        |FROM bx JOIN thr USING (lang)""".stripMargin
 
+  /** BM25 retrieval top-k (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond" — public Okapi BM25): score
+    * every document against a fixed query-term set and return the K best.
+    * This is the retrieval primitive behind targeted selection and
+    * retrieval-based decontamination (find the corpus docs most similar to
+    * an eval/target query before a human or a stronger scorer looks at
+    * them). k1 = 1.2, b = 0.75 — the standard defaults.
+    *
+    * Scale shape: tokens are FILTERED to the query terms before any
+    * aggregate, so the tf table is |docs touching a query term| not
+    * |tokens|; df (≤ |query| rows) and the (N, avgdl) scalar are broadcast;
+    * doc length joins tf on doc_id (the one corpus-sized shuffle). The
+    * top-k is `orderBy.limit` → TakeOrderedAndProject: each partition
+    * keeps K rows, the driver merges — no global sort shuffle. Ranking
+    * compares the ×10⁴ INTEGER of the 4dp-rounded score with doc_id as
+    * the total-order tie-break, so engine and oracle cut the same K docs
+    * (the house integer-space-threshold rule). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 50
+  val Bm25Query: Seq[String] = Seq("spark", "vector", "query")
+
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25TopKOf(Tables.documents(s, d))
+
+  private[graft] def bm25TopKOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id",
+      explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val qtf = toks.filter($"word".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val scored = qtf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1))
+      .withColumn("s",
+        $"idf" * ($"tf" * (Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id").agg(round(sum($"s"), 4).as("bm25"))
+    scored
+      .withColumn("bx", expr("cast(round(bm25 * 10000) as bigint)"))
+      .orderBy($"bx".desc, $"doc_id".asc)
+      .limit(Bm25TopK)
+      .select($"doc_id", $"bm25")
+  }
+
+  /** DuckDB twin of [[bm25TopK]] — same token filter, same df/dl/avgdl
+    * algebra in the same evaluation order, same ×10⁴ integer rank with
+    * doc_id tie-break. */
+  val bm25TopKOracle: String = {
+    val q = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |qtf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       |  WHERE word IN ($q) GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
+       |s AS (SELECT qtf.doc_id,
+       |  round(sum(
+       |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+       |      * (qtf.tf * ($Bm25K1 + 1))
+       |      / (qtf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))
+       |  ), 4) AS bm25
+       |  FROM qtf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY qtf.doc_id)
+       |SELECT doc_id, bm25 FROM s
+       |ORDER BY CAST(round(bm25 * 10000) AS BIGINT) DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public arXiv:2302.03169):
     * features are unigrams hashed into [[DsirBuckets]] buckets; fit two
@@ -236,7 +312,11 @@ object Corpus {
     * defined score and are omitted (the [[lmBits]] emptiness policy).
     * Float note: the per-doc Σ c·ln(ratio) associates differently across
     * partials than DuckDB's serial fold — absorbed by the shared 4dp
-    * rounding, like every double aggregate oracle here. */
+    * rounding, like every double aggregate oracle here. A weight that
+    * rounds to zero keeps IEEE −0.0 in DuckDB but +0.0 in Spark (sf1
+    * surfaced two such docs), so BOTH sides add `+ 0.0` after the round:
+    * −0.0 + 0.0 = +0.0 normalizes the sign without moving any other
+    * value. */
   val DsirBuckets = 1024
   val DsirTargetSource = "src0"
 
@@ -264,7 +344,7 @@ object Corpus {
     docBuckets.join(broadcast(ratios), "bucket")
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_tokens"),
-        round(sum($"c" * $"lr"), 4).as("dsir_logw"))
+        (round(sum($"c" * $"lr"), 4) + lit(0.0)).as("dsir_logw"))
   }
 
   /** DuckDB twin of [[dsirWeights]] — same md5-prefix bucket hash
@@ -289,7 +369,7 @@ object Corpus {
        |  FROM pb CROSS JOIN t),
        |db AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2)
        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
-       |  round(sum(db.c * r.lr), 4) AS dsir_logw
+       |  round(sum(db.c * r.lr), 4) + 0.0 AS dsir_logw
        |FROM db JOIN r USING (bucket)
        |GROUP BY db.doc_id""".stripMargin
 

@@ -177,6 +177,40 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("BM25 top-k: hand-computed score, length normalization, IDF rarity, no-hit omitted") {
+    // query = (spark, vector, query); "query" never occurs — a dead query
+    // term must not perturb anything. N=5 docs, avgdl = (3+6+2+2+2)/5 = 3.
+    val docs = Seq(
+      (0L, "spark spark filter"),                          // tf(spark)=2, dl=3
+      (1L, "spark filter filter filter filter filter"),    // tf=1, dl=6
+      (2L, "vector filter"),                               // rare term, dl=2
+      (3L, "filter filter"),                               // no query term
+      (4L, "spark filter")                                 // tf=1, dl=2
+    ).toDF("doc_id", "text")
+    val got = Corpus.bm25TopKOf(docs)
+      .as[(Long, Double)].collect()
+    val byDoc = got.toMap
+    assert(!byDoc.contains(3L), "doc with no query term must not score")
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L, 4L))
+    // hand-computed doc 0: df(spark)=3 of N=5 →
+    // idf = ln((5-3+0.5)/(3+0.5)+1); tf=2, dl=3=avgdl →
+    // s = idf * 2*(k1+1) / (2 + k1*(0.25+0.75)) = idf * 4.4 / 3.2
+    val (k1, b) = (Corpus.Bm25K1, Corpus.Bm25B)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfSpark = math.log((5 - 3 + 0.5) / (3 + 0.5) + 1)
+    assert(byDoc(0L) === r4(idfSpark * (2 * (k1 + 1)) / (2 + k1 * (1 - b + b * 3.0 / 3.0))))
+    // length normalization: same tf(spark)=1, dl 2 vs 6 — shorter doc wins
+    assert(byDoc(4L) > byDoc(1L), "shorter doc with equal tf must score higher")
+    // IDF: vector (df=1) vs spark (df=3), same tf=1 and same dl=2 — the
+    // rarer term carries the higher score
+    assert(byDoc(2L) > byDoc(4L), "rarer query term must outrank commoner one")
+    // output arrives in rank order: ×10⁴ integer desc, doc_id tie-break
+    val ranks = got.map { case (id, s) => (math.round(s * 10000), -id) }
+    assert(ranks.sameElements(ranks.sortBy { case (bx, nid) => (-bx, -nid) }),
+      "rows must arrive in (score desc, doc_id asc) rank order")
+    assert(got.length <= Corpus.Bm25TopK)
+  }
+
   test("DSIR weights: target-token docs outrank, hand-computed ratio, empty doc omitted") {
     import org.apache.spark.sql.functions._
     // target slice (src0) speaks "wiki"; the rest speaks "web". A doc made
@@ -205,6 +239,13 @@ class CorpusSpec extends SparkTestBase {
     assert(got(0L)._3 === r4(2 * lrWiki))
     assert(lrWiki > lrWeb, "target-distinctive token must carry the higher log-ratio")
     assert(got(0L)._3 > got(2L)._3, "all-target doc must outrank all-background doc")
+    // negative-zero normalization: a weight that rounds to zero must come
+    // out as +0.0 (sf1 surfaced DuckDB −0.0 vs Spark +0.0 on two docs; the
+    // `+ 0.0` in operator and oracle pins both to +0.0)
+    got.values.filter(_._3 == 0.0).foreach { r =>
+      assert(1.0 / r._3 == Double.PositiveInfinity,
+        s"doc ${r._1}: dsir_logw is −0.0, normalization regressed")
+    }
     // the model table the scoring join broadcasts is bounded by B buckets
     // regardless of corpus size — the operator's 100 TB contract
     val nBuckets = docs.filter(length($"text") > 0)
