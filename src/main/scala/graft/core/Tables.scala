@@ -21,18 +21,29 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by [[sessionDefaults]]). Convert ns → µs by integer division —
-    * truncation, exactly what DuckDB does reading the same file — and
-    * restore TimestampType. `div` not `/`: epoch-nanos ≈ 1.7e18 exceeds
-    * double's 2^53 integer range, so float division would corrupt low bits.
-    */
+  /** The events table has shipped `ts` in two physical forms across driver
+    * testdata generations: parquet TIMESTAMP(NANOS), which Spark only reads
+    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[sessionDefaults]]), and parquet TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Normalize
+    * both to session-local TimestampType at µs precision — identical values
+    * either way (the session timezone is pinned UTC, so the NTZ cast is a
+    * relabel, not a clock shift; DuckDB reads the same µs wall times):
+    *  - ns long → `timestamp_micros(ts div 1000)` — truncation, exactly
+    *    what DuckDB does reading the same file. `div` not `/`: epoch-nanos
+    *    ≈ 1.7e18 exceeds double's 2^53 integer range, so float division
+    *    would corrupt low bits.
+    *  - TIMESTAMP_NTZ → cast to TimestampType. */
   private def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Session configs every graft session needs (Verify, Bench, tests). */
   val sessionDefaults: Map[String, String] = Map(

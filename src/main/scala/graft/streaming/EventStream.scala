@@ -24,19 +24,47 @@ object EventStream {
     BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
 
-  /** Read schema for the raw parquet: `ts` arrives as nanosecond longs
-    * (see [[graft.core.Tables.sessionDefaults]]). */
+  /** Read schema for raw ns-long event files: `ts` arrives as nanosecond
+    * longs (TIMESTAMP(NANOS) under nanosAsLong, or plain INT64 in
+    * ScaleGen-written rehearsal corpora — see
+    * [[graft.core.Tables.sessionDefaults]]). */
   val eventsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
 
-  /** Unbounded source over the events parquet path (ns → µs like Tables).
+  /** Read schema for the other raw family: parquet TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ (the
+    * current driver testdata generation). */
+  val eventsSchemaNtz: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
+  /** Which raw family a corpus ships: one batch footer read, no data scan. */
+  private def tsIsNsLong(s: SparkSession, path: String): Boolean =
+    s.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+
+  /** Streaming read of raw event files with the ts family normalized to
+    * session-local TimestampType at µs — the streaming twin of
+    * [[graft.core.Tables]]' batch normalization (UTC session ⇒ the NTZ
+    * cast relabels, never shifts). */
+  private def readEventStream(s: SparkSession, glob: String,
+      nsFamily: Boolean, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r0 = s.readStream.schema(if (nsFamily) eventsSchema else eventsSchemaNtz)
+    val r = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n.toString))
+    val df = r.parquet(glob)
+    if (nsFamily) df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Unbounded source over the events parquet path, either ts family.
     * Glob form — FileStreamSource requires a directory or glob, not a bare
     * file path ("Option 'basePath' must be a directory"). */
   def readEvents(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(eventsSchema).parquet(s"$d/events.parque*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    readEventStream(s, s"$d/events.parque*",
+      tsIsNsLong(s, s"$d/events.parquet"))
 
   /** Tumbling 1-hour windows per event type with a 2-hour watermark —
     * streaming twin of Relational.q20 (same output schema + rounding). */
@@ -98,16 +126,24 @@ object EventStream {
     // w.r.t. processAllAvailable (which only waits for available OFFSETS
     // to commit), so a single sentinel raced query.stop() and the final
     // three windows were nondeterministically withheld — measured exactly
-    // that on the first cut. Raw ts is ns since epoch on both corpus
-    // families (nanosAsLong / plain INT64).
-    val maxTs = s.read.parquet(s"$d/events.parquet")
-      .agg(max("ts")).head().getLong(0)
+    // that on the first cut. Sentinels are written in the SAME raw ts
+    // family as the staged corpus files (ns longs or TIMESTAMP_NTZ µs) so
+    // one schema reads every staged file.
+    val nsFamily = tsIsNsLong(s, s"$d/events.parquet")
+    val maxUs = graft.core.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
     import s.implicits._
     Seq(5L, 6L).zipWithIndex.foreach { case (hours, i) =>
       val stage = base.resolve(s"stage_sentinel_$i").toString
-      Seq((-1L - i, maxTs + hours * 3600 * 1000000000L, -1L,
+      val raw = Seq((-1L - i, maxUs + hours * 3600 * 1000000L, -1L,
           SentinelType, 0.0, null: String))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val withTs =
+        if (nsFamily) raw.withColumn("ts", $"ts_us" * 1000L)
+        else raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts_us) as timestamp_ntz)"))
+      withTs.select($"event_id", $"ts", $"user_id", $"event_type",
+          $"value", $"props")
         .coalesce(1).write.parquet(stage)
       val sPart = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -115,9 +151,8 @@ object EventStream {
       java.nio.file.Files.move(sPart.toPath, dst)
       dst.toFile.setLastModified(2000000000L + i * 1000L)
     }
-    val stream = s.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = readEventStream(s, s"$base/*.parquet", nsFamily,
+      maxFilesPerTrigger = Some(1))
     // sentinel windows never flush (their ends outrun the final watermark),
     // so the filter below is defensive — but it MUST sit on the batch
     // read-back, not the streaming plan: Catalyst pushes an event_type
