@@ -83,5 +83,11 @@ object PlanCensus {
       "inherits lmBits' crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "text_bm25_topk" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "dedup_keep_best" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts inside the star-contraction fixpoint loop (inherits dedup_clusters)"),
+    "graph_pagerank" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: the static degree-annotated edge list is materialized once and ranks are cut per iteration (the star-contraction idiom)"),
+    "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
+      "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Corpus, Dedup, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOf, Corpus, Dedup, Graph, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -51,6 +51,9 @@ object SparkEntry {
       "dedup_cross_source"   -> (Corpus.crossSourceOverlap _),
       "text_ccnet_buckets"   -> (Corpus.ccnetBuckets _),
       "text_bm25_topk"       -> (Corpus.bm25TopK _),
+      "train_token_budget"   -> (Corpus.tokenBudget _),
+      // link-graph analytics
+      "graph_pagerank"       -> (Graph.pageRank _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -64,6 +67,8 @@ object SparkEntry {
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       "dedup_paragraphs"       -> (Dedup.paragraphDedup _),
+      "dedup_soft_weights"     -> (Dedup.softDedupWeights _),
+      "dedup_keep_best"        -> (Dedup.keepBest _),
       // similarity search
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
@@ -130,12 +135,16 @@ object SparkEntry {
       "dedup_cross_source"   -> Corpus.crossSourceOverlapOracle,
       "text_ccnet_buckets"   -> Corpus.ccnetBucketsOracle,
       "text_bm25_topk"       -> Corpus.bm25TopKOracle,
+      "train_token_budget"   -> Corpus.tokenBudgetOracle,
+      "graph_pagerank"       -> Graph.pageRankOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_paragraphs"      -> Dedup.paragraphDedupOracle,
+      "dedup_soft_weights"    -> Dedup.softDedupWeightsOracle,
+      "dedup_keep_best"       -> Dedup.keepBestOracle,
       "dedup_embedding_cosine" -> Dedup.embeddingPairsOracle,
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "ann_lsh_topk"   -> Similarity.annLshTopKOracle,

@@ -66,6 +66,91 @@ object Corpus {
        | round(pow(n_docs, $MixAlpha) / sum(pow(n_docs, $MixAlpha)) OVER (), 6) AS weight
        |FROM b""".stripMargin
 
+  /** Token budget for one training run, apportioned across sources. */
+  val BudgetTokens = 1000000L
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed token budget
+    * across sources, proportional to each source's token mass — the step
+    * that turns mixture RATIOS into the integer per-source token counts a
+    * training run actually draws (every sampled-token plan needs whole
+    * tokens that sum EXACTLY to the budget; naive rounding under- or
+    * over-shoots by up to |sources|/2). Token mass per document is the
+    * ceil-quarter estimate `(n_chars + 3) div 4` ([[TextOps.tokenStats]]'
+    * BPE rule of thumb), summed per source.
+    *
+    * Arithmetic is integer-rational end-to-end: floor share
+    * `(B·toks) div total`, remainder `(B·toks) mod total`, and the
+    * leftover `B − Σ floors` seats go to the largest remainders
+    * (ties → source ASC) — no doubles anywhere, so there is no knife
+    * edge for the two engines to disagree on. `epochs_milli` =
+    * `(1000·alloc) div toks` reports how many times the source is
+    * traversed (milli-epochs; > 1000 means the source repeats, the
+    * up-sampling signal a mixture report needs).
+    *
+    * Scale shape: one per-source aggregate (map-side combined; |sources|
+    * rows), scalar-subquery broadcasts for the total and the floor sum
+    * (the [[mixWeights]] shape), and the remainder RANK computed as a
+    * bounded |sources|² broadcast self-join counting strictly-better
+    * rows — NOT a global window (the empty-partition-spec Window class
+    * PlanWalk flags) and NOT a collect. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOf(Tables.documents(s, d))
+
+  /** [[tokenBudget]] over an arbitrary (source, n_chars) frame. */
+  private[graft] def tokenBudgetOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val by = docs
+      .groupBy($"source")
+      .agg(sum(expr("(n_chars + 3) div 4")).as("toks"))
+      // a source with zero token mass has no defined epoch count and can
+      // never win a seat — omitted (the lmBits emptiness policy)
+      .filter($"toks" > 0)
+    val tot = by.agg(sum($"toks").as("tot"))
+    val q = by.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", expr(s"($BudgetTokens * toks) div tot"))
+      .withColumn("rem", expr(s"($BudgetTokens * toks) % tot"))
+    val used = q.agg(sum($"floor_alloc").as("used"))
+    val better = q.select($"source".as("b_source"), $"rem".as("b_rem"))
+    q.join(broadcast(better),
+        ($"b_rem" > $"rem") || ($"b_rem" === $"rem" && $"b_source" < $"source"),
+        "left")
+      .groupBy($"source", $"toks", $"floor_alloc")
+      .agg(count($"b_source").as("n_better"))
+      .crossJoin(broadcast(used))
+      .withColumn("alloc_tokens",
+        $"floor_alloc" +
+          when($"n_better" < lit(BudgetTokens) - $"used", 1L).otherwise(0L))
+      .select($"source", $"toks", $"alloc_tokens",
+        expr("(1000 * alloc_tokens) div toks").as("epochs_milli"))
+  }
+
+  /** DuckDB twin: same integer-rational floors/remainders; the remainder
+    * rank as a window (`row_number() − 1` over (rem DESC, source ASC) ≡
+    * the engine's strictly-better count — remainders are keyed by the
+    * unique source, so the orderings coincide exactly). Sums cast from
+    * HUGEINT so both sides emit BIGINT. */
+  val tokenBudgetOracle: String =
+    s"""WITH b AS (SELECT source, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source
+       |  HAVING CAST(sum((n_chars + 3) // 4) AS BIGINT) > 0),
+       |t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM b),
+       |q AS (SELECT source, toks,
+       |    ($BudgetTokens * toks) // tot AS floor_alloc,
+       |    ($BudgetTokens * toks) % tot AS rem
+       |  FROM b, t),
+       |u AS (SELECT CAST(sum(floor_alloc) AS BIGINT) AS used FROM q),
+       |r AS (SELECT q.*,
+       |    row_number() OVER (ORDER BY rem DESC, source ASC) - 1 AS n_better
+       |  FROM q),
+       |a AS (SELECT source, toks, floor_alloc +
+       |    CASE WHEN n_better < $BudgetTokens - used THEN 1 ELSE 0 END
+       |    AS alloc_tokens
+       |  FROM r, u)
+       |SELECT source, toks, alloc_tokens,
+       |  (1000 * alloc_tokens) // toks AS epochs_milli
+       |FROM a""".stripMargin
+
   /** Per-document salient terms: top-[[TfidfTopK]] by tf·idf
     * (idf = ln(N/df)) with a deterministic (score DESC, term ASC)
     * tie-break — keyword extraction / topic signal for curation.

@@ -1297,4 +1297,121 @@ object Dedup {
       |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35""".stripMargin
+
+  // -------------------------------------------- duplication-aware weights
+  /** SoftDeDup-style sampling weights: instead of HARD-dropping duplicated
+    * documents ([[keepList]]), DOWN-WEIGHT each document by how much of it
+    * is duplicated elsewhere in the corpus — the soft-deduplication recipe
+    * (SoftDedup, ACL 2024): training keeps every document but samples
+    * common content proportionally less, so boilerplate-heavy near-dups
+    * lose mass without a cliff at the dedup threshold.
+    *
+    * Commonness basis: the document's winnowing fingerprints
+    * ([[TextOps.winnowFingerprintsOf]] — the same MOSS sketch the
+    * near-dup candidates use), `n_dup_fps` = how many appear in ≥ 2
+    * documents. The weight is the integer rational
+    * `weight_micros = 10⁶ · n_fps / (n_fps + n_dup_fps)` — 1.0 for a
+    * fully-unique document, 0.5 floor when every fingerprint is shared
+    * (integer division on BIGINTs: bit-exact in both engines, no
+    * round-half knife edge). Documents too short to fingerprint
+    * (< k chars) have no defined commonness and are omitted — the
+    * consumer's emptiness policy, as with [[Corpus.lmBits]].
+    *
+    * Scale shape: distinct (doc, fp) → fp document-frequency (two-phase
+    * count, map-side combined) → join back on fp (hot boilerplate
+    * fingerprints are the AQE skew-join-split case rehearsed in
+    * SCALE_r5.md) → per-doc count aggregate. The shuffle carries 8-byte
+    * fingerprints, never text; no windows, no driver traffic. */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame =
+    softDedupWeightsOf(Tables.documents(s, d))
+
+  /** [[softDedupWeights]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def softDedupWeightsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fps = graft.operators.TextOps
+      .winnowFingerprintsOf(docs).distinct()
+    val dfq = fps.groupBy($"fingerprint").agg(count(lit(1)).as("df"))
+    fps.join(dfq, "fingerprint")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_fps"))
+      .withColumn("weight_micros",
+        expr("(1000000 * n_fps) div (n_fps + n_dup_fps)"))
+  }
+
+  /** DuckDB twin: the shared winnowing CTEs, distinct (doc, fp), df per
+    * fp, same integer-rational weight (`//` ≡ `div` on the positive
+    * domain; counts cast from HUGEINT so both sides emit BIGINT). */
+  // lazy: TextOps's own init references Dedup (ratio4Sql), so an eager
+  // val here would read TextOps.winnowCtes as null when TextOps
+  // initializes first (object-init cycle)
+  lazy val softDedupWeightsOracle: String =
+    s"""WITH ${graft.operators.TextOps.winnowCtes},
+       |u AS (SELECT DISTINCT doc_id, fp FROM fps),
+       |dfq AS (SELECT fp, count(*) AS df FROM u GROUP BY fp)
+       |SELECT u.doc_id, count(*) AS n_fps,
+       |  CAST(count(*) FILTER (WHERE dfq.df >= 2) AS BIGINT) AS n_dup_fps,
+       |  (1000000 * count(*)) //
+       |    (count(*) + count(*) FILTER (WHERE dfq.df >= 2)) AS weight_micros
+       |FROM u JOIN dfq USING (fp) GROUP BY u.doc_id""".stripMargin
+
+  // ------------------------------------------- quality-aware canonicals
+  /** Quality-aware canonical selection: [[keepList]] keeps each near-dup
+    * cluster's MINIMUM doc_id — deterministic but arbitrary. Production
+    * curation keeps each cluster's BEST document instead (the highest
+    * quality score), so deduplication removes redundancy without also
+    * discarding the best-written copy. Same cluster labels
+    * ([[dedupClusters]]), same output contract as [[keepList]]
+    * (doc_id, cluster, keep), different canonical rule:
+    * argmax by (quality sx DESC, doc_id ASC).
+    *
+    * The argmax is a `min(struct(-sx, doc_id))` AGGREGATE over the
+    * cluster — map-side combined, no window over the cluster partition
+    * (the [[paragraphDedup]] idiom: a 10⁶-member boilerplate cluster
+    * funnels one struct per map partition, not 10⁶ rows into one task).
+    * Quality is the integer-space sx ([[TextOps.qualitySxOf]]) so the
+    * comparison can never hit the float knife edge; ties break to the
+    * smaller doc_id, making the canonical unique and both engines'
+    * argmax identical. Unclustered documents keep themselves. */
+  def keepBest(s: SparkSession, d: String): DataFrame =
+    keepBestOf(Tables.documents(s, d))
+
+  /** [[keepBest]] over an arbitrary (doc_id, text, source) frame. */
+  private[graft] def keepBestOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val clusters = dedupClustersOf(docs)
+    val sx = graft.operators.TextOps.qualitySxOf(docs)
+    val labeled = docs.select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+      .join(sx, "doc_id")
+    val best = labeled.groupBy($"cluster")
+      .agg(min(struct((-$"sx").as("nsx"), $"doc_id")).as("b"))
+      .select($"cluster", $"b.doc_id".as("best_id"))
+    labeled.join(best, "cluster")
+      .select($"doc_id", $"cluster", ($"doc_id" === $"best_id").as("keep"))
+  }
+
+  /** DuckDB twin: the recursive-closure cluster labels + the shared
+    * quality CTEs (prefixed `q` — the gram CTEs already claim `t`), best
+    * per cluster via the same (−sx, doc_id) minimum. */
+  lazy val keepBestOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |$clustersCte,
+       |${graft.operators.TextOps.qualityCtesPrefixed("q")},
+       |sx AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS sx
+       |  FROM qsc),
+       |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, sx.sx
+       |  FROM documents d
+       |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+       |  JOIN sx ON sx.doc_id = d.doc_id),
+       |bs AS (SELECT cluster, max(sx) AS msx FROM lab GROUP BY cluster),
+       |best AS (SELECT lab.cluster, min(lab.doc_id) AS best_id
+       |  FROM lab JOIN bs ON lab.cluster = bs.cluster AND lab.sx = bs.msx
+       |  GROUP BY lab.cluster)
+       |SELECT lab.doc_id, lab.cluster,
+       |  (lab.doc_id = best.best_id) AS keep
+       |FROM lab JOIN best USING (cluster)""".stripMargin
 }

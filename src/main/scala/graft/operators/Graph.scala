@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Link-graph analytics over the reference's web-link graph.
+  *
+  * The reverse-web-link-graph app (reference `applications/rwlg-maple.py`,
+  * `applications/rwlg-juice.py`) is the reference's only graph workload:
+  * its data model is an edge list and its one query is edge reversal +
+  * adjacency gather ([[TextOps.rwlgDataFrame]]). PageRank is the canonical
+  * next query a link-graph user runs — the centrality score CommonCrawl-
+  * scale corpus curation uses as a document-quality prior — and the
+  * operator class (iterative message passing to a fixpoint) is the one
+  * the engine's star-contraction ([[Dedup.connectedComponents]]) already
+  * exercises for clustering.
+  *
+  * Arithmetic is FIXED-POINT integer end-to-end (the [[Similarity]] IVF
+  * Lloyd-means precedent): ranks are BIGINT micro-units, per-edge
+  * contributions are integer division by out-degree, and the damping
+  * step is the integer rational 85/100 — so Spark and the DuckDB twin
+  * agree bit-for-bit at every iteration, with no float-association or
+  * round-half knife edge anywhere.
+  *
+  * Scale shape: each iteration is ONE shuffle (contributions aggregated
+  * by destination — map-side combined, so a celebrity node's incoming
+  * mass is summed per map partition, never funneled raw into one task)
+  * plus a join against the static degree-annotated edge list, which is
+  * materialized ONCE (`localCheckpoint`) and reused all ten iterations.
+  * Lineage is cut per iteration (the star-contraction idiom) so the plan
+  * stays O(1)-deep; at cluster scale the same code checkpoints to
+  * distributed storage. Driver traffic is zero — no collect anywhere.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1.0 rank unit = 1,000,000 micro-units. */
+  val PrScale = 1000000L
+  /** Damping d = 0.85 as the integer rational 85/100. */
+  val PrDamp = 85L
+  /** Per-node base mass (1 − d) · scale = 150,000 micro-units. */
+  val PrBase: Long = PrScale * (100L - PrDamp) / 100L
+  /** Fixed iteration count — PageRank's standard convergence horizon for
+    * graphs this diameter; a fixed count (not an epsilon test) keeps the
+    * oracle replayable as a finite CTE chain. */
+  val PrIters = 10
+
+  /** PageRank over the RWLG edge set made symmetric: lineitem's
+    * (part → supplier) link list, both directions, so rank actually
+    * propagates (the raw edge list is bipartite one-way — supplier ranks
+    * would freeze after two rounds). Node ids are namespaced into one
+    * keyspace arithmetically — part k → 2k, supplier k → 2k+1 — because
+    * partkeys and suppkeys overlap as raw integers; an 8-byte join key
+    * beats string labels in the shuffle. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pageRankOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** In-JVM reference of the same fixed-point iteration, for specs: the
+    * exact integer arithmetic on an adjacency map. */
+  private[graft] def pageRankLocal(
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val out = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = out.view.mapValues(_.size.toLong).toMap
+    val nodes = out.keySet
+    var r = nodes.map(_ -> PrScale).toMap
+    for (_ <- 1 to PrIters) {
+      val c = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (n <- nodes; d <- out(n)) c(d) += r(n) / deg(n)
+      r = nodes.map(n => n -> (PrBase + PrDamp * c(n) / 100L)).toMap
+    }
+    r
+  }
+
+  /** [[pageRank]] over an arbitrary directed edge frame (src, dst):
+    * symmetrizes, dedups, then iterates
+    * `r ← (1−d)·S + d · Σ_in (r_src div outdeg_src)` in micro-units. */
+  private[graft] def pageRankOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // static across iterations: materialize once, reuse ten times
+    val edges = und.join(deg, "src").localCheckpoint()
+    // symmetric graph ⇒ every node appears as a src
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
+    var ranks = nodes.select($"node", lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(edges("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(PrBase) + expr(s"($PrDamp * coalesce(c, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"node", $"r".as("rank_micros"))
+  }
+
+  /** DuckDB twin: the same ten damped-sum rounds as an unrolled CTE chain
+    * (`r0 … r10`), every step in BIGINT micro-units with `//` matching
+    * Spark's `div` on the all-positive domain. Sums are cast back from
+    * DuckDB's HUGEINT so the output column is BIGINT on both sides. */
+  val pageRankOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         |    CAST($PrBase + ($PrDamp * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS node, CAST(sum(p.r // ed.outdeg) AS BIGINT) AS c
+         |    FROM ed JOIN r${k - 1} p ON ed.src = p.node GROUP BY ed.dst) s
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+       |ed AS (SELECT u.src, u.dst, d.outdeg FROM und u JOIN deg d USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT node, r AS rank_micros FROM r$PrIters""".stripMargin
+  }
+}

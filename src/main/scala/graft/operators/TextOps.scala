@@ -311,21 +311,36 @@ object TextOps {
   }
 
   /** Shared DuckDB twin of [[qualityMetricsOf]]: CTEs t/m/sc with sc
-    * carrying the counts and the 4dp composite `quality_score`. */
-  private val qualityCtes: String =
-    """t AS (SELECT doc_id, source, text,
-      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-      |  FROM documents),
-      |m AS (SELECT doc_id, source, text, len(toks) AS n_toks,
-      |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
-      |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
-      |  FROM t),
-      |sc AS (SELECT doc_id, source, text, n_toks, n_stop, n_punct, n_digit,
-      |  round(least(1.0, n_toks / 100.0) * 0.5
-      |    + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
-      |    + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
-      |  FROM m)""".stripMargin
+    * carrying the counts and the 4dp composite `quality_score`. The
+    * prefix variant exists so a consumer whose own WITH chain already
+    * uses these names (e.g. [[Dedup.keepBestOracle]], whose gram CTEs
+    * claim `t`) can splice a collision-free copy of the SAME formula. */
+  private[operators] def qualityCtesPrefixed(p: String): String =
+    s"""${p}t AS (SELECT doc_id, source, text,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |${p}m AS (SELECT doc_id, source, text, len(toks) AS n_toks,
+       |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |  FROM ${p}t),
+       |${p}sc AS (SELECT doc_id, source, text, n_toks, n_stop, n_punct, n_digit,
+       |  round(least(1.0, n_toks / 100.0) * 0.5
+       |    + (n_stop / CAST(n_toks AS DOUBLE)) * 0.3
+       |    + (1.0 - n_punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
+       |  FROM ${p}m)""".stripMargin
+
+  private val qualityCtes: String = qualityCtesPrefixed("")
+
+  /** (doc_id, sx): the integer-space (score × 10⁴, exact on the 4dp grid)
+    * quality score shared by [[qualityQuantileFilterOf]] and
+    * [[Dedup.keepBest]] — comparisons on sx can never hit the
+    * Spark-vs-DuckDB round-half knife edge. */
+  private[operators] def qualitySxOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    qualityMetricsOf(docs).select($"doc_id",
+      expr("cast(round(quality_score * 10000) as bigint)").as("sx"))
+  }
 
   val qualityScoreOracle: String = "WITH " + qualityCtes + "\n" +
     """SELECT doc_id, n_toks AS n_tokens,

@@ -280,4 +280,32 @@ class CorpusSpec extends SparkTestBase {
     got.foreach { case (a, b, _, _) => assert(a < b) }
     assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
   }
+
+  test("token budget: largest-remainder seats, exact sum, zero-mass source omitted") {
+    // toks: a=(40+3)/4=10, b=11, c=5 → total 26; floors 384615/423076/192307
+    // leave 2 seats; remainders 10/24/18 seat b then c
+    val docs = Seq(("a", 40L), ("b", 41L), ("c", 19L), ("z", 0L))
+      .toDF("source", "n_chars")
+    val got = Corpus.tokenBudgetOf(docs)
+      .select("source", "toks", "alloc_tokens", "epochs_milli")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("a", "b", "c"), "zero-mass source must be omitted")
+    assert(got("a") === (("a", 10L, 384615L, 38461500L)))
+    assert(got("b") === (("b", 11L, 423077L, 38461545L)))
+    assert(got("c") === (("c", 5L, 192308L, 38461600L)))
+    assert(got.values.map(_._3).sum === Corpus.BudgetTokens,
+      "allocations must sum exactly to the budget")
+  }
+
+  test("token budget on the sf corpus sums exactly to the budget with proportional shares") {
+    val rows = Corpus.tokenBudget(spark, sf)
+      .select("toks", "alloc_tokens").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum === Corpus.BudgetTokens)
+    val tot = rows.map(_._1).sum.toDouble
+    rows.foreach { case (toks, alloc) =>
+      val ideal = Corpus.BudgetTokens * toks / tot
+      assert(math.abs(alloc - ideal) <= 1.0,
+        s"largest-remainder allocation must sit within one seat of the ideal share")
+    }
+  }
 }

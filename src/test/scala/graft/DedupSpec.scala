@@ -344,4 +344,40 @@ class DedupSpec extends SparkTestBase {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("soft-dedup weights: unique doc 1.0, identical pair floors at 0.5, short doc omitted") {
+    import spark.implicits._
+    val unique = "qw er ty ui op as df gh jk lz xc vb nm 12 34 56 78 90"
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, unique), (1L, twin), (2L, twin), (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeightsOf(docs)
+      .select("doc_id", "n_fps", "n_dup_fps", "weight_micros")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 3 is shorter than the k=8 shingle — no fingerprints, omitted
+    assert(w.keySet === Set(0L, 1L, 2L))
+    val (_, n0, d0, w0) = w(0L)
+    assert(n0 > 0 && d0 === 0L && w0 === 1000000L)
+    // identical twins share every fingerprint: weight = 1e6·n/(2n) = 0.5
+    assert(w(1L) === w(2L).copy(_1 = 1L))
+    val (_, n1, d1, w1) = w(1L)
+    assert(n1 > 0 && d1 === n1 && w1 === 500000L)
+  }
+
+  test("keep-best keeps the highest-quality cluster member, not the minimum id") {
+    import spark.implicits._
+    // B = A plus four stopwords: gram-Jaccard ≈ 0.9 (same cluster) but B
+    // scores higher on both the length and the stopword quality terms, so
+    // quality-aware selection must flip the canonical away from min-id A
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = a + " the the the the"
+    val docs = Seq(
+      (1L, a, "s"), (2L, b, "s"), (7L, "totally disjoint filler words", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.keepBestOf(docs)
+      .select("doc_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, false), (2L, 1L, true), (7L, 7L, true)))
+  }
 }
