@@ -64,6 +64,7 @@ object SparkEntry {
       "dedup_keep_list"        -> (Dedup.keepList _),
       "dedup_contamination"    -> (Dedup.contamination _),
       "dedup_contamination_bloom" -> (Dedup.bloomContamination _),
+      "dedup_contamination_fuzzy" -> (Dedup.fuzzyContamination _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       "dedup_paragraphs"       -> (Dedup.paragraphDedup _),
@@ -140,6 +141,7 @@ object SparkEntry {
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
+      "dedup_contamination_fuzzy" -> Dedup.fuzzyContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_paragraphs"      -> Dedup.paragraphDedupOracle,

@@ -1394,6 +1394,80 @@ object Dedup {
       .select($"doc_id", $"cluster", ($"doc_id" === $"best_id").as("keep"))
   }
 
+  // ------------------------------------------- fuzzy decontamination
+  /** Eval near-twin detector: the fuzzy-dedup-against-the-test-set pass
+    * (the GPT-3/Llama appendix recipe) — training documents that are
+    * symmetric NEAR-DUPLICATES of an eval document, n-gram Jaccard ≥
+    * [[FuzzyContamJaccard]]. Emits (train_doc, eval_doc, jac).
+    *
+    * Relation to [[contamination]]: J ≤ containment always (the Jaccard
+    * union ≥ either side), so at equal thresholds this flags a SUBSET of
+    * the containment scan — the near-twins worth hard-dropping outright,
+    * vs containment's broader gram-leakage report (which also catches an
+    * eval doc embedded in a larger training doc, where J is diluted).
+    * What the fuzzy pass buys at scale is the CANDIDATE structure: the
+    * broadcast is 32 band hashes per eval doc instead of its full gram
+    * index — constant-factor smaller per doc, and candidate matching is
+    * one equi-join on an 8-byte bucket instead of per-gram intersection
+    * counting across the whole corpus.
+    *
+    * Shape: the [[minhashLshPairs]] machinery made ASYMMETRIC — band
+    * bucket hashes on both sides, but the eval side is FIXED-size by
+    * definition (benchmark suites don't grow with the corpus), so its
+    * band table is explicitly `broadcast()`: the training corpus streams
+    * map-side against it, never shuffling for candidate generation at
+    * all (the [[contamination]] broadcast class). Candidates are then
+    * exact-verified on full gram sets, so every emitted score is exact
+    * and the DuckDB twin is the bounded train×eval Jaccard join — the
+    * operator hash-matches like its symmetric parent (banding at
+    * J ≥ 0.5 with 32 bands recovers candidates with recall measured 1.0,
+    * TextSpec/DedupSpec precedent). */
+  val FuzzyContamJaccard = 0.5
+
+  def fuzzyContamination(s: SparkSession, d: String): DataFrame =
+    fuzzyContaminationOf(Tables.documents(s, d), EvalSetSize)
+
+  /** [[fuzzyContamination]] over an arbitrary frame / eval prefix. */
+  private[graft] def fuzzyContaminationOf(
+      docs: DataFrame, evalMax: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions
+    val grams = gramsOf(docs).cache()
+    val bands = signaturesOf(grams)
+      .select($"doc_id",
+        explode(GraftFunctions.lshBuckets($"sig", MinHashBands)).as("bucket"))
+    val evalBands = bands.filter($"doc_id" < evalMax)
+      .select($"doc_id".as("eval_doc"), $"bucket")
+    val trainBands = bands.filter($"doc_id" >= evalMax)
+      .select($"doc_id".as("train_doc"), $"bucket")
+    val cands = trainBands.join(broadcast(evalBands), "bucket")
+      .select($"train_doc", $"eval_doc").distinct()
+    cands
+      .join(grams.select($"doc_id".as("train_doc"), $"grams".as("ga")), "train_doc")
+      .join(grams.select($"doc_id".as("eval_doc"), $"grams".as("gb")), "eval_doc")
+      .withColumn("c", size(array_intersect($"ga", $"gb")))
+      .withColumn("jac", $"c" / (size($"ga") + size($"gb") - $"c"))
+      .filter($"jac" >= FuzzyContamJaccard)
+      .select($"train_doc", $"eval_doc",
+        ratio4("c", "size(ga) + size(gb) - c").as("jac"))
+  }
+
+  /** DuckDB twin: exact symmetric Jaccard over the bounded train×eval
+    * gram join — the fuzzy candidates are recall machinery, the emitted
+    * set is exactly this. */
+  val fuzzyContaminationOracle: String = "WITH " + gramCtes + ",\n" +
+    s"""inter AS (SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       |    count(*) AS c
+       |  FROM g tr JOIN g ev ON tr.gram = ev.gram
+       |  WHERE tr.doc_id >= $EvalSetSize AND ev.doc_id < $EvalSetSize
+       |  GROUP BY 1, 2)
+       |SELECT train_doc, eval_doc,
+       |  ${ratio4Sql("c", "sa.n + sb.n - c")} AS jac
+       |FROM inter JOIN sz sa ON sa.doc_id = train_doc
+       |  JOIN sz sb ON sb.doc_id = eval_doc
+       |WHERE c / (sa.n + sb.n - c) >= $FuzzyContamJaccard""".stripMargin
+
   /** DuckDB twin: the recursive-closure cluster labels + the shared
     * quality CTEs (prefixed `q` — the gram CTEs already claim `t`), best
     * per cluster via the same (−sx, doc_id) minimum. */

@@ -365,6 +365,23 @@ class DedupSpec extends SparkTestBase {
     assert(n1 > 0 && d1 === n1 && w1 === 500000L)
   }
 
+  test("fuzzy decontamination: eval near-twin flagged with exact jaccard, disjoint doc clean") {
+    import spark.implicits._
+    // doc 10 = eval doc 0 with tokens 10/20/30 edited: 7 of 28 grams
+    // differ, so J = 21/35 = 0.6 exactly; doc 11 shares nothing
+    val evalText = (1 to 30).map(i => s"ev$i").mkString(" ")
+    val twin = (1 to 30).map(i => if (i % 10 == 0) s"edit$i" else s"ev$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalText), (1L, "unrelated eval filler words here"),
+      (10L, twin), (11L, "completely different training text tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContaminationOf(docs, evalMax = 2L)
+      .select("train_doc", "eval_doc", "jac")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((10L, 0L)))
+    assert(got.head._3 === 0.6)
+  }
+
   test("keep-best keeps the highest-quality cluster member, not the minimum id") {
     import spark.implicits._
     // B = A plus four stopwords: gram-Jaccard ≈ 0.9 (same cluster) but B
