@@ -89,5 +89,12 @@ object PlanCensus {
       "localCheckpoint lineage cuts: the static degree-annotated edge list is materialized once and ranks are cut per iteration (the star-contraction idiom)"),
     "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
       "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
+    "train_sampling_temperature" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (token total, q normalizer) — the mixWeights shape; build sides are exactly 1 row",
+      "ExistingRDD" ->
+        "localCheckpoint of the bounded |langs|-row aggregate, materialized ONCE so the scalar-subquery branches re-read it instead of re-scanning the corpus"),
+    "dedup_contamination_semantic" -> Map("BroadcastNestedLoopJoin" ->
+      "eval side is FIXED-size by definition (benchmark suites don't grow with the corpus) and explicitly broadcast — the contamination broadcast class; linear in the corpus, this IS the scale path"),
   )
 }

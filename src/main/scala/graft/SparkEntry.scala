@@ -52,6 +52,7 @@ object SparkEntry {
       "text_ccnet_buckets"   -> (Corpus.ccnetBuckets _),
       "text_bm25_topk"       -> (Corpus.bm25TopK _),
       "train_token_budget"   -> (Corpus.tokenBudget _),
+      "train_sampling_temperature" -> (Corpus.samplingTemperature _),
       // link-graph analytics
       "graph_pagerank"       -> (Graph.pageRank _),
       // deduplication
@@ -65,6 +66,7 @@ object SparkEntry {
       "dedup_contamination"    -> (Dedup.contamination _),
       "dedup_contamination_bloom" -> (Dedup.bloomContamination _),
       "dedup_contamination_fuzzy" -> (Dedup.fuzzyContamination _),
+      "dedup_contamination_semantic" -> (Dedup.semanticContamination _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       "dedup_paragraphs"       -> (Dedup.paragraphDedup _),
@@ -83,12 +85,14 @@ object SparkEntry {
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
+      "train_test_split"  -> (Sampling.trainTestSplit _),
       "curation_pipeline" -> ((s, d) => Sampling.curationPipeline(s, d)),
       "pack_sequences"    -> (Sampling.packSequences _),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
       "multimodal_resize"      -> (Multimodal.resizePayloads _),
+      "multimodal_frame_sample" -> (Multimodal.frameSample _),
       // as-of + range joins
       "asof_purchase_view" -> (AsOf.purchaseToLastView _),
       "range_join_events"  -> (RangeJoin.errorsNearClicks _),
@@ -137,11 +141,13 @@ object SparkEntry {
       "text_ccnet_buckets"   -> Corpus.ccnetBucketsOracle,
       "text_bm25_topk"       -> Corpus.bm25TopKOracle,
       "train_token_budget"   -> Corpus.tokenBudgetOracle,
+      "train_sampling_temperature" -> Corpus.samplingTemperatureOracle,
       "graph_pagerank"       -> Graph.pageRankOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_contamination_fuzzy" -> Dedup.fuzzyContaminationOracle,
+      "dedup_contamination_semantic" -> Dedup.semanticContaminationOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_paragraphs"      -> Dedup.paragraphDedupOracle,
@@ -158,10 +164,12 @@ object SparkEntry {
       "merge_upsert"     -> Profiling.mergeUpsertOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
+      "train_test_split"  -> Sampling.trainTestSplitOracle,
       "curation_pipeline" -> Sampling.curationPipelineOracle,
       "pack_sequences"    -> Sampling.packSequencesOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "multimodal_resize"      -> Multimodal.resizePayloadsOracle,
+      "multimodal_frame_sample" -> Multimodal.frameSampleOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),

@@ -134,6 +134,50 @@ object Multimodal {
       .toDF("doc_id", "out_len", "out_sum")
   }
 
+  /** Frame-sampling stride: one frame marker per 32 payload bytes. */
+  val FrameStride = 32
+
+  /** Frame-sample stage as its own query: materialize the SAMPLED frames
+    * (every [[FrameStride]]-th byte via [[FakeCodec.sampleFrames]] — the
+    * video keyframe-extraction shape: fixed stride, deterministic
+    * positions) and emit count + byte sum so the external gate
+    * hash-verifies the exact bytes the sampler selected — not just how
+    * many ([[extractFeatures]] already counts frames; this pins WHICH).
+    * Same per-partition batch pattern as [[decodeMeta]]; map-only, no
+    * shuffle. A real decoder replaces [[FakeCodec.sampleFrames]] with
+    * keyframe extraction and the plumbing — binary in, binary frames
+    * out, per-partition codec amortization — is unchanged. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binaryTable(s, d)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val frames = FakeCodec.sampleFrames(payload, FrameStride)
+          var sum = 0L
+          var i = 0
+          while (i < frames.length) { sum += frames(i) & 0xff; i += 1 }
+          (id, frames.length, sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_sum")
+  }
+
+  /** DuckDB twin of [[frameSample]]: the sampled positions are
+    * 0, 32, 64, … (each group's head byte), recovered from the hex
+    * expansion like [[resizePayloadsOracle]]. */
+  val frameSampleOracle: String =
+    s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+       |                  octet_length(encode(text)) AS n FROM documents)
+       |SELECT doc_id,
+       | CAST(ceil(n / $FrameStride.0) AS INT) AS n_frames,
+       | CAST(coalesce(list_sum(list_transform(range(CAST(ceil(n / $FrameStride.0) AS BIGINT)),
+       |   i -> (strpos('0123456789ABCDEF', h[2*(i*$FrameStride)+1]) - 1) * 16 +
+       |        (strpos('0123456789ABCDEF', h[2*(i*$FrameStride)+2]) - 1))), 0)
+       |   AS BIGINT) AS frame_sum
+       |FROM t""".stripMargin
+
   /** DuckDB twin of [[resizePayloads]]: the nearest-neighbor source index
     * is integer arithmetic, the byte values come from the hex expansion. */
   val resizePayloadsOracle: String =

@@ -66,6 +66,65 @@ object Corpus {
        | round(pow(n_docs, $MixAlpha) / sum(pow(n_docs, $MixAlpha)) OVER (), 6) AS weight
        |FROM b""".stripMargin
 
+  /** Temperature-sampling exponent α (XLM-R §3.1 / mBERT exponentiated
+    * smoothing): sampling probability ∝ p^α, α = 0.3. */
+  val TempAlpha = 0.3
+
+  /** Language-axis temperature sampling: the multilingual mixture recipe
+    * (XLM-R, arXiv:1911.02116 §3.1) — per-language sampling probabilities
+    * q_l ∝ p_l^α over the TOKEN mass p_l (not doc counts: long-doc
+    * languages would otherwise be under-weighted), with the up-sampling
+    * factor q_l/p_l each language's data is effectively repeated by.
+    * Complements [[mixWeights]] (source axis, doc-count mass): together
+    * they are the two mixture tables a multilingual training run reads.
+    *
+    * Scale shape: ONE corpus scan — the per-language aggregate
+    * (map-side combined, |langs| rows) is materialized once
+    * (`localCheckpoint`, the star-contraction lineage-cut idiom) so the
+    * two scalar-subquery branches (token total, q normalizer) re-read
+    * the bounded aggregate, not the corpus (the naive three-branch plan
+    * re-scans 100 TB three times for two scalar totals); no windows, no
+    * collect. */
+  def samplingTemperature(s: SparkSession, d: String): DataFrame =
+    samplingTemperatureOf(Tables.documents(s, d))
+
+  /** [[samplingTemperature]] over an arbitrary (lang, n_chars) frame. */
+  private[graft] def samplingTemperatureOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val by = docs.groupBy($"lang")
+      .agg(sum(expr("(n_chars + 3) div 4")).as("toks"))
+      // a zero-token language has no defined share (the lmBits policy)
+      .filter($"toks" > 0)
+      .localCheckpoint()
+    val tot = by.agg(sum($"toks").as("tot"))
+    val pq = by.crossJoin(broadcast(tot))
+      .withColumn("p", $"toks" / $"tot")
+      .withColumn("q_raw", pow($"p", TempAlpha))
+    val qtot = pq.agg(sum($"q_raw").as("q_tot"))
+    pq.crossJoin(broadcast(qtot))
+      .select($"lang", $"toks",
+        round($"p", 6).as("p_data"),
+        round($"q_raw" / $"q_tot", 6).as("p_sample"),
+        round($"q_raw" / $"q_tot" / $"p", 4).as("boost"))
+  }
+
+  /** DuckDB twin: same ceil-quarter token mass, same α, same division
+    * association order (q_raw / q_tot / p) so the doubles agree before
+    * the rounding — the [[mixWeights]] float-parity discipline. */
+  val samplingTemperatureOracle: String =
+    s"""WITH b AS (SELECT lang, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS toks
+       |    FROM documents GROUP BY lang
+       |    HAVING CAST(sum((n_chars + 3) // 4) AS BIGINT) > 0),
+       |t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM b),
+       |pq AS (SELECT lang, toks, toks / tot AS p,
+       |    pow(toks / tot, $TempAlpha) AS q_raw FROM b, t),
+       |qt AS (SELECT sum(q_raw) AS q_tot FROM pq)
+       |SELECT lang, toks, round(p, 6) AS p_data,
+       |  round(q_raw / q_tot, 6) AS p_sample,
+       |  round(q_raw / q_tot / p, 4) AS boost
+       |FROM pq, qt""".stripMargin
+
   /** Token budget for one training run, apportioned across sources. */
   val BudgetTokens = 1000000L
 

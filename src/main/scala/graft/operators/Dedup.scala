@@ -1468,6 +1468,66 @@ object Dedup {
        |  JOIN sz sb ON sb.doc_id = eval_doc
        |WHERE c / (sa.n + sb.n - c) >= $FuzzyContamJaccard""".stripMargin
 
+  // ---------------------------------------- semantic decontamination
+  /** Embedding-space eval contamination: training vectors whose cosine
+    * similarity to ANY eval vector reaches [[SemanticContamMin]] — the
+    * semantic complement of the lexical decontamination family
+    * ([[contamination]] exact grams / [[bloomContamination]] /
+    * [[fuzzyContamination]] near-twins): paraphrases and translations of
+    * an eval item share no word n-grams at all, and only an embedding
+    * scan catches them. Emits (train_vec, eval_vec, cos_sim) — the audit
+    * pairs, not just a flag, so a human can review each hit.
+    *
+    * Eval set: vec_id < [[EvalSetSize]] (the decontamination family's
+    * shared stand-in rule; the shape, not the id rule, is the operator).
+    *
+    * Scale shape: the eval side is FIXED-size by definition (benchmark
+    * suites don't grow with the corpus), so it is explicitly
+    * `broadcast()` and the training corpus streams map-side against it —
+    * the [[contamination]] broadcast class. Per-vector cost is
+    * |eval| · dim codegen'd dot products ([[org.apache.spark.sql.graft.ArrayDotProduct]]);
+    * unlike the all-pairs [[embeddingPairs]] verifier this is linear in
+    * the corpus, so the broadcast NLJ IS the scale path here. For eval
+    * sets too large to scan densely, [[Similarity.annLshTopK]]'s banded
+    * candidates compose in front (the fuzzy-pass structure). */
+  val SemanticContamMin = 0.35
+
+  def semanticContamination(s: SparkSession, d: String): DataFrame =
+    semanticContaminationOf(Tables.embeddings(s, d), EvalSetSize)
+
+  /** [[semanticContamination]] over an arbitrary (vec_id, embedding)
+    * frame / eval prefix (the scale rehearsal's knob). */
+  private[graft] def semanticContaminationOf(
+      vecs0: DataFrame, evalMax: Long): DataFrame = {
+    val s = vecs0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.dot
+    val vecs = vecs0
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
+    val ev = vecs.filter($"vec_id" < evalMax)
+      .select($"vec_id".as("eval_vec"), $"v".as("ve"), $"norm".as("ne"))
+    val tr = vecs.filter($"vec_id" >= evalMax)
+      .select($"vec_id".as("train_vec"), $"v".as("vt"), $"norm".as("nt"))
+    tr.crossJoin(broadcast(ev))
+      .withColumn("sim", dot($"vt", $"ve") / ($"nt" * $"ne"))
+      .filter($"sim" >= SemanticContamMin)
+      .select($"train_vec", $"eval_vec", round($"sim", 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin: `list_dot_product` accumulates left-to-right in double
+    * exactly like the engine's codegen'd dot ([[embeddingPairs]]
+    * precedent), so the 4dp cosines agree bit-for-bit. */
+  val semanticContaminationOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+       |SELECT t.vec_id AS train_vec, ev.vec_id AS eval_vec,
+       |  round(list_dot_product(t.v, ev.v) / (t.norm * ev.norm), 4) AS cos_sim
+       |FROM n t JOIN n ev ON t.vec_id >= $EvalSetSize AND ev.vec_id < $EvalSetSize
+       |WHERE list_dot_product(t.v, ev.v) / (t.norm * ev.norm)
+       |  >= $SemanticContamMin""".stripMargin
+
   /** DuckDB twin: the recursive-closure cluster labels + the shared
     * quality CTEs (prefixed `q` — the gram CTEs already claim `t`), best
     * per cluster via the same (−sx, doc_id) minimum. */

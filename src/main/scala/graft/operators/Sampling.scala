@@ -110,6 +110,58 @@ object Sampling {
        |                     ORDER BY md5(text) ASC, doc_id ASC) AS pos
        |FROM kept""".stripMargin
 
+  // ------------------------------------------------------ train/test split
+  /** Split-bucket space: md5 of the salted doc_id → [0, 1000). */
+  val SplitBuckets = 1000L
+  /** [0, 900) → train, [900, 950) → valid, [950, 1000) → test. */
+  val SplitTrainLt = 900L
+  val SplitValidLt = 950L
+
+  /** Deterministic train/valid/test split assignment — the holdout-carving
+    * step every training pipeline runs before anything touches the data.
+    * The split is a pure function of the DOCUMENT ID (not rand(), not
+    * row position): md5 of a salted id string → bucket in [0, 1000) →
+    * 90/5/5 bands. Identity-hash splitting is the only scheme that keeps
+    * membership stable when the corpus is re-partitioned, re-sharded, or
+    * incrementally extended — a new ingest batch lands in the same bands
+    * without moving any existing document across the holdout boundary
+    * (position- or rand()-based splits leak on every re-run).
+    *
+    * The salt ("split:") decouples this hash from every other md5-keyed
+    * decision in the engine (shard order, sampling) so split membership
+    * is independent of them — the standard multi-use-hash hygiene.
+    *
+    * Scale shape: map-only (one projection, no shuffle, no state); the
+    * band check is integer-space so there is no float knife edge. */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame =
+    trainTestSplitOf(Tables.documents(s, d))
+
+  /** [[trainTestSplit]] over an arbitrary (doc_id, source) frame. */
+  private[graft] def trainTestSplitOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"source")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % SplitBuckets)
+      .withColumn("split",
+        when($"bucket" < SplitTrainLt, "train")
+          .when($"bucket" < SplitValidLt, "valid")
+          .otherwise("test"))
+  }
+
+  /** DuckDB twin: same salted-md5-prefix bucket (the [[Corpus.dsirWeights]]
+    * `0x`-cast ≡ Spark `conv(hex, 16, 10)` equivalence), same bands. */
+  val trainTestSplitOracle: String =
+    s"""SELECT doc_id, source,
+       |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % $SplitBuckets AS bucket,
+       |  CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $SplitBuckets < $SplitTrainLt THEN 'train'
+       |    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $SplitBuckets < $SplitValidLt THEN 'valid'
+       |    ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
   // ------------------------------------------------------ sequence packing
   /** Token budget per packed sequence — gate-scale setting (the synthetic
     * docs run 20–80 whitespace tokens, so sequences pack 3–8 docs); the

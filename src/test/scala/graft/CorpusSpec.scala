@@ -308,4 +308,39 @@ class CorpusSpec extends SparkTestBase {
         s"largest-remainder allocation must sit within one seat of the ideal share")
     }
   }
+
+  test("temperature sampling: hand-computed α=0.3 shares, rare-language boost > 1") {
+    // lang a: 9 docs x 100 toks (n_chars 397 -> (397+3) div 4), lang b: 1 x 100
+    val docs = (1 to 9).map(i => (i.toLong, "a", 397L)) :+ ((10L, "b", 397L))
+    val got = Corpus.samplingTemperatureOf(
+        docs.toDF("doc_id", "lang", "n_chars"))
+      .select("lang", "toks", "p_data", "p_sample", "boost")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // replay the operator's own association order on the same doubles
+    val (pa, pb) = (900.0 / 1000.0, 100.0 / 1000.0)
+    val (qa, qb) = (math.pow(pa, Corpus.TempAlpha), math.pow(pb, Corpus.TempAlpha))
+    val qt = qa + qb
+    def r(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") === (("a", 900L, r(pa, 6), r(qa / qt, 6), r(qa / qt / pa, 4))))
+    assert(got("b") === (("b", 100L, r(pb, 6), r(qb / qt, 6), r(qb / qt / pb, 4))))
+    // α<1 flattens: the rare language is up-sampled, the common one down
+    assert(got("b")._5 > 1.0 && got("a")._5 < 1.0)
+    // sampling probabilities renormalize to 1
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-5)
+  }
+
+  test("temperature sampling on the sf corpus: shares sum to 1, smaller lang ⇒ larger boost") {
+    val rows = Corpus.samplingTemperature(spark, sf)
+      .select("toks", "p_sample", "boost").as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    // boost is strictly anti-monotone in token mass (p^(α-1) with α<1)
+    val byToks = rows.sortBy(_._1)
+    byToks.sliding(2).foreach {
+      case Array((t1, _, b1), (t2, _, b2)) if t1 < t2 => assert(b1 > b2)
+      case _ =>
+    }
+  }
 }

@@ -77,4 +77,34 @@ class CurationSpec extends SparkTestBase {
     assert(got.toSeq === Seq((8L, 1L), (16L, 1L), (24L, 2L),
       (32L, 3L), (40L, 4L), (48L, 5L)))
   }
+
+  test("train/test split: bands hold, proportions near 90/5/5, id-pure and repartition-stable") {
+    import graft.operators.Sampling
+    val out = Sampling.trainTestSplit(spark, sf)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(out.length === 500)
+    // band rule is exactly the bucket arithmetic, bucket in range
+    out.foreach { case (id, b, s) =>
+      assert(b >= 0 && b < Sampling.SplitBuckets, s"doc $id")
+      val expect = if (b < Sampling.SplitTrainLt) "train"
+        else if (b < Sampling.SplitValidLt) "valid" else "test"
+      assert(s === expect, s"doc $id bucket $b")
+    }
+    // the JVM md5 replay pins the hash contract (salt + hex-prefix mod)
+    out.take(20).foreach { case (id, b, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val hex = md.map(x => f"$x%02x").mkString.take(8)
+      assert(b === java.lang.Long.parseLong(hex, 16) % Sampling.SplitBuckets)
+    }
+    // 90/5/5 within binomial noise at n=500 (sd ≈ 6.7 docs on train)
+    val n = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(n("train") > 420 && n("train") < 480, n.toString)
+    assert(n.getOrElse("valid", 0) + n.getOrElse("test", 0) === 500 - n("train"))
+    // membership is a pure function of doc_id: stable under repartition
+    val again = Sampling.trainTestSplitOf(
+        graft.core.Tables.documents(spark, sf).repartition(7))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, s) => assert(again(id) === s) }
+  }
 }

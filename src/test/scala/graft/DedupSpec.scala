@@ -397,4 +397,41 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got === Set((1L, 1L, false), (2L, 1L, true), (7L, 7L, true)))
   }
+
+  test("semantic contamination: orientation, threshold, and scale-invariant cosine") {
+    import spark.implicits._
+    // eval: 0=[1,0,0], 1=[0,1,0]; train: 10 = scaled copy of eval0 (cos 1),
+    // 11 = diagonal (cos ≈ .7071 to BOTH evals), 12 = orthogonal (no rows),
+    // 13 = anti-parallel (cos −1, below threshold)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (10L, Array(5f, 0f, 0f)), (11L, Array(1f, 1f, 0f)),
+      (12L, Array(0f, 0f, 3f)), (13L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticContaminationOf(vecs, evalMax = 2L)
+      .select("train_vec", "eval_vec", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 0L, 1.0), (11L, 0L, 0.7071), (11L, 1L, 0.7071)))
+  }
+
+  test("semantic contamination on the sf corpus: pairs ⊆ all-pairs verifier, no eval-side rows") {
+    import spark.implicits._
+    val got = Dedup.semanticContamination(spark, sf)
+      .select("train_vec", "eval_vec", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, e, c) =>
+      assert(t >= Dedup.EvalSetSize && e < Dedup.EvalSetSize)
+      assert(c >= Dedup.SemanticContamMin)
+    }
+    // every emitted pair appears in the exact all-pairs scan at the same
+    // 4dp cosine (the eval prefix is below every train id, so the
+    // all-pairs (a < b) orientation is (eval, train))
+    val allPairs = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got.foreach { case (t, e, c) =>
+      assert(allPairs.get((e, t)).contains(c), s"pair ($e,$t)") }
+  }
 }

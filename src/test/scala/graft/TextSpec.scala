@@ -256,6 +256,23 @@ class TextSpec extends SparkTestBase {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("multimodal frame sample selects exactly the stride-head bytes") {
+    val out = Multimodal.frameSample(spark, sf)
+      .as[(Long, Int, Long)].collect().toMap2
+    val payloads = Multimodal.binaryTable(spark, sf)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    assert(payloads.length === out.size)
+    payloads.foreach { case (id, p) =>
+      val frames = Multimodal.FakeCodec.sampleFrames(p, Multimodal.FrameStride)
+      val (n, sum) = out(id)
+      assert(n === frames.length, s"doc $id")
+      assert(sum === frames.map(_ & 0xff).map(_.toLong).sum, s"doc $id")
+      // the sampled positions are the stride heads: 0, 32, 64, …
+      assert(frames.toSeq ===
+        (0 until p.length by Multimodal.FrameStride).map(p(_)).toSeq, s"doc $id")
+    }
+  }
+
   test("multimodal resize selects the exact nearest-neighbor bytes") {
     val out = Multimodal.resizePayloads(spark, sf)
       .as[(Long, Int, Long)].collect().toMap2
