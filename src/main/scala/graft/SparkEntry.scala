@@ -32,6 +32,7 @@ object SparkEntry {
       "text_token_stats"  -> (TextOps.tokenStats _),
       "text_chunks"       -> (TextOps.chunkDocuments _),
       "text_bpe_tokens"   -> (TextOps.bpeTokens _),
+      "text_bpe_merges"   -> (TextOps.bpeMergeCandidates _),
       "text_quality_score" -> (TextOps.qualityScore _),
       "text_quality_filter" -> (TextOps.qualityQuantileFilter _),
       "text_gopher_rules" -> (TextOps.gopherRules _),
@@ -67,6 +68,7 @@ object SparkEntry {
       "dedup_contamination_bloom" -> (Dedup.bloomContamination _),
       "dedup_contamination_fuzzy" -> (Dedup.fuzzyContamination _),
       "dedup_contamination_semantic" -> (Dedup.semanticContamination _),
+      "dedup_ingest_batch"     -> (Dedup.ingestBatchDedup _),
       "dedup_duplicate_spans"  -> (Dedup.duplicateSpans _),
       "dedup_span_clean"       -> (Dedup.spanCleanedDocs _),
       "dedup_paragraphs"       -> (Dedup.paragraphDedup _),
@@ -117,6 +119,7 @@ object SparkEntry {
       "text_token_stats" -> TextOps.tokenStatsOracle,
       "text_chunks"      -> TextOps.chunkDocumentsOracle,
       "text_bpe_tokens"  -> TextOps.bpeTokensOracle,
+      "text_bpe_merges"  -> TextOps.bpeMergeCandidatesOracle,
       "text_quality_score" -> TextOps.qualityScoreOracle,
       "text_quality_filter" -> TextOps.qualityQuantileFilterOracle,
       "text_gopher_rules" -> TextOps.gopherRulesOracle,
@@ -148,6 +151,7 @@ object SparkEntry {
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,
       "dedup_contamination_fuzzy" -> Dedup.fuzzyContaminationOracle,
       "dedup_contamination_semantic" -> Dedup.semanticContaminationOracle,
+      "dedup_ingest_batch"     -> Dedup.ingestBatchDedupOracle,
       "dedup_duplicate_spans" -> Dedup.duplicateSpansOracle,
       "dedup_span_clean"      -> Dedup.spanCleanedDocsOracle,
       "dedup_paragraphs"      -> Dedup.paragraphDedupOracle,

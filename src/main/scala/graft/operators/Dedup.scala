@@ -1468,6 +1468,70 @@ object Dedup {
        |  JOIN sz sb ON sb.doc_id = eval_doc
        |WHERE c / (sa.n + sb.n - c) >= $FuzzyContamJaccard""".stripMargin
 
+  // ------------------------------------------------- ingest-batch dedup
+  /** Incremental-ingest admission check: before a NEW crawl batch joins
+    * the corpus, score each batch document by how much of its content the
+    * EXISTING corpus already carries — |g(doc) ∩ g(existing)| / |g(doc)|
+    * over word-3-grams — and flag `is_dup` at ≥ [[IngestDupMin]]. This is
+    * the incremental form of deduplication: a production pipeline never
+    * re-deduplicates 100 TB per crawl; it gates each increment against
+    * what is already there. Batch stand-in rule: doc_id ≡ [[IngestResidue]]
+    * (mod [[IngestMod]]) — the shape, not the id rule, is the operator
+    * (the [[contamination]] convention).
+    *
+    * Scale shape: the BATCH is small by definition (one crawl increment),
+    * so its (doc, gram) pairs are explicitly `broadcast()` and the
+    * existing corpus streams map-side against them — the corpus is
+    * SCANNED but never shuffled. Only the hit pairs (bounded by the batch
+    * gram count) shuffle for the distinct + per-doc count. The dup flag
+    * compares in integer space (2·known ≥ n) — no round-half knife edge.
+    * Batch docs too short to gram (< 3 tokens) are omitted — the
+    * [[Corpus.lmBits]] emptiness policy. */
+  val IngestMod = 10L
+  val IngestResidue = 7L
+  /** Flag threshold 0.5, applied as the integer comparison 2·known ≥ n. */
+  val IngestDupMin = 0.5
+
+  def ingestBatchDedup(s: SparkSession, d: String): DataFrame =
+    ingestBatchDedupOf(Tables.documents(s, d))
+
+  /** [[ingestBatchDedup]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def ingestBatchDedupOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = gramsOf(docs)
+    val isBatch = $"doc_id" % IngestMod === IngestResidue
+    val batchPairs = g.filter(isBatch)
+      .select($"doc_id".as("b_doc"), explode($"grams").as("gram"))
+    val existing = g.filter(!isBatch).select(explode($"grams").as("gram"))
+    val hits = existing
+      .join(broadcast(batchPairs), "gram")
+      .select($"b_doc", $"gram").distinct()
+      .groupBy($"b_doc").agg(count(lit(1)).as("n_known"))
+    g.filter(isBatch).select($"doc_id", size($"grams").as("n_grams"))
+      .join(hits.withColumnRenamed("b_doc", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("n_known", coalesce($"n_known", lit(0L)))
+      .select($"doc_id", $"n_grams", $"n_known",
+        ratio4("n_known", "n_grams").as("known_ratio"),
+        ($"n_known" * 2 >= $"n_grams").as("is_dup"))
+  }
+
+  /** DuckDB twin: the shared gram CTEs, known-gram counts against the
+    * existing side's distinct gram union, same integer-space flag. */
+  val ingestBatchDedupOracle: String = "WITH " + gramCtes + ",\n" +
+    s"""kn AS (SELECT b.doc_id, count(DISTINCT b.gram) AS n_known
+       |  FROM g b JOIN (SELECT DISTINCT gram FROM g
+       |                 WHERE doc_id % $IngestMod <> $IngestResidue) e
+       |    USING (gram)
+       |  WHERE b.doc_id % $IngestMod = $IngestResidue
+       |  GROUP BY b.doc_id)
+       |SELECT s.doc_id, s.n AS n_grams,
+       |  CAST(coalesce(kn.n_known, 0) AS BIGINT) AS n_known,
+       |  ${ratio4Sql("coalesce(kn.n_known, 0)", "s.n")} AS known_ratio,
+       |  (2 * coalesce(kn.n_known, 0) >= s.n) AS is_dup
+       |FROM sz s LEFT JOIN kn ON kn.doc_id = s.doc_id
+       |WHERE s.doc_id % $IngestMod = $IngestResidue""".stripMargin
+
   // ---------------------------------------- semantic decontamination
   /** Embedding-space eval contamination: training vectors whose cosine
     * similarity to ANY eval vector reaches [[SemanticContamMin]] — the

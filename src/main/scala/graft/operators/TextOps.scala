@@ -232,6 +232,57 @@ object TextOps {
       | len(list_distinct(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS n_distinct_segments
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------- BPE merge candidates
+  /** Top merge-candidate table size. */
+  val BpeMergeTopK = 50
+
+  /** The first round of BPE TRAINING: corpus-weighted counts of adjacent
+    * character pairs within words, top-[[BpeMergeTopK]] — the table a
+    * tokenizer-training run consults to pick its next merge (Sennrich et
+    * al. 2016's core loop; successive rounds re-run over the merged
+    * symbol stream, the driver loop belongs to the consumer).
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY at the very
+    * first aggregate (word-frequency groupBy, map-side combined — the
+    * "aardvark aardvark aardvark" corpus ships ONE (word, count) row per
+    * map partition, not a row per occurrence); the pair explode then runs
+    * over vocab rows only, the pair aggregate has ≤ |alphabet|² keys, and
+    * the global top-k plans as TakeOrderedAndProject — no global sort.
+    * Ties at the cut are impossible to mis-order: (cnt DESC, a, b) is a
+    * total order over unique (a, b) groups. */
+  def bpeMergeCandidates(s: SparkSession, d: String): DataFrame =
+    bpeMergeCandidatesOf(Tables.documents(s, d))
+
+  /** [[bpeMergeCandidates]] over an arbitrary (text) frame. */
+  private[graft] def bpeMergeCandidatesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(tokensCol).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      // one-char words contain no adjacent pair
+      .filter(length($"w") >= 2)
+      .select($"w", $"f",
+        explode(sequence(lit(0), length($"w") - 2)).as("i"))
+      .select(expr("substring(w, i+1, 1)").as("a"),
+        expr("substring(w, i+2, 1)").as("b"), $"f")
+      .groupBy($"a", $"b").agg(sum($"f").as("cnt"))
+      .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+      .limit(BpeMergeTopK)
+  }
+
+  /** DuckDB twin: same whitespace words, same 1-based char `substr`
+    * positions (both engines are character- not byte-indexed), same
+    * total-order cut. */
+  val bpeMergeCandidatesOracle: String =
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w HAVING length(w) >= 2),
+       |pairs AS (SELECT substr(w, CAST(i + 1 AS INT), 1) AS a,
+       |    substr(w, CAST(i + 2 AS INT), 1) AS b, f
+       |  FROM wf, unnest(range(length(w) - 1)) AS t(i))
+       |SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY a, b
+       |ORDER BY cnt DESC, a ASC, b ASC LIMIT $BpeMergeTopK""".stripMargin
+
   // ------------------------------------------------------- quality scoring
   /** Document quality scoring: length / punctuation / stopword / digit
     * ratios combined into one score — the standard pre-training text

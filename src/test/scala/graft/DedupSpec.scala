@@ -398,6 +398,29 @@ class DedupSpec extends SparkTestBase {
     assert(got === Set((1L, 1L, false), (2L, 1L, true), (7L, 7L, true)))
   }
 
+  test("ingest-batch dedup: containment ratios, integer-space flag at the exact edge") {
+    import spark.implicits._
+    // existing: doc 1 carries grams {w1w2w3, w2w3w4, w3w4w5}; batch docs
+    // (id ≡ 7 mod 10) probe it: 7 fully known, 17 at 1/4, 27 at 0/2,
+    // 37 at exactly 2/4 = the 0.5 threshold (2·known ≥ n must flag it)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (7L, "w1 w2 w3 w4"),
+      (17L, "w1 w2 w3 x y z"),
+      (27L, "p q r s"),
+      (37L, "w1 w2 w3 w4 a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ingestBatchDedupOf(docs)
+      .select("doc_id", "n_grams", "n_known", "known_ratio", "is_dup")
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(7L, 17L, 27L, 37L))
+    assert(got(7L) === ((7L, 2, 2L, 1.0, true)))
+    assert(got(17L) === ((17L, 4, 1L, 0.25, false)))
+    assert(got(27L) === ((27L, 2, 0L, 0.0, false)))
+    assert(got(37L) === ((37L, 4, 2L, 0.5, true)), "exact-threshold doc must flag")
+  }
+
   test("semantic contamination: orientation, threshold, and scale-invariant cosine") {
     import spark.implicits._
     // eval: 0=[1,0,0], 1=[0,1,0]; train: 10 = scaled copy of eval0 (cos 1),

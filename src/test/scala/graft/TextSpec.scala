@@ -256,6 +256,28 @@ class TextSpec extends SparkTestBase {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("BPE merge candidates: corpus-weighted pair counts, short words excluded") {
+    import graft.operators.TextOps
+    // "ab" twice + "abc" once -> (a,b): 3, (b,c): 1; single chars add nothing
+    val docs = Seq((1L, "ab ab c"), (2L, "abc a b")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergeCandidatesOf(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 3L), ("b", "c", 1L)))
+  }
+
+  test("BPE merge candidates on the sf corpus: top-k ordered, counts positive") {
+    import graft.operators.TextOps
+    val got = TextOps.bpeMergeCandidates(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.length === TextOps.BpeMergeTopK)
+    // descending by count with (a, b) tie-break — the committed total order
+    got.sliding(2).foreach { case Seq((a1, b1, c1), (a2, b2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && (a1 < a2 || (a1 == a2 && b1 < b2))))
+    case _ => }
+    assert(got.forall(_._3 > 0))
+    assert(got.forall(r => r._1.length == 1 && r._2.length == 1))
+  }
+
   test("multimodal frame sample selects exactly the stride-head bytes") {
     val out = Multimodal.frameSample(spark, sf)
       .as[(Long, Int, Long)].collect().toMap2
