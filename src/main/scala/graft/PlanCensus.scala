@@ -96,5 +96,7 @@ object PlanCensus {
         "localCheckpoint of the bounded |langs|-row aggregate, materialized ONCE so the scalar-subquery branches re-read it instead of re-scanning the corpus"),
     "dedup_contamination_semantic" -> Map("BroadcastNestedLoopJoin" ->
       "eval side is FIXED-size by definition (benchmark suites don't grow with the corpus) and explicitly broadcast — the contamination broadcast class; linear in the corpus, this IS the scale path"),
+    "train_curriculum_order" -> Map("ExistingRDD" ->
+      "localCheckpoint pinning the range-partitioned sort so the |parts|-row count pass and the offset-assign pass read the SAME layout — the distributed total-order recipe that replaces the single-partition global window"),
   )
 }

@@ -88,6 +88,7 @@ object SparkEntry {
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
       "train_test_split"  -> (Sampling.trainTestSplit _),
+      "train_curriculum_order" -> (Sampling.curriculumOrder _),
       "curation_pipeline" -> ((s, d) => Sampling.curationPipeline(s, d)),
       "pack_sequences"    -> (Sampling.packSequences _),
       // multimodal plumbing
@@ -169,6 +170,7 @@ object SparkEntry {
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
       "train_test_split"  -> Sampling.trainTestSplitOracle,
+      "train_curriculum_order" -> Sampling.curriculumOrderOracle,
       "curation_pipeline" -> Sampling.curationPipelineOracle,
       "pack_sequences"    -> Sampling.packSequencesOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,

@@ -162,6 +162,79 @@ object Sampling {
        |    ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------- curriculum global order
+  /** Range partitions for the global-order assignment — the parallelism
+    * unit (grows with the corpus like shards; 32 matches local[32]). */
+  val OrderPartitions = 32
+
+  /** Curriculum ordering: assign every document a CONTIGUOUS global
+    * training position 1..N — highest quality first, hash-shuffled within
+    * equal quality — without ever moving the corpus to one partition.
+    *
+    * The naive plan (`row_number() OVER (ORDER BY ...)` with no partition
+    * key) is the textbook 100 TB scale-killer: Spark plans an empty-
+    * partition-spec Window and funnels every row through a single task
+    * (the exact class [[graft.PlanWalk]] flags since r6). This operator
+    * produces the identical result with the classic distributed total-
+    * order recipe:
+    *
+    *   1. range-partition + locally sort by the total-order key
+    *      (quality sx DESC, salted md5, doc_id — unique, so ties cannot
+    *      reorder across runs);
+    *   2. count rows per partition — |partitions| rows to the driver,
+    *      CONSTANT in corpus size (the IVF-centroid precedent);
+    *   3. broadcast the prefix-sum offsets and add each partition's local
+    *      rank in one map pass.
+    *
+    * The one materialization ([[DataFrame.localCheckpoint]]) pins the
+    * partitioning so the count pass and the assign pass see the SAME
+    * layout — the census exempts ExistingRDD for exactly this pattern
+    * (star-contraction precedent). Quality sx is the shared integer-space
+    * score ([[TextOps.qualitySxOf]]), so the sort key has no float knife
+    * edge; the salt ("order:") keeps the within-tier shuffle independent
+    * of every other md5-keyed decision (split/shard hygiene). */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame =
+    curriculumOrderOf(Tables.documents(s, d), OrderPartitions)
+
+  private[graft] def curriculumOrderOf(docs: DataFrame, parts: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyed = TextOps.qualitySxOf(docs)
+      .withColumn("h", md5(concat(lit("order:"), $"doc_id".cast("string"))))
+    val ranged = keyed
+      .repartitionByRange(parts, $"sx".desc, $"h".asc, $"doc_id".asc)
+      .sortWithinPartitions($"sx".desc, $"h".asc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // |parts| (pid, count) rows — constant driver traffic, not data
+    val counts = ranged.groupBy($"pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = s.sparkContext.broadcast(offsets)
+    ranged.select($"doc_id", $"sx", $"pid")
+      .as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        var local = 0L
+        rows.map { case (id, sx, pid) =>
+          local += 1
+          (id, sx / 10000.0, bc.value(pid) + local)
+        }
+      }
+      .toDF("doc_id", "quality_score", "global_pos")
+  }
+
+  /** DuckDB twin: the naive single-window form — the semantics the
+    * distributed recipe must reproduce exactly. `sx / 10000.0` restates
+    * the 4dp score the same way on both sides. */
+  val curriculumOrderOracle: String =
+    "WITH " + TextOps.qualityCtesPrefixed("") + ",\n" +
+      """sx AS (SELECT doc_id,
+        |  CAST(round(quality_score * 10000) AS BIGINT) AS sx FROM sc)
+        |SELECT doc_id, sx / 10000.0 AS quality_score,
+        |  row_number() OVER (ORDER BY sx DESC,
+        |    md5('order:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS global_pos
+        |FROM sx""".stripMargin
+
   // ------------------------------------------------------ sequence packing
   /** Token budget per packed sequence — gate-scale setting (the synthetic
     * docs run 20–80 whitespace tokens, so sequences pack 3–8 docs); the

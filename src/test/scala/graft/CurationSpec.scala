@@ -107,4 +107,37 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     out.foreach { case (id, _, s) => assert(again(id) === s) }
   }
+
+  test("curriculum order: contiguous 1..N, equals the naive global window, no Window node") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Sampling.curriculumOrder(spark, sf)
+    // the distributed recipe must not fall back to the single-partition
+    // window plan it exists to avoid (nor collect data: only pid counts)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window node:\n$plan")
+    val out = df.select("doc_id", "quality_score", "global_pos")
+      .as[(Long, Double, Long)].collect()
+    assert(out.length === 500)
+    // positions are a contiguous permutation of 1..N
+    assert(out.map(_._3).sorted.toSeq === (1L to 500L))
+    // exact equality with the naive empty-partition window (the oracle's
+    // form), key for key
+    val naive = graft.operators.TextOps.qualityScore(spark, sf)
+      .select($"doc_id", $"quality_score",
+        expr("cast(round(quality_score * 10000) as bigint)").as("sx"),
+        md5(concat(lit("order:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"sx".desc, $"h".asc, $"doc_id".asc)).cast("long"))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, pos) => assert(pos === naive(id), s"doc $id") }
+    // curriculum property: the first-position doc carries the max quality
+    val byPos = out.sortBy(_._3)
+    assert(byPos.head._2 === out.map(_._2).max)
+    // partition count respects the knob on a rerun with fewer ranges
+    val small = Sampling.curriculumOrderOf(
+      graft.core.Tables.documents(spark, sf), 5)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, pos) => assert(small(id) === pos) }
+  }
 }

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Run a graft main class against the compiled classes without going through
+# sbt (avoids the sbt server lock; identical JVM flags to build.sbt's
+# `run / javaOptions`). Usage:
+#   tools/run.sh graft.ScaleGen target/sf1 /root/testdata/sf0.1 10
+#   SPARK_GRAFT_SF_DIR=target/sf1 tools/run.sh graft.Bench
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
