@@ -96,6 +96,8 @@ object PlanCensus {
         "localCheckpoint of the bounded |langs|-row aggregate, materialized ONCE so the scalar-subquery branches re-read it instead of re-scanning the corpus"),
     "dedup_contamination_semantic" -> Map("BroadcastNestedLoopJoin" ->
       "eval side is FIXED-size by definition (benchmark suites don't grow with the corpus) and explicitly broadcast — the contamination broadcast class; linear in the corpus, this IS the scale path"),
+    "audit_integrity" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row modal-dimension aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "train_curriculum_order" -> Map("ExistingRDD" ->
       "localCheckpoint pinning the range-partitioned sort so the |parts|-row count pass and the offset-assign pass read the SAME layout — the distributed total-order recipe that replaces the single-partition global window"),
   )

@@ -84,6 +84,7 @@ object SparkEntry {
       "profile_lineitem" -> (Profiling.profileLineitem _),
       "profile_lineitem_approx" -> (Profiling.profileLineitemApprox _),
       "merge_upsert"     -> (Profiling.mergeUpsert _),
+      "audit_integrity"  -> (Profiling.auditIntegrity _),
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
@@ -167,6 +168,7 @@ object SparkEntry {
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,
       "merge_upsert"     -> Profiling.mergeUpsertOracle,
+      "audit_integrity"  -> Profiling.auditIntegrityOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
       "train_test_split"  -> Sampling.trainTestSplitOracle,

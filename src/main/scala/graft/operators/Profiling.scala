@@ -125,4 +125,77 @@ object Profiling {
       |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
       |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
       |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- integrity audit
+  /** Referential/shape integrity audit — the pre-flight a pipeline runs
+    * before training consumes a corpus drop: one (check_name, n) row per
+    * invariant, n = 0 meaning clean. Checks: duplicate doc ids, empty
+    * text, docs↔embeddings referential closure both ways, null/empty and
+    * ragged embedding vectors (vs the corpus MODE dimension), and the
+    * relational FK closures orders→customer and lineitem→orders.
+    *
+    * Scale shape: every check is ONE distributed aggregate — anti joins
+    * shuffle on their key (AQE-splittable), the dup check is a groupBy
+    * count, and the mode dimension is a bounded |distinct dims|-row
+    * aggregate joined back as a broadcast scalar subquery. The result is
+    * a union of single-row aggregates; nothing is collected. */
+  def auditIntegrity(s: SparkSession, d: String): DataFrame =
+    auditIntegrityOf(Tables.documents(s, d), Tables.embeddings(s, d),
+      Tables.orders(s, d), Tables.customer(s, d), Tables.lineitem(s, d))
+
+  /** [[auditIntegrity]] over arbitrary frames (specs plant violations). */
+  private[graft] def auditIntegrityOf(docs: DataFrame, emb: DataFrame,
+      orders: DataFrame, cust: DataFrame, li: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), $"n")
+    val modalDim = emb.filter($"embedding".isNotNull)
+      .groupBy(size($"embedding").as("dim")).agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"dim".asc).limit(1).select($"dim")
+    Seq(
+      one("docs_total", docs),
+      one("docs_empty_text", docs.filter($"text".isNull || length($"text") === 0)),
+      one("docs_dup_id",
+        docs.groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" > 1)),
+      one("docs_missing_embedding",
+        docs.join(emb, docs("doc_id") === emb("vec_id"), "left_anti")),
+      one("embeddings_orphan",
+        emb.join(docs, emb("vec_id") === docs("doc_id"), "left_anti")),
+      one("embeddings_null_vec",
+        emb.filter($"embedding".isNull || size($"embedding") === 0)),
+      one("embeddings_ragged_dim",
+        emb.filter($"embedding".isNotNull).crossJoin(broadcast(modalDim))
+          .filter(size($"embedding") =!= $"dim")),
+      one("orders_orphan_custkey",
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")),
+      one("lineitem_orphan_orderkey",
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")),
+    ).reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin: NOT EXISTS ≡ Spark left_anti (both keep NULL-key left
+    * rows), mode dimension via the same (count DESC, dim ASC) total-order
+    * cut. `check` is a reserved word — hence `check_name`. */
+  val auditIntegrityOracle: String =
+    """SELECT 'docs_total' AS check_name, CAST(count(*) AS BIGINT) AS n FROM documents
+      |UNION ALL SELECT 'docs_empty_text', count(*) FROM documents
+      |  WHERE text IS NULL OR length(text) = 0
+      |UNION ALL SELECT 'docs_dup_id', count(*) FROM
+      |  (SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+      |UNION ALL SELECT 'docs_missing_embedding', count(*) FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      |UNION ALL SELECT 'embeddings_orphan', count(*) FROM embeddings e
+      |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |UNION ALL SELECT 'embeddings_null_vec', count(*) FROM embeddings
+      |  WHERE embedding IS NULL OR len(embedding) = 0
+      |UNION ALL SELECT 'embeddings_ragged_dim', count(*) FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) <>
+      |    (SELECT dim FROM (SELECT len(embedding) AS dim, count(*) AS c
+      |       FROM embeddings WHERE embedding IS NOT NULL
+      |       GROUP BY 1 ORDER BY c DESC, dim ASC LIMIT 1))
+      |UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin
 }

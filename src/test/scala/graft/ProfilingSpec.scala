@@ -26,4 +26,40 @@ class ProfilingSpec extends SparkTestBase {
         s"$c approx NDV $and vs exact $nd")
     }
   }
+
+  test("integrity audit: clean corpus reports zeros; planted violations count exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clean = Profiling.auditIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean("docs_total") === 500)
+    Seq("docs_empty_text", "docs_dup_id", "docs_missing_embedding",
+      "embeddings_orphan", "embeddings_null_vec", "embeddings_ragged_dim",
+      "orders_orphan_custkey", "lineitem_orphan_orderkey")
+      .foreach(k => assert(clean(k) === 0L, k))
+
+    // plant one violation of each doc/embedding class and count them back
+    val docs = graft.core.Tables.documents(spark, sf)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val docsBad = docs
+      .unionAll(docs.limit(2).withColumn("text", lit("")))       // 2 dup ids, also empty text
+      .unionAll(docs.limit(1).withColumn("doc_id", lit(900001L))) // no embedding
+    val embBad = emb
+      .unionAll(emb.limit(1).withColumn("vec_id", lit(900002L))) // orphan
+      .unionAll(emb.limit(1).withColumn("vec_id", lit(900003L))
+        .withColumn("embedding", slice($"embedding", 1, 3)))     // orphan + ragged
+      .unionAll(emb.limit(1).withColumn("vec_id", lit(900004L))
+        .withColumn("embedding", lit(null).cast("array<float>"))) // orphan + null
+    val out = Profiling.auditIntegrityOf(docsBad, embBad,
+        graft.core.Tables.orders(spark, sf), graft.core.Tables.customer(spark, sf),
+        graft.core.Tables.lineitem(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("docs_total") === 503)
+    assert(out("docs_empty_text") === 2)
+    assert(out("docs_dup_id") === 2)
+    assert(out("docs_missing_embedding") === 1) // planted 900001 only
+    assert(out("embeddings_orphan") === 3)
+    assert(out("embeddings_null_vec") === 1)
+    assert(out("embeddings_ragged_dim") === 1)
+  }
 }
