@@ -97,6 +97,7 @@ object SparkEntry {
       "multimodal_features"    -> (Multimodal.extractFeatures _),
       "multimodal_resize"      -> (Multimodal.resizePayloads _),
       "multimodal_frame_sample" -> (Multimodal.frameSample _),
+      "multimodal_phash_pairs" -> (Multimodal.phashPairs _),
       // as-of + range joins
       "asof_purchase_view" -> (AsOf.purchaseToLastView _),
       "range_join_events"  -> (RangeJoin.errorsNearClicks _),
@@ -178,6 +179,7 @@ object SparkEntry {
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "multimodal_resize"      -> Multimodal.resizePayloadsOracle,
       "multimodal_frame_sample" -> Multimodal.frameSampleOracle,
+      "multimodal_phash_pairs" -> Multimodal.phashPairsOracle,
       "asof_purchase_view" -> AsOf.purchaseToLastViewOracle,
       "range_join_events"  -> RangeJoin.errorsNearClicksOracle,
       "stream_event_windows"    -> Relational.oracle("q20_event_windows"),

@@ -22,6 +22,44 @@ object Hashing {
     h
   }
 
+  /** FNV-1a 64 over a raw byte slice — the byte-level form of [[fnv1a64]]
+    * (identical fold; no string/charset round-trip), used by the
+    * perceptual-hash byte shingles. */
+  def fnv1a64Bytes(b: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over all k-byte shingles of a payload (bit-majority of
+    * their FNV-1a hashes) — the perceptual-hash stub for binary columns:
+    * same majority formula as [[simhash64]], byte shingles instead of
+    * tokens. Payloads shorter than k have no shingle → signature 0. */
+  def simhash64ByteGrams(b: Array[Byte], k: Int): Long = {
+    if (b.length < k) return 0L
+    val acc = new Array[Int](64)
+    var p = 0
+    while (p + k <= b.length) {
+      val h = fnv1a64Bytes(b, p, k)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      p += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** SplitMix64 finalizer — turns (baseHash ^ seed) into an independent
     * hash family member; the standard trick for k MinHash "permutations"
     * without modular arithmetic. */

@@ -164,6 +164,81 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "frame_sum")
   }
 
+  // -------------------------------------------------- perceptual-hash dedup
+  /** Byte shingle width for the perceptual-hash signature. */
+  val PhashShingle = 4
+
+  /** Perceptual-hash signatures: 64-bit SimHash over the [[PhashShingle]]-
+    * byte shingles of each RESIZED payload ([[FakeCodec.resize]] to
+    * [[ResizeTarget]] bytes first — pHash operates on a normalized image,
+    * so two byte-identical-after-resize payloads collide and small payload
+    * edits move few bits). With a real codec the resize becomes a DCT
+    * low-band extraction; the signature/banding machinery is unchanged. */
+  def phashSignatures(s: SparkSession, d: String): DataFrame =
+    phashSignaturesOf(binaryTable(s, d))
+
+  /** [[phashSignatures]] over an arbitrary (doc_id, payload) frame. */
+  private[graft] def phashSignaturesOf(bin: DataFrame): DataFrame = {
+    val s = bin.sparkSession
+    import s.implicits._
+    bin
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val rz = FakeCodec.resize(payload, ResizeTarget)
+          (id, graft.functions.Hashing.simhash64ByteGrams(rz, PhashShingle))
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash — the image-dedup
+    * stage of a multimodal pipeline (exact byte dedup misses re-encoded /
+    * slightly-edited copies; pHash banding catches them). Candidate
+    * generation and verification reuse [[graft.operators.Dedup]]'s
+    * simhash machinery wholesale: DISTINCT-signature 4×16-bit band
+    * equi-join with the saturated-bucket cap, Hamming ≤ 6, plus
+    * equal-signature pairs at hamming 0 — so every scale guard measured
+    * for text simhash (identical-cluster boundedness, hot-bucket
+    * exclusion) applies unchanged here. */
+  def phashPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.simhashPairsOf(phashSignatures(s, d))
+
+  /** DuckDB twin of [[phashPairs]]: resized bytes via the hex expansion
+    * ([[resizePayloadsOracle]]'s index arithmetic), FNV-1a 64 per 4-byte
+    * shingle (the HUGEINT mod-2^64 fold verified bit-equal to
+    * [[graft.functions.Hashing.fnv1a64Bytes]]), bit-majority signature,
+    * then [[graft.operators.Dedup.simhashBandTailSql]] verbatim. */
+  val phashPairsOracle: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+       |            octet_length(encode(text)) AS n FROM documents),
+       |rz AS (SELECT doc_id, CASE WHEN n <= $ResizeTarget THEN
+       |    list_transform(range(n), i ->
+       |      CAST((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', h[2*i+2]) - 1) AS HUGEINT))
+       |  ELSE
+       |    list_transform(range($ResizeTarget), i ->
+       |      CAST((strpos('0123456789ABCDEF', h[2*((i*n)//$ResizeTarget)+1]) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', h[2*((i*n)//$ResizeTarget)+2]) - 1) AS HUGEINT))
+       |  END AS bs FROM t),
+       |gh AS (SELECT doc_id, list_transform(range(len(bs) - ${PhashShingle - 1}), p ->
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        [bs[p+1], bs[p+2], bs[p+3], bs[p+4]]),
+       |      (x, c) -> ((x - (x % 256) + xor(CAST(x % 256 AS BIGINT), CAST(c AS BIGINT)))
+       |                 * 1099511628211) % $U)) AS hs
+       |  FROM rz WHERE len(bs) >= $PhashShingle),
+       |sigs AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
+       |    CASE WHEN 2 * len(list_filter(hs,
+       |           x -> (x // (1::HUGEINT << CAST(j AS INT))) % 2 = 1)) > len(hs)
+       |         THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END)) AS HUGEINT) AS sig
+       |  FROM gh),
+       |sh AS (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |       FROM documents d LEFT JOIN sigs s USING (doc_id)),
+       |""".stripMargin + graft.operators.Dedup.simhashBandTailSql
+  }
+
   /** DuckDB twin of [[frameSample]]: the sampled positions are
     * 0, 32, 64, … (each group's head byte), recovered from the hex
     * expansion like [[resizePayloadsOracle]]. */

@@ -953,7 +953,18 @@ object Dedup {
        |  FROM dh),
        |sh AS (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
        |       FROM documents d LEFT JOIN sigs s USING (doc_id)),
-       |vals AS (SELECT DISTINCT sig FROM sh),
+       |""".stripMargin + simhashBandTailSql
+  }
+
+  /** The band/cap/Hamming tail of [[simhashPairsOracle]], reusable by any
+    * oracle that materializes an `sh(doc_id, sig HUGEINT)` CTE (the
+    * multimodal perceptual-hash twin shares it verbatim): DISTINCT-value
+    * 4×16-bit banding, the [[SimhashBucketCap]] exclusion, Hamming ≤ 6 on
+    * the signed forms, and the equal-signature doc pairs at hamming 0. */
+  // lazy: referenced by simhashPairsOracle above during object init
+  private[graft] lazy val simhashBandTailSql: String = {
+    val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""vals AS (SELECT DISTINCT sig FROM sh),
        |bands AS (SELECT sig, b, (sig // (1::HUGEINT << (16 * b))) % 65536 AS chunk
        |          FROM vals, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |cold AS (SELECT b, chunk FROM bands GROUP BY b, chunk

@@ -238,6 +238,37 @@ class TextSpec extends SparkTestBase {
     assert(frames.length === (row._2.length + 9) / 10)
   }
 
+  test("multimodal phash: signatures match in-JVM recomputation; edits pair, duplicates at 0") {
+    import graft.functions.Hashing
+    // distributed signatures == driver-side recomputation, every doc
+    val sigs = Multimodal.phashSignatures(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val payloads = Multimodal.binaryTable(spark, sf)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    payloads.foreach { case (id, p) =>
+      val expect = Hashing.simhash64ByteGrams(
+        Multimodal.FakeCodec.resize(p, Multimodal.ResizeTarget), Multimodal.PhashShingle)
+      assert(sigs(id) === expect, s"doc $id")
+    }
+    // planted corpus: base image, byte-identical copy, light edit, unrelated
+    val base = ("x" * 100) + ("the quick brown fox jumps over the lazy dog " * 8)
+    val edited = base.updated(10, 'Q').updated(200, 'Z')
+    val other = ("0123456789abcdef" * 30).take(base.length)
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.encode($"text", "UTF-8").as("payload"))
+    val pairs = graft.operators.Dedup.simhashPairsOf(
+        Multimodal.phashSignaturesOf(docs))
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.contains((1L, 2L, 0)), s"identical copy must pair at 0: ${pairs.toSeq}")
+    val edit = pairs.filter(p => p._1 == 1L && p._2 == 3L)
+    assert(edit.nonEmpty && edit.head._3 <= 6,
+      s"light edit must pair within hamming 6: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      s"unrelated payload must not pair: ${pairs.toSeq}")
+  }
+
   test("multimodal feature extraction matches in-JVM recomputation") {
     val feats = Multimodal.extractFeatures(spark, sf)
       .as[(Long, Double, Int)].collect().toMap2
