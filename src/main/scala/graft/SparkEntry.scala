@@ -80,6 +80,7 @@ object SparkEntry {
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
       "dedup_semantic" -> (Similarity.semanticDedup _),
       "embed_quantize_int8" -> (Similarity.quantizeStats _),
+      "embed_reduce_rp"     -> (Similarity.reduceEmbeddings _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
       "profile_lineitem_approx" -> (Profiling.profileLineitemApprox _),
@@ -166,6 +167,7 @@ object SparkEntry {
       "ann_ivf_topk"   -> Similarity.annIvfTopKOracle,
       "dedup_semantic" -> Similarity.semanticDedupOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
+      "embed_reduce_rp"     -> Similarity.reduceEmbeddingsOracle,
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,
       "merge_upsert"     -> Profiling.mergeUpsertOracle,

@@ -642,4 +642,68 @@ object Similarity {
        |  FROM prs)
        |SELECT vec_id, a_id AS kept_id, cell, round(sim, 4) AS cos_sim
        |FROM best WHERE rk = 1""".stripMargin
+
+  // --------------------------------------- random-projection dim reduction
+  /** Output dimensionality of the random-projection reduction. */
+  val RpDims = 16
+
+  /** Seed for the reduction plane family — independent of the sign-LSH
+    * signature planes (default seed), the multi-hash hygiene rule. */
+  val RpSeed = 0x5eedface1L
+
+  /** Johnson–Lindenstrauss random-projection reduction 64 → [[RpDims]]:
+    * every embedding dotted onto [[RpDims]] fixed pseudo-random
+    * hyperplanes ([[Hashing.hyperplanes]], seeded — the projection is a
+    * pure function of the data, reproducible on any cluster). The cheap
+    * first stage before clustering / coarse ANN when the full dimension
+    * is too expensive: inner products are preserved in expectation
+    * (E[p_j²] = 1/3 for uniform [-1,1) components, so
+    * 3/[[RpDims]] · ⟨Rx, Ry⟩ estimates ⟨x, y⟩ — SimilaritySpec measures
+    * the realized distortion).
+    *
+    * Output is (vec_id, comp, value_micros): the projected component in
+    * INTEGER micros — `floor(dot·10⁶ + 0.5)` of a dot accumulated in
+    * ascending index order is bit-reproducible in any engine with IEEE
+    * doubles (floor never consults a decimal rendering, so the
+    * round-half knife edge class cannot occur; the DuckDB twin folds the
+    * identical sequence).
+    *
+    * Scale shape: map-only — the plane matrix is a [[RpDims]]×64
+    * compile-time-ish constant in the task closure; no shuffle, no
+    * state, ×[[RpDims]] rows out. */
+  def reduceEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = Hashing.hyperplanes(RpDims, 64, RpSeed)
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        Iterator.tabulate(planes.length) { p =>
+          val pv = planes(p)
+          val n = math.min(pv.length, v.length)
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += v(j) * pv(j); j += 1 }
+          (id, p, math.floor(dot * 1e6 + 0.5).toLong)
+        }
+      }
+      .toDF("vec_id", "comp", "value_micros")
+  }
+
+  /** DuckDB twin of [[reduceEmbeddings]]: the plane family inlined as
+    * literal VALUES rows (the [[annLshTopKOracle]] technique), the dot
+    * folded in the same ascending order, the same floor-to-micros. */
+  val reduceEmbeddingsOracle: String = {
+    val planeRows = Hashing.hyperplanes(RpDims, 64, RpSeed).zipWithIndex.map {
+      case (row, p) =>
+        row.map(_.toString).mkString(s"($p, [", ", ", "]::DOUBLE[])")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(p, pv) AS (VALUES $planeRows)
+       |SELECT vec_id, p AS comp,
+       |  CAST(floor(list_reduce(list_prepend(0.0,
+       |    list_transform(range(64), j -> v[j+1] * pv[j+1])), (a, x) -> a + x)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS value_micros
+       |FROM e CROSS JOIN planes""".stripMargin
+  }
 }

@@ -113,4 +113,69 @@ class SimilaritySpec extends SparkTestBase {
     val b = Similarity.signatures(spark, sf).as[(Long, Int)].collect().toMap
     assert(a === b)
   }
+
+  test("random-projection reduction: exact recompute, JL inner-product estimate useful") {
+    import graft.functions.Hashing
+    val out = Similarity.reduceEmbeddings(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(out.length === vecs.size * Similarity.RpDims)
+    // distributed micros == driver-side recomputation (bit-exact)
+    val planes = Hashing.hyperplanes(Similarity.RpDims, 64, Similarity.RpSeed)
+    val reduced = out.groupBy(_._1).view.mapValues { rs =>
+      val arr = new Array[Long](Similarity.RpDims)
+      rs.foreach { case (_, c, m) => arr(c) = m }
+      arr
+    }.toMap
+    vecs.take(50).foreach { case (id, v) =>
+      planes.indices.foreach { p =>
+        var dot = 0.0; var j = 0
+        while (j < 64) { dot += v(j) * planes(p)(j); j += 1 }
+        assert(reduced(id)(p) === math.floor(dot * 1e6 + 0.5).toLong, s"vec $id comp $p")
+      }
+    }
+    // the family must be independent of the LSH signature planes
+    assert(Hashing.hyperplanes(1, 64, Similarity.RpSeed).head.toSeq !==
+      Hashing.hyperplanes(1, 64).head.toSeq)
+    // JL estimator quality: 3/RpDims * <Rx, Ry> tracks <x, y> — Pearson
+    // correlation over sampled pairs (deterministic planes, fixed corpus)
+    val ids = vecs.keys.toArray.sorted.take(60)
+    val (est, exact) = (for {
+      i <- ids.indices; k <- (i + 1) until ids.length
+    } yield {
+      val (a, b) = (ids(i), ids(k))
+      val rd = reduced(a).zip(reduced(b)).map { case (x, y) => x / 1e6 * (y / 1e6) }.sum
+      var dot = 0.0; var j = 0
+      while (j < 64) { dot += vecs(a)(j) * vecs(b)(j); j += 1 }
+      (3.0 / Similarity.RpDims * rd, dot)
+    }).unzip
+    def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.length
+      val (mx, my) = (x.sum / n, y.sum / n)
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val (sx, sy) = (math.sqrt(x.map(a => (a - mx) * (a - mx)).sum),
+        math.sqrt(y.map(b => (b - my) * (b - my)).sum))
+      cov / (sx * sy)
+    }
+    val r = pearson(est, exact)
+    info(f"JL inner-product Pearson r = $r%.3f over ${est.length} pairs")
+    // the synthetic corpus is near-orthogonal (pairwise dots ~ 0), so the
+    // cross-dot estimate sits in JL's noise-dominated regime — require it
+    // to TRACK (r > 0.3), and pin the strong JL guarantee on norms below
+    assert(r > 0.3, f"JL estimate too distorted: r = $r%.3f")
+    // norm preservation: 3/RpDims * ||Rx||^2 estimates ||x||^2 with
+    // relative error ~ sqrt(2/RpDims) ≈ 0.35 per vector; the median over
+    // vectors must be comfortably inside that
+    val normErrs = ids.map { id =>
+      val rn = reduced(id).map(m => m / 1e6 * (m / 1e6)).sum * 3.0 / Similarity.RpDims
+      var nn = 0.0; var j = 0
+      while (j < 64) { nn += vecs(id)(j) * vecs(id)(j); j += 1 }
+      math.abs(rn - nn) / nn
+    }.sorted
+    val med = normErrs(normErrs.length / 2)
+    info(f"JL norm-estimate median relative error = $med%.3f")
+    assert(med < 0.4, f"JL norm estimate too distorted: median $med%.3f")
+  }
 }
