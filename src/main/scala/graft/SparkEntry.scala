@@ -108,6 +108,7 @@ object SparkEntry {
       "stream_sessionize_skewres" -> (EventStream.sessionizeSkewResistant _),
       "stream_dedup"            -> (EventStream.streamingDedupBatch _),
       "stream_decontaminate"    -> (EventStream.streamingDecontaminateBatch _),
+      "stream_topk_types"       -> (EventStream.runTopKTypesBatch _),
       // skew mitigation
       "skew_salted_agg"      -> (graft.core.Skew.saltedAggQuery _),
       "skew_replicated_join" -> (graft.core.Skew.replicatedJoinQuery _),
@@ -188,6 +189,7 @@ object SparkEntry {
       "stream_sessionize_batch" -> Relational.oracle("q21_sessionize"),
       "stream_sessionize_skewres" -> Relational.oracle("q21_sessionize"),
       "stream_dedup"            -> EventStream.streamingDedupOracle,
+      "stream_topk_types"       -> EventStream.topKTypesOracle,
       "stream_decontaminate"    -> Dedup.bloomContaminationOracle,
       "skew_salted_agg"         -> graft.core.Skew.saltedAggOracle,
       "skew_replicated_join"    -> graft.core.Skew.replicatedJoinOracle,

@@ -101,7 +101,16 @@ object EventStream {
     * sink shape production uses — executors write partitioned files,
     * nothing is collected to the driver, and no `format("memory")` exists
     * anywhere in the gate path. */
-  def runWindowedCountsBatch(s: SparkSession, d: String): DataFrame = {
+  def runWindowedCountsBatch(s: SparkSession, d: String): DataFrame =
+    runAppendToFileSink(s, windowedCounts(stagedSentinelStream(s, d)))
+      .filter(col("event_type") =!= SentinelType)
+
+  /** The staged sentinel-augmented event stream behind
+    * [[runWindowedCountsBatch]] and [[runTopKTypesBatch]]: the corpus
+    * events plus two trailing watermark-advancing sentinels, mtime-ordered
+    * with `maxFilesPerTrigger=1` so each sentinel arrives in its own
+    * micro-batch (see [[runWindowedCountsBatch]]'s contract above). */
+  private[graft] def stagedSentinelStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.max
     val base = java.nio.file.Paths.get("target", "stream_wc_src",
       java.lang.Long.toHexString(System.nanoTime()))
@@ -151,18 +160,106 @@ object EventStream {
       java.nio.file.Files.move(sPart.toPath, dst)
       dst.toFile.setLastModified(2000000000L + i * 1000L)
     }
-    val stream = readEventStream(s, s"$base/*.parquet", nsFamily,
-      maxFilesPerTrigger = Some(1))
     // sentinel windows never flush (their ends outrun the final watermark),
-    // so the filter below is defensive — but it MUST sit on the batch
-    // read-back, not the streaming plan: Catalyst pushes an event_type
-    // predicate below the aggregation AND the watermark operator, so the
-    // sentinel rows would be dropped at the scan and the watermark never
-    // advances (measured: rowsIn=0 on both sentinel batches, final three
-    // windows withheld)
-    runAppendToFileSink(s, windowedCounts(stream))
-      .filter(col("event_type") =!= SentinelType)
+    // so the SentinelType filter at each call site is defensive — but it
+    // MUST sit on the batch read-back, not the streaming plan: Catalyst
+    // pushes an event_type predicate below the aggregation AND the
+    // watermark operator, so the sentinel rows would be dropped at the
+    // scan and the watermark never advances (measured: rowsIn=0 on both
+    // sentinel batches, final three windows withheld)
+    readEventStream(s, s"$base/*.parquet", nsFamily,
+      maxFilesPerTrigger = Some(1))
   }
+
+  // --------------------------------------------- streaming windowed top-k
+  /** Trending types emitted per window. */
+  val TopKTypesK = 3
+
+  case class TsType(ts: Timestamp, event_type: String)
+  case class TopKRow(window_start: Long, event_type: String,
+                     n_events: Long, rank: Int)
+  // entries, not Map, and NOT private: the Map-typed state encoder fails
+  // janino codegen outright, and a private nested class's accessors janino
+  // refuses to invoke from generated code (task-fatal, no fallback)
+  case class TopKState(entries: Seq[(String, Long)])
+
+  /** CONTINUOUS TRENDING: top-[[TopKTypesK]] event types per 1-hour
+    * tumbling window, emitted as each window seals — the streaming
+    * operator behind "what's trending right now" dashboards and drift
+    * alarms on an ingestion feed.
+    *
+    * A per-window rank is not expressible as an incremental streaming
+    * aggregate (a late row can reorder the whole window), so this is the
+    * canonical `flatMapGroupsWithState` + EVENT-TIME TIMEOUT shape:
+    * state per open window = its per-type counts (bounded by
+    * |event types|, NOT by window row count); each window registers a
+    * timeout at its end, and when the WATERMARK passes it the state times
+    * out, emits the final ranked top-k exactly once, and is removed —
+    * state lifetime is watermark-bounded like every streaming op here.
+    *
+    * Late-data policy (flatMapGroupsWithState drops nothing on its own —
+    * unlike built-in windowed aggregation): rows whose window end is
+    * already behind the watermark arrive AFTER their window's top-k was
+    * sealed and emitted; re-opening state would both break
+    * emit-exactly-once and crash the next setTimeoutTimestamp (it must
+    * exceed the watermark). They are dropped explicitly — the SAME
+    * semantics the built-in watermark gives [[windowedCounts]]. */
+  def windowTopKTypes(events: DataFrame): Dataset[TopKRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("event_type")).as[TsType]
+      .groupByKey(e => e.ts.getTime / 1000 / 3600 * 3600)
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[TsType], state: GroupState[TopKState]) =>
+          val windowEndMs = (winStart + 3600) * 1000L
+          if (state.hasTimedOut) {
+            val counts = state.get.entries
+            state.remove()
+            counts.sortBy { case (t, n) => (-n, t) }
+              .take(TopKTypesK).zipWithIndex
+              .map { case ((t, n), i) => TopKRow(winStart, t, n, i + 1) }
+              .iterator
+          } else if (windowEndMs <= state.getCurrentWatermarkMs()) {
+            Iterator.empty // late rows for a sealed window: dropped
+          } else {
+            val cur = state.getOption
+              .map(_.entries.toMap).getOrElse(Map.empty[String, Long])
+            val upd = rows.foldLeft(cur) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TopKState(upd.toSeq))
+            state.setTimeoutTimestamp(windowEndMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Gate form of [[windowTopKTypes]]: the real stream through the
+    * sentinel-flushed Append file sink ([[stagedSentinelStream]] +
+    * [[runAppendToFileSink]]), exactly like [[runWindowedCountsBatch]] —
+    * every sealed window's top-k rows land in the distributed sink with
+    * nothing collected; the finite stream's last windows seal via the
+    * watermark sentinels. */
+  def runTopKTypesBatch(s: SparkSession, d: String): DataFrame =
+    runAppendToFileSink(s, windowTopKTypes(stagedSentinelStream(s, d)).toDF())
+      .filter(col("event_type") =!= SentinelType)
+
+  /** DuckDB twin: hour-floored windowed counts + rank ≤ K with the same
+    * (n DESC, type ASC) total-order tie-break. */
+  val topKTypesOracle: String =
+    s"""WITH wc AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       |    event_type, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT window_start, event_type, n_events,
+       |    row_number() OVER (PARTITION BY window_start
+       |      ORDER BY n_events DESC, event_type ASC) AS rank
+       |  FROM wc)
+       |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+       |  CAST(n_events AS BIGINT) AS n_events, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $TopKTypesK""".stripMargin
 
   /** Run an Append-mode streaming frame to a PARQUET FILE SINK and read
     * the result back — the scale-path sink shape (executors write

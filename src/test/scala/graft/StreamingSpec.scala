@@ -61,6 +61,32 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.nonEmpty && emitted.size < all.size)
   }
 
+  test("streaming windowed top-k types: equals batch rank, exactly one top-k per sealed window") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.runTopKTypesBatch(spark, sf)
+      .as[(Long, String, Long, Int)].collect()
+    // batch twin: counts per (hour window, type), rank by (n desc, type)
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy((unix_timestamp(date_trunc("hour", $"ts"))).as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"window_start")
+          .orderBy($"n".desc, $"event_type".asc)))
+      .filter($"rank" <= EventStream.TopKTypesK)
+      .select($"window_start", $"event_type", $"n", $"rank")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(out.toSet === batch)
+    // exactly-once per window: no (window, rank) appears twice (a window
+    // re-opened after sealing would duplicate its emission)
+    val dup = out.groupBy(r => (r._1, r._4)).filter(_._2.length > 1)
+    assert(dup.isEmpty, s"duplicated window emissions: ${dup.keys}")
+    // every sealed window emitted a full ranked prefix 1..k
+    out.groupBy(_._1).foreach { case (w, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length), s"window $w")
+    }
+  }
+
   test("skew-resistant sessionize equals the hash-partitioned batch sessionizer on the gate corpus") {
     val a = EventStream.sessionizeSkewResistant(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
