@@ -86,6 +86,7 @@ object SparkEntry {
       "profile_lineitem_approx" -> (Profiling.profileLineitemApprox _),
       "merge_upsert"     -> (Profiling.mergeUpsert _),
       "audit_integrity"  -> (Profiling.auditIntegrity _),
+      "corpus_snapshot_diff" -> (Profiling.snapshotDiff _),
       // dataset curation
       "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
       "train_shards"      -> ((s, d) => Sampling.trainShards(s, d)),
@@ -173,6 +174,7 @@ object SparkEntry {
       "profile_lineitem" -> Profiling.profileLineitemOracle,
       "merge_upsert"     -> Profiling.mergeUpsertOracle,
       "audit_integrity"  -> Profiling.auditIntegrityOracle,
+      "corpus_snapshot_diff" -> Profiling.snapshotDiffOracle,
       "sample_stratified" -> Sampling.stratifiedSampleOracle,
       "train_shards"      -> Sampling.trainShardsOracle,
       "train_test_split"  -> Sampling.trainTestSplitOracle,

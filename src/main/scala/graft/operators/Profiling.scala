@@ -126,6 +126,61 @@ object Profiling {
       |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
       |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
 
+  // -------------------------------------------------------- snapshot diff
+  /** Diff two corpus snapshots by content digest — the "what changed in
+    * this drop" report run before re-training on a refreshed corpus:
+    * (doc_id, status ∈ added|removed|changed) for every doc that differs;
+    * unchanged docs (the overwhelming bulk at 100 TB) are filtered OUT
+    * before the result materializes, so output is proportional to the
+    * churn, not the corpus.
+    *
+    * Snapshots are synthesized deterministically from the one documents
+    * table (the [[mergeUpsert]] convention): OLD = ids with id%10 < 9;
+    * NEW = OLD minus ids ≡ 3 (mod 41) [removed], plus ids with
+    * id%10 = 9 [added], with text of ids ≡ 0 (mod 7) suffixed [changed].
+    *
+    * Scale shape: one full-outer join on doc_id comparing md5(text) —
+    * co-partitioned on the id, AQE-splittable; digests are computed in
+    * the scan projection so the join carries (id, 32-byte digest), never
+    * text. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val old = docs.filter($"doc_id" % 10 < 9)
+    val neu = old.filter($"doc_id" % 41 =!= 3)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" [rev2]")))
+          .otherwise($"text").as("text"))
+      .unionAll(docs.filter($"doc_id" % 10 === 9))
+    old.select($"doc_id", md5($"text").as("h_old"))
+      .join(neu.select($"doc_id", md5($"text").as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h_old".isNull, "added")
+          .when($"h_new".isNull, "removed")
+          .when($"h_old" =!= $"h_new", "changed").as("status"))
+      .filter($"status".isNotNull)
+  }
+
+  /** DuckDB twin: same synthesized snapshots, same digest compare. */
+  val snapshotDiffOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |old AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 < 9),
+      |neu AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+      |                 ELSE text END AS text
+      |  FROM old WHERE doc_id % 41 <> 3
+      |  UNION ALL SELECT doc_id, text FROM docs WHERE doc_id % 10 = 9),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |        md5(o.text) AS h_old, md5(n.text) AS h_new
+      |      FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN h_old IS NULL THEN 'added'
+      |       WHEN h_new IS NULL THEN 'removed'
+      |       WHEN h_old <> h_new THEN 'changed' END AS status
+      |FROM j
+      |WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new""".stripMargin
+
   // ------------------------------------------------------- integrity audit
   /** Referential/shape integrity audit — the pre-flight a pipeline runs
     * before training consumes a corpus drop: one (check_name, n) row per

@@ -62,4 +62,20 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("embeddings_null_vec") === 1)
     assert(out("embeddings_ragged_dim") === 1)
   }
+
+  test("snapshot diff: statuses exactly match the synthesis rules, unchanged filtered out") {
+    import spark.implicits._
+    val out = Profiling.snapshotDiff(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val ids = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val expected = ids.flatMap { id =>
+      if (id % 10 == 9) Some(id -> "added")
+      else if (id % 41 == 3) Some(id -> "removed")
+      else if (id % 7 == 0) Some(id -> "changed")
+      else None // unchanged: must be absent
+    }.toMap
+    assert(out === expected)
+    assert(out.values.toSet === Set("added", "removed", "changed"))
+  }
 }
