@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Corpus, Dedup, Graph, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOf, Corpus, Dedup, Events, Graph, Profiling, RangeJoin, Relational, Sampling, Similarity, TextOps}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 
@@ -49,6 +49,7 @@ object SparkEntry {
       "text_tfidf_top_terms" -> (Corpus.tfidfTopTerms _),
       "text_lm_bits"         -> (Corpus.lmBits _),
       "train_dsir_weights"   -> (Corpus.dsirWeights _),
+      "text_nb_quality"      -> (Corpus.nbQuality _),
       "dedup_cross_source"   -> (Corpus.crossSourceOverlap _),
       "text_ccnet_buckets"   -> (Corpus.ccnetBuckets _),
       "text_bm25_topk"       -> (Corpus.bm25TopK _),
@@ -56,6 +57,10 @@ object SparkEntry {
       "train_sampling_temperature" -> (Corpus.samplingTemperature _),
       // link-graph analytics
       "graph_pagerank"       -> (Graph.pageRank _),
+      "graph_triangles"      -> (Graph.triangleCounts _),
+      // batch event analytics
+      "events_funnel"        -> (Events.eventFunnel _),
+      "events_retention"     -> (Events.retentionCohorts _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -152,6 +157,10 @@ object SparkEntry {
       "train_token_budget"   -> Corpus.tokenBudgetOracle,
       "train_sampling_temperature" -> Corpus.samplingTemperatureOracle,
       "graph_pagerank"       -> Graph.pageRankOracle,
+      "graph_triangles"      -> Graph.triangleCountsOracle,
+      "events_funnel"        -> Events.eventFunnelOracle,
+      "events_retention"     -> Events.retentionCohortsOracle,
+      "text_nb_quality"      -> Corpus.nbQualityOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
       "dedup_contamination_bloom" -> Dedup.bloomContaminationOracle,

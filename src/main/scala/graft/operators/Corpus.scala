@@ -517,6 +517,122 @@ object Corpus {
        |FROM db JOIN r USING (bucket)
        |GROUP BY db.doc_id""".stripMargin
 
+  // ------------------------------------------------ NB quality classifier
+  /** Hashed-feature Naive Bayes quality classifier — the "distill the
+    * rules into a model" stage of the GPT-3/LLaMA curation recipe
+    * (Brown et al. 2020 Appendix A; Touvron et al. 2023 §2): train a
+    * cheap linear classifier on a labeled quality signal, then score the
+    * whole corpus with it so the filter generalizes past the hand rules
+    * that seeded it. Labels here are the [[TextOps.gopherRules]] verdict
+    * (computed INLINE per row — no label join); features are unigrams
+    * hashed into the same fixed [[DsirBuckets]]-bucket table as
+    * [[dsirWeights]], so the model is a 1024-row frame whatever the
+    * corpus size.
+    *
+    * Score = ln(d_pos/d_neg) + Σ_buckets c · ln(((c_pos+1)/(n_pos+B)) /
+    * ((c_neg+1)/(n_neg+B))) — the multinomial-NB log-odds with add-one
+    * smoothing. Zero-token docs are omitted (the [[dsirWeights]] policy).
+    *
+    * Scale shape: identical to DSIR — one token scan feeds both the
+    * bucket×label count table (1024 rows, map-side combined) and the
+    * per-doc bucket counts; the model and the doc-count priors ride
+    * broadcasts into the scoring join. The verdict itself is NOT emitted
+    * as a boolean: near-zero log-odds differ across engines in the last
+    * float bits, so the gate compares the 4dp-rounded score and leaves
+    * thresholding to the caller. */
+  def nbQuality(s: SparkSession, d: String): DataFrame =
+    nbQualityOf(Tables.documents(s, d))
+
+  private[graft] def nbQualityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val B = DsirBuckets
+    val labeled = docs
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"))
+      .withColumn("n_sym", expr(
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
+          "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(array_intersect(toks, array('the','a','of','and','to','in','is','it')))")
+        .cast("long"))
+      .withColumn("pos",
+        $"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
+          $"n_sym" * 10 <= $"n_words" &&
+          $"n_alpha" * 5 >= $"n_words" * 4 &&
+          $"n_stop" >= 2L)
+      .select($"doc_id", $"pos", $"toks")
+    val toks = labeled.select($"doc_id", $"pos", explode($"toks").as("word"))
+      .withColumn("bucket",
+        conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % B)
+    val perBucket = toks.groupBy($"bucket").agg(
+      sum(when($"pos", 1L).otherwise(0L)).as("c_pos"),
+      sum(when($"pos", 0L).otherwise(1L)).as("c_neg"))
+    val totals = perBucket.agg(
+      sum($"c_pos").cast("double").as("n_pos"),
+      sum($"c_neg").cast("double").as("n_neg"))
+    val priors = labeled.agg(
+      sum(when($"pos", 1L).otherwise(0L)).cast("double").as("d_pos"),
+      sum(when($"pos", 0L).otherwise(1L)).cast("double").as("d_neg"))
+    val model = perBucket.crossJoin(broadcast(totals))
+      .withColumn("lw",
+        log((($"c_pos" + 1) / ($"n_pos" + B)) / (($"c_neg" + 1) / ($"n_neg" + B))))
+      .select($"bucket", $"lw")
+    val docBuckets = toks.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    docBuckets.join(broadcast(model), "bucket")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), sum($"c" * $"lw").as("evid"))
+      .crossJoin(broadcast(priors))
+      .select($"doc_id", $"n_tokens",
+        (round(log($"d_pos" / $"d_neg") + $"evid", 4) + lit(0.0)).as("nb_logodds"))
+  }
+
+  /** DuckDB twin of [[nbQuality]] — the [[dsirWeightsOracle]] float
+    * discipline: per-bucket log-weights are bit-equal (same smoothing
+    * algebra, same evaluation order), only the per-doc sum crosses the
+    * 4dp rounding; the gopher label predicate is the integer-space form
+    * whose parity [[TextOps.gopherRulesOracle]] already pins. */
+  val nbQualityOracle: String =
+    s"""WITH lab AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+       |    (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) >= 50
+       |     AND CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) <= 100000
+       |     AND CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> length(x))) AS BIGINT)
+       |         BETWEEN 3 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |             AND 10 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |     AND (CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |          + (length(text) - length(replace(text, '...', ''))) // 3) * 10
+       |         <= len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |     AND CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 5
+       |         >= CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) * 4
+       |     AND len(list_intersect(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ['the','a','of','and','to','in','is','it'])) >= 2
+       |    ) AS pos
+       |  FROM documents),
+       |tb AS (SELECT doc_id, pos,
+       |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, pos, unnest(toks) AS word FROM lab)),
+       |pb AS (SELECT bucket,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+       |  FROM tb GROUP BY bucket),
+       |t AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos,
+       |             CAST(sum(c_neg) AS DOUBLE) AS n_neg FROM pb),
+       |pr AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS d_pos,
+       |              CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE) AS d_neg FROM lab),
+       |m AS (SELECT bucket,
+       |    ln(((c_pos + 1) / (n_pos + $DsirBuckets)) /
+       |       ((c_neg + 1) / (n_neg + $DsirBuckets))) AS lw
+       |  FROM pb CROSS JOIN t),
+       |db AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2)
+       |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+       |  round(ln(pr.d_pos / pr.d_neg) + sum(db.c * m.lw), 4) + 0.0 AS nb_logodds
+       |FROM db JOIN m USING (bucket) CROSS JOIN pr
+       |GROUP BY db.doc_id, pr.d_pos, pr.d_neg""".stripMargin
+
   /** Cross-source duplication-leakage matrix: for every pair of sources,
     * how many winnowing fingerprints (MOSS scheme, [[TextOps.winnowFingerprints]])
     * they share, plus a containment ratio normalized by the smaller side's

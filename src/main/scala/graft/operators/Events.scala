@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch event analytics over the `events` table: the ordered conversion
+  * funnel and the cohort-retention matrix — the two classic product
+  * queries a clickstream corpus answers before any of it becomes
+  * training data, and (for the pipeline itself) the shapes that audit a
+  * stream of ingest events.
+  *
+  * Both operators are keyed per-user aggregation chains: every shuffle in
+  * the funnel and the cohort build is on `user_id`, so at cluster scale
+  * the chained aggregates and joins are co-partitioned (Exchange reuse
+  * across steps, no re-shuffle between the step-1 aggregate and the
+  * step-2 join that consumes it) and a celebrity user's event list is
+  * reduced map-side — the state per user is O(1) (a handful of
+  * timestamps), never the raw event list.
+  */
+object Events {
+
+  /** Funnel step names in order. The funnel is STRICTLY sequential: step
+    * k's timestamp is the user's earliest step-k event at-or-after their
+    * step-(k−1) conversion instant (the "first touch after previous
+    * conversion" discipline — re-views after the click don't reset it). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered conversion funnel view → click → purchase.
+    *
+    * Output: one row per step — `step` (1-based), `step_name`,
+    * `n_users` reaching it, and `avg_lag_micros` = integer-mean
+    * microseconds from the previous step's conversion instant (NULL for
+    * step 1). All arithmetic is integer (epoch micros, `div`), so the
+    * DuckDB twin is bit-exact with no float or round-half edge.
+    *
+    * Scale shape: three groupBy-user aggregates chained by two
+    * user-keyed joins — each step's frame is one row per converted user
+    * (timestamps only). The per-step summary rows are single-row
+    * aggregates unioned at the end; nothing about the plan widens with
+    * event volume beyond the initial scans, and the filter on
+    * `event_type` is pushed to each scan so step k reads only its own
+    * event class. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame =
+    eventFunnelOf(Tables.events(s, d))
+
+  private[graft] def eventFunnelOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val ev = ev0.select($"user_id", $"event_type", $"ts")
+    // step 1: first view per user
+    val t1 = ev.filter($"event_type" === FunnelSteps(0))
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    // step 2: first click at-or-after the first view (t1 is constant per
+    // user, so min() just carries it through the aggregate)
+    val t2 = ev.filter($"event_type" === FunnelSteps(1))
+      .join(t1, "user_id").filter($"ts" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+    // step 3: first purchase at-or-after the click conversion
+    val t3 = ev.filter($"event_type" === FunnelSteps(2))
+      .join(t2.select($"user_id", $"t2"), "user_id").filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"), min($"t2").as("t2"))
+    def lagMicros(hi: String, lo: String) =
+      unix_micros(col(hi)) - unix_micros(col(lo))
+    val s1 = t1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(FunnelSteps(0)).as("step_name"),
+        $"n_users", lit(null).cast("long").as("avg_lag_micros"))
+    val s2 = t2.agg(count(lit(1)).as("n_users"),
+        sum(lagMicros("t2", "t1")).as("lag_sum"))
+      .select(lit(2).as("step"), lit(FunnelSteps(1)).as("step_name"),
+        $"n_users", expr("lag_sum div nullif(n_users, 0)").as("avg_lag_micros"))
+    val s3 = t3.agg(count(lit(1)).as("n_users"),
+        sum(lagMicros("t3", "t2")).as("lag_sum"))
+      .select(lit(3).as("step"), lit(FunnelSteps(2)).as("step_name"),
+        $"n_users", expr("lag_sum div nullif(n_users, 0)").as("avg_lag_micros"))
+    s1.unionAll(s2).unionAll(s3)
+  }
+
+  /** DuckDB twin of [[eventFunnel]] — the same chained conditional-min
+    * CTEs; epoch_us and `//` mirror unix_micros and `div` exactly on the
+    * all-positive lag domain. */
+  val eventFunnelOracle: String =
+    s"""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |    WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+       |t2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+       |    FROM events e JOIN t1 ON e.user_id = t1.user_id
+       |    WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts >= t1.t1
+       |    GROUP BY e.user_id),
+       |t3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2.t2) AS t2
+       |    FROM events e JOIN t2 ON e.user_id = t2.user_id
+       |    WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts >= t2.t2
+       |    GROUP BY e.user_id)
+       |SELECT 1 AS step, '${FunnelSteps(0)}' AS step_name,
+       |  count(*) AS n_users, CAST(NULL AS BIGINT) AS avg_lag_micros FROM t1
+       |UNION ALL
+       |SELECT 2, '${FunnelSteps(1)}', count(*),
+       |  CAST(sum(epoch_us(t2) - epoch_us(t1)) // nullif(count(*), 0) AS BIGINT) FROM t2
+       |UNION ALL
+       |SELECT 3, '${FunnelSteps(2)}', count(*),
+       |  CAST(sum(epoch_us(t3) - epoch_us(t2)) // nullif(count(*), 0) AS BIGINT) FROM t3""".stripMargin
+
+  /** Cohort-retention matrix: users cohorted by their FIRST event date;
+    * for each (cohort_date, day_offset) cell, how many of that cohort's
+    * users were active offset days later. The output is bounded by
+    * |days|² whatever the event volume.
+    *
+    * Scale shape: one groupBy-user aggregate for the cohort date, one
+    * user-keyed join back onto the (user, active-date) distinct frame
+    * (co-partitioned with the aggregate that feeds it), then a count
+    * aggregate on the bounded (cohort, offset) key. The per-user
+    * active-date set is deduplicated BEFORE the cell count, so a user
+    * firing a million events in one day contributes one row past the
+    * first aggregate. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionCohortsOf(Tables.events(s, d))
+
+  private[graft] def retentionCohortsOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val userDays = ev0.select($"user_id", to_date($"ts").as("day")).distinct()
+    val cohorts = userDays.groupBy($"user_id").agg(min($"day").as("cohort_date"))
+    userDays.join(cohorts, "user_id")
+      .select($"cohort_date", datediff($"day", $"cohort_date").as("day_offset"))
+      .groupBy($"cohort_date", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DuckDB twin of [[retentionCohorts]]. */
+  val retentionCohortsOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_date FROM ud GROUP BY user_id)
+      |SELECT c.cohort_date,
+      |  CAST(date_diff('day', c.cohort_date, ud.day) AS INTEGER) AS day_offset,
+      |  count(*) AS n_users
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+}

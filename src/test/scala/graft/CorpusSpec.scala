@@ -343,4 +343,66 @@ class CorpusSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("NB quality classifier equals the in-JVM multinomial-NB reference") {
+    // labels are the gopher rules: docs 1-2 pass (50 words, stopwords,
+    // sane lengths), doc 3 is too short, doc 4 has no stopwords, doc 5
+    // is empty (zero tokens → omitted from the output entirely)
+    val doc1 = (Seq("the", "a", "of", "and") ++ (1 to 46).map(i => s"word$i")).mkString(" ")
+    val doc2 = (Seq("the", "is", "it", "to") ++ (1 to 46).map(i => s"term$i")).mkString(" ")
+    val doc3 = "junk doc"
+    val doc4 = (1 to 50).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, ""))
+    val df = docs.toDF("doc_id", "text")
+
+    // in-JVM replica of the exact formula (same hash, same smoothing,
+    // same rounding)
+    val B = Corpus.DsirBuckets
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % B
+    }
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    def label(text: String): Boolean = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nSym = text.count(_ == '#').toLong +
+        (text.length - text.replace("...", "").length) / 3
+      val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = stop.count(toks.contains).toLong
+      n >= 50 && n <= 100000 && sumLen >= n * 3 && sumLen <= n * 10 &&
+        nSym * 10 <= n && nAlpha * 5 >= n * 4 && nStop >= 2
+    }
+    val toks = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (id, label(t), bucket(w)))
+    }
+    val cPos = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cNeg = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nPos, nNeg) = (cPos.values.sum.toDouble, cNeg.values.sum.toDouble)
+    val dPos = docs.count(d => label(d._2)).toDouble
+    val dNeg = docs.size - dPos
+    def lw(b: Long): Double =
+      math.log(((cPos.getOrElse(b, 0L) + 1) / (nPos + B)) /
+        ((cNeg.getOrElse(b, 0L) + 1) / (nNeg + B)))
+    val want = toks.groupBy(_._1).map { case (id, ts) =>
+      val raw = math.log(dPos / dNeg) + ts.groupBy(_._3).map {
+        case (b, g) => g.size * lw(b)
+      }.sum
+      id -> (ts.size.toLong,
+        BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    val got = Corpus.nbQualityOf(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L)) // doc 5 omitted
+    want.foreach { case (id, (n, score)) =>
+      assert(got(id)._1 === n, s"doc $id token count")
+      assert(math.abs(got(id)._2 - score) < 1e-6, s"doc $id score")
+    }
+    // a passing doc's evidence outweighs a failing doc's: the classifier
+    // reproduces the rule polarity it was trained on
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+  }
 }

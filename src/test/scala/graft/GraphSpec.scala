@@ -35,4 +35,28 @@ class GraphSpec extends SparkTestBase {
       assert(r >= Graph.PrBase && r <= Graph.PrScale * a.size)
     }
   }
+
+  test("triangle counts on hand-built co-membership groups") {
+    val mem = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), // K3 → triangle {1,2,3}
+      // triangle {3,4,5} assembled from three 2-member groups
+      (101L, 3L), (101L, 4L), (102L, 4L), (102L, 5L), (103L, 3L), (103L, 5L),
+      // 4-cycle 6-7-8-9 with no chord → zero triangles
+      (104L, 6L), (104L, 7L), (105L, 7L), (105L, 8L),
+      (106L, 8L), (106L, 9L), (107L, 6L), (107L, 9L),
+    ).toDF("gk", "node")
+    val got = Graph.triangleCountsOf(spark, mem)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("K4 yields three triangles per node; duplicate memberships don't double-count") {
+    val mem = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L), // repeats edge 1-2: edge set must stay distinct
+    ).toDF("gk", "node")
+    val got = Graph.triangleCountsOf(spark, mem)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
