@@ -61,6 +61,7 @@ object SparkEntry {
       // batch event analytics
       "events_funnel"        -> (Events.eventFunnel _),
       "events_retention"     -> (Events.retentionCohorts _),
+      "events_anomaly"       -> (Events.anomalyWindows _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -160,6 +161,7 @@ object SparkEntry {
       "graph_triangles"      -> Graph.triangleCountsOracle,
       "events_funnel"        -> Events.eventFunnelOracle,
       "events_retention"     -> Events.retentionCohortsOracle,
+      "events_anomaly"       -> Events.anomalyWindowsOracle,
       "text_nb_quality"      -> Corpus.nbQualityOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,

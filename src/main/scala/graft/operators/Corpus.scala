@@ -529,9 +529,13 @@ object Corpus {
     * [[dsirWeights]], so the model is a 1024-row frame whatever the
     * corpus size.
     *
-    * Score = ln(d_pos/d_neg) + Σ_buckets c · ln(((c_pos+1)/(n_pos+B)) /
-    * ((c_neg+1)/(n_neg+B))) — the multinomial-NB log-odds with add-one
-    * smoothing. Zero-token docs are omitted (the [[dsirWeights]] policy).
+    * Score = ln((d_pos+1)/(d_neg+1)) + Σ_buckets c ·
+    * ln(((c_pos+1)/(n_pos+B)) / ((c_neg+1)/(n_neg+B))) — the
+    * multinomial-NB log-odds with add-one smoothing on BOTH the priors
+    * and the likelihoods: a corpus where one label class is empty (the
+    * sf1 rehearsal corpus has zero rule-passing docs) must score
+    * finitely, not ln(0). Zero-token docs are omitted (the
+    * [[dsirWeights]] policy).
     *
     * Scale shape: identical to DSIR — one token scan feeds both the
     * bucket×label count table (1024 rows, map-side combined) and the
@@ -588,7 +592,7 @@ object Corpus {
       .agg(sum($"c").as("n_tokens"), sum($"c" * $"lw").as("evid"))
       .crossJoin(broadcast(priors))
       .select($"doc_id", $"n_tokens",
-        (round(log($"d_pos" / $"d_neg") + $"evid", 4) + lit(0.0)).as("nb_logodds"))
+        (round(log(($"d_pos" + 1) / ($"d_neg" + 1)) + $"evid", 4) + lit(0.0)).as("nb_logodds"))
   }
 
   /** DuckDB twin of [[nbQuality]] — the [[dsirWeightsOracle]] float
@@ -629,7 +633,7 @@ object Corpus {
        |  FROM pb CROSS JOIN t),
        |db AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2)
        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
-       |  round(ln(pr.d_pos / pr.d_neg) + sum(db.c * m.lw), 4) + 0.0 AS nb_logodds
+       |  round(ln((pr.d_pos + 1) / (pr.d_neg + 1)) + sum(db.c * m.lw), 4) + 0.0 AS nb_logodds
        |FROM db JOIN m USING (bucket) CROSS JOIN pr
        |GROUP BY db.doc_id, pr.d_pos, pr.d_neg""".stripMargin
 

@@ -125,6 +125,58 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Windowed count-spike anomaly detection: hourly event counts per
+    * type, flagged where the count exceeds the type's mean by more than
+    * 3 standard deviations — the ingest-monitoring query that catches a
+    * crawler loop or a broken dedup upstream before the batch lands in
+    * training data.
+    *
+    * The z-test is INTEGER-EXACT: `(c·N − S)² > 9·(Q·N − S²)` (both
+    * sides in DECIMAL(38,0) / HUGEINT) is `(c − μ)² > (3σ)²` with the
+    * N² denominators cleared — no float mean, no sqrt, no knife edge, so
+    * the DuckDB twin matches row-for-row on the flag boundary.
+    *
+    * Scale shape: one map-side-combined aggregate to hourly counts
+    * (bounded by |types|·|hours|), one |types|-row broadcast of the
+    * (N, S, Q) moment table back onto it. The raw event volume is
+    * touched exactly once. */
+  def anomalyWindows(s: SparkSession, d: String): DataFrame =
+    anomalyWindowsOf(Tables.events(s, d))
+
+  private[graft] def anomalyWindowsOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val wc = ev0
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = wc.groupBy($"event_type").agg(
+      count(lit(1)).as("n_w"),
+      sum($"n_events").as("s"),
+      sum($"n_events" * $"n_events").as("q"))
+    wc.join(broadcast(moments), "event_type")
+      .filter(expr(
+        "(n_events * n_w - s) > 0 AND " +
+          "CAST(n_events * n_w - s AS DECIMAL(38,0)) * (n_events * n_w - s) > " +
+          "9 * (CAST(q AS DECIMAL(38,0)) * n_w - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select($"event_type", $"window_start", $"n_events",
+        expr("(s * 1000) div n_w").as("mean_milli"))
+  }
+
+  /** DuckDB twin of [[anomalyWindows]] — HUGEINT mirrors the engine's
+    * DECIMAL(38,0) headroom on the squared z-test. */
+  val anomalyWindowsOracle: String =
+    """WITH wc AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+      |    count(*) AS c FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS n_w,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM wc GROUP BY event_type)
+      |SELECT wc.event_type, wc.window_start, wc.c AS n_events,
+      |  CAST((st.s * 1000) // st.n_w AS BIGINT) AS mean_milli
+      |FROM wc JOIN st USING (event_type)
+      |WHERE (wc.c * st.n_w - st.s) > 0
+      |  AND CAST(wc.c * st.n_w - st.s AS HUGEINT) * (wc.c * st.n_w - st.s)
+      |      > 9 * (CAST(st.q AS HUGEINT) * st.n_w - CAST(st.s AS HUGEINT) * st.s)""".stripMargin
+
   /** DuckDB twin of [[retentionCohorts]]. */
   val retentionCohortsOracle: String =
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -387,7 +387,7 @@ class CorpusSpec extends SparkTestBase {
       math.log(((cPos.getOrElse(b, 0L) + 1) / (nPos + B)) /
         ((cNeg.getOrElse(b, 0L) + 1) / (nNeg + B)))
     val want = toks.groupBy(_._1).map { case (id, ts) =>
-      val raw = math.log(dPos / dNeg) + ts.groupBy(_._3).map {
+      val raw = math.log((dPos + 1) / (dNeg + 1)) + ts.groupBy(_._3).map {
         case (b, g) => g.size * lw(b)
       }.sum
       id -> (ts.size.toLong,

@@ -50,6 +50,27 @@ class EventsSpec extends SparkTestBase {
     assert(got(1)._4 === Some(0L) && got(2)._4 === Some(0L))
   }
 
+  test("anomaly windows: strict 3-sigma flag, exact-boundary and high-variance cases stay quiet") {
+    def hours(tpe: String, counts: Seq[Int]): Seq[(Long, String, Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (1L, tpe, ts(f"2026-01-01 $h%02d:${i % 60}%02d:00")))
+      }
+    // a: ten quiet hours of 1 + one hour of 5 → (cN−S)² = 100(k−1)² >
+    //    90(k−1)² = 9·(QN−S²): flagged
+    // b: NINE quiet hours of 1 + one hour of 7 → algebra gives exact
+    //    equality 81(k−1)² = 81(k−1)² at ANY spike height: 3σ exactly,
+    //    strict > must NOT flag
+    // c: two windows (5, 50) → with N=2 the spike IS the variance; a
+    //    naive threshold detector would scream, z-test stays quiet
+    val ev = (hours("a", Seq.fill(10)(1) :+ 5) ++
+      hours("b", Seq.fill(9)(1) :+ 7) ++
+      hours("c", Seq(5, 50))).toDF("user_id", "event_type", "ts")
+    val got = Events.anomalyWindowsOf(ev)
+      .selectExpr("event_type", "CAST(window_start AS STRING)", "n_events", "mean_milli")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "2026-01-01 10:00:00", 5L, 15000L / 11L)))
+  }
+
   test("retention cohorts by first-seen day with exact day offsets") {
     val ev = Seq(
       (1L, "view", ts("2026-01-01 09:00:00")),
