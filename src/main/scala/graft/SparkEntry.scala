@@ -62,6 +62,7 @@ object SparkEntry {
       "events_funnel"        -> (Events.eventFunnel _),
       "events_retention"     -> (Events.retentionCohorts _),
       "events_anomaly"       -> (Events.anomalyWindows _),
+      "events_transitions"   -> (Events.typeTransitions _),
       // deduplication
       "dedup_exact"          -> (Dedup.exactDedup _),
       "dedup_ngram_jaccard"  -> (Dedup.ngramJaccardPairs _),
@@ -87,6 +88,7 @@ object SparkEntry {
       "dedup_semantic" -> (Similarity.semanticDedup _),
       "embed_quantize_int8" -> (Similarity.quantizeStats _),
       "embed_reduce_rp"     -> (Similarity.reduceEmbeddings _),
+      "embed_pq_codes"      -> (Similarity.pqCodes _),
       // profiling + merge
       "profile_lineitem" -> (Profiling.profileLineitem _),
       "profile_lineitem_approx" -> (Profiling.profileLineitemApprox _),
@@ -162,6 +164,7 @@ object SparkEntry {
       "events_funnel"        -> Events.eventFunnelOracle,
       "events_retention"     -> Events.retentionCohortsOracle,
       "events_anomaly"       -> Events.anomalyWindowsOracle,
+      "events_transitions"   -> Events.typeTransitionsOracle,
       "text_nb_quality"      -> Corpus.nbQualityOracle,
       "text_blocklist_filter" -> TextOps.blocklistFilterOracle,
       "dedup_contamination"  -> Dedup.contaminationOracle,
@@ -181,6 +184,7 @@ object SparkEntry {
       "dedup_semantic" -> Similarity.semanticDedupOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
       "embed_reduce_rp"     -> Similarity.reduceEmbeddingsOracle,
+      "embed_pq_codes"      -> Similarity.pqCodesOracle,
       "multimodal_features" -> Multimodal.extractFeaturesOracle,
       "profile_lineitem" -> Profiling.profileLineitemOracle,
       "merge_upsert"     -> Profiling.mergeUpsertOracle,

@@ -177,6 +177,57 @@ object Events {
       |  AND CAST(wc.c * st.n_w - st.s AS HUGEINT) * (wc.c * st.n_w - st.s)
       |      > 9 * (CAST(st.q AS HUGEINT) * st.n_w - CAST(st.s AS HUGEINT) * st.s)""".stripMargin
 
+  /** Event-type Markov transition matrix: for each ordered pair of
+    * consecutive events WITHIN a user's timeline, count transitions and
+    * row-normalize to micro-unit probabilities — the first-order
+    * behavior model (what follows a view?) and, pipeline-side, the
+    * session-shape fingerprint that changes when an upstream producer
+    * breaks.
+    *
+    * "Consecutive" is total-ordered by (ts, event_id) so ties are
+    * deterministic. Probabilities are integer micros
+    * (`c · 1e6 div row_total`) — no float division anywhere.
+    *
+    * Scale shape: ONE window pass partitioned by `user_id` (per-user
+    * state is a single lag row, nothing accumulates), then a
+    * map-side-combined count on the |types|² transition key and a
+    * |types|-row broadcast for the normalizer. A hot user's timeline is
+    * a single partition's sort, not a shuffle explosion — the
+    * skew-resistant sessionizer's range-partition trick applies if one
+    * user owns half the stream (documented there). */
+  def typeTransitions(s: SparkSession, d: String): DataFrame =
+    typeTransitionsOf(Tables.events(s, d))
+
+  private[graft] def typeTransitionsOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = ev0
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"from_type").agg(sum($"n").as("row_total"))
+    trans.join(broadcast(totals), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        expr("(n * 1000000) div row_total").as("p_micros"))
+  }
+
+  /** DuckDB twin of [[typeTransitions]] — same (ts, event_id) total
+    * order, same integer micro-probabilities. */
+  val typeTransitionsOracle: String =
+    """WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST((c.n * 1000000) // t.row_total AS BIGINT) AS p_micros
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   /** DuckDB twin of [[retentionCohorts]]. */
   val retentionCohortsOracle: String =
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -219,18 +219,17 @@ object Similarity {
   private def nearestCell(cs: Array[(Long, Array[Double])], v: Array[Double]): Long =
     cosTo(cs, v).maxBy { case (cid, sim) => (sim, -cid) }._1
 
-  /** Lloyd-refined centroids: assign → per-cell mean, [[IvfLloydIters]]
-    * times. Empty cells keep their previous centroid.
-    *
-    * The mean is a typed `Aggregator` (per-partition partials + per-cell
-    * merge — the map-side-combine shape): a task holds one running
-    * (sum, count) buffer per cell it sees, never a cell's row set. The
-    * sums are fixed-point Longs ([[IvfFixedScale]]) so the result is
-    * independent of partition merge order. */
-  private def lloydCentroids(s: SparkSession,
-      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
-    import s.implicits._
-    val meanAgg = new org.apache.spark.sql.expressions.Aggregator[
+  /** The fixed-point mean `Aggregator` shared by the IVF Lloyd passes and
+    * the PQ codebook training: per-partition (Long-sum, count) partials
+    * per cell, quantized at [[IvfFixedScale]] so the mean is independent
+    * of partition merge order (integer addition commutes; float partials
+    * don't). Encoders come from the caller's `import s.implicits._`. */
+  private def fixedMeanAgg(implicit
+      be: org.apache.spark.sql.Encoder[(Array[Long], Long)],
+      oe: org.apache.spark.sql.Encoder[Array[Double]]):
+      org.apache.spark.sql.expressions.Aggregator[
+        Array[Double], (Array[Long], Long), Array[Double]] =
+    new org.apache.spark.sql.expressions.Aggregator[
         Array[Double], (Array[Long], Long), Array[Double]] {
       def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
       def reduce(b: (Array[Long], Long), v: Array[Double]): (Array[Long], Long) = {
@@ -260,11 +259,22 @@ object Similarity {
         }
         out
       }
-      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
-        implicitly[org.apache.spark.sql.Encoder[(Array[Long], Long)]]
-      def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-        implicitly[org.apache.spark.sql.Encoder[Array[Double]]]
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] = be
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] = oe
     }
+
+  /** Lloyd-refined centroids: assign → per-cell mean, [[IvfLloydIters]]
+    * times. Empty cells keep their previous centroid.
+    *
+    * The mean is a typed `Aggregator` (per-partition partials + per-cell
+    * merge — the map-side-combine shape): a task holds one running
+    * (sum, count) buffer per cell it sees, never a cell's row set. The
+    * sums are fixed-point Longs ([[IvfFixedScale]]) so the result is
+    * independent of partition merge order. */
+  private def lloydCentroids(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    val meanAgg = fixedMeanAgg
     // seeding: k-means++ farthest-first over a DETERMINISTIC random sample
     // — the 16×IvfCells vectors with the smallest mix64(vec_id) (splitmix64
     // scrambles ids, so this is NOT "first rows"; adjacent/correlated ids
@@ -705,5 +715,157 @@ object Similarity {
        |    list_transform(range(64), j -> v[j+1] * pv[j+1])), (a, x) -> a + x)
        |    * 1000000.0 + 0.5) AS BIGINT) AS value_micros
        |FROM e CROSS JOIN planes""".stripMargin
+  }
+
+  // ------------------------------------------------ product quantization
+  /** Product-quantization geometry (Jégou, Douze & Schmid, TPAMI 2011):
+    * the 64-dim vector splits into [[PqSub]] contiguous 8-dim subspaces,
+    * each with its own [[PqK]]-centroid codebook, so a vector compresses
+    * to [[PqSub]] nibble-sized codes — 256 bytes of float32 down to 8
+    * bytes, the difference between an ANN index that fits in executor
+    * memory at 100 TB and one that doesn't. */
+  val PqSub = 8
+  val PqDim = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** PQ codebook training + corpus encoding: per-subspace k-means
+    * (classic L2 over RAW subvectors), then each vector's code word and
+    * its reconstruction error.
+    *
+    * Determinism is the [[annIvfTopK]] discipline end-to-end: seeds are
+    * the [[PqK]] smallest-signed-mix64(vec_id) vectors (one
+    * TakeOrderedAndProject, constant driver traffic), assignment
+    * tie-breaks to the smaller centroid id, and the Lloyd means
+    * accumulate in [[IvfFixedScale]] fixed point ([[fixedMeanAgg]]) so
+    * no stage depends on partition merge order — which is what lets the
+    * DuckDB twin replay training bit-for-bit and hash-match the emitted
+    * codes.
+    *
+    * Scale shape: each Lloyd pass is ONE pass over the corpus into a
+    * [[PqSub]]·[[PqK]]-row (128-row) aggregate — map-side combined,
+    * constant driver traffic — and encoding is a map-only pass under a
+    * broadcast codebook (8 KiB). Nothing shuffles the vectors
+    * themselves, at any corpus size. */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqCodesOf(s, Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])])
+  }
+
+  /** Nearest centroid of one subspace's codebook: L2² accumulated in
+    * ascending component order (the oracle's fold order); strict `<`
+    * keeps the smaller cid on ties. Returns (cid, dist²). */
+  private def nearestSubCell(
+      cbS: Array[Array[Double]], v: Array[Double], sub: Int): (Int, Double) = {
+    var best = 0; var bestD = Double.MaxValue; var cid = 0
+    while (cid < cbS.length) {
+      var dd = 0.0; var i = 0
+      while (i < PqDim) {
+        val df = v(sub * PqDim + i) - cbS(cid)(i); dd += df * df; i += 1
+      }
+      if (dd < bestD) { bestD = dd; best = cid }
+      cid += 1
+    }
+    (best, bestD)
+  }
+
+  private[graft] def pqCodesOf(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    val meanAgg = fixedMeanAgg
+    // seeds: centroid j of EVERY subspace comes from the j-th seed vector
+    // (numbered by vec_id, the big-k IVF convention)
+    val seeds = vecs.map { case (id, v) => (Hashing.mix64(id), id, v) }
+      .orderBy("_1").limit(PqK)
+      .collect().sortBy(_._2).map(_._3)
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSub, seeds.length) { (sub, cid) =>
+        java.util.Arrays.copyOfRange(seeds(cid), sub * PqDim, (sub + 1) * PqDim)
+      }
+    for (_ <- 1 to PqIters) {
+      val bcb = s.sparkContext.broadcast(cb)
+      // one corpus pass → 128-row fixed-point mean table; empty cells
+      // keep their previous centroid
+      val means = vecs.flatMap { case (_, v) =>
+        (0 until PqSub).map { sub =>
+          (sub * 64 + nearestSubCell(bcb.value(sub), v, sub)._1,
+            java.util.Arrays.copyOfRange(v, sub * PqDim, (sub + 1) * PqDim))
+        }
+      }.groupByKey(_._1).mapValues(_._2).agg(meanAgg.toColumn)
+        .collect().toMap
+      cb = Array.tabulate(PqSub, cb(0).length) { (sub, cid) =>
+        means.getOrElse(sub * 64 + cid, cb(sub)(cid))
+      }
+    }
+    val bcb = s.sparkContext.broadcast(cb)
+    vecs.map { case (id, v) =>
+      val codes = new Array[Long](PqSub)
+      var err = 0.0
+      var sub = 0
+      while (sub < PqSub) {
+        val (c, dd) = nearestSubCell(bcb.value(sub), v, sub)
+        codes(sub) = c.toLong
+        err += dd
+        sub += 1
+      }
+      (id, codes, err)
+    }.toDF("vec_id", "codes", "err")
+      .select($"vec_id", $"codes", round($"err", 6).as("err6"))
+  }
+
+  /** DuckDB twin of [[pqCodes]] — the [[annIvfTopKOracle]] replay
+    * technique applied per subspace: subvectors by list slice, L2² as an
+    * ORDERED 8-component fold (bit-parity with the JVM loop — a last-ulp
+    * difference at an argmin boundary would flip a code), unrolled Lloyd
+    * passes with the same fixed-point means, and the per-vector error
+    * summed in subspace order before the 6dp round. */
+  val pqCodesOracle: String = {
+    val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
+    def l2f(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range($PqDim), " +
+        s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (a, x) -> a + x)"
+    val passes = (1 to PqIters).map { k =>
+      s"""a$k AS (SELECT vec_id, sub, cell FROM (
+         |    SELECT su.vec_id, su.sub, cb.cid AS cell,
+         |      row_number() OVER (PARTITION BY su.vec_id, su.sub
+         |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
+         |    FROM sub su JOIN cb${k - 1} cb ON cb.sub = su.sub) WHERE rk = 1),
+         |m$k AS (SELECT a.sub, a.cell, t.j,
+         |    CAST(sum(CAST(floor(su.sv[t.j + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS cnt
+         |  FROM a$k a JOIN sub su ON su.vec_id = a.vec_id AND su.sub = a.sub,
+         |       unnest(range($PqDim)) AS t(j)
+         |  GROUP BY a.sub, a.cell, t.j),
+         |g$k AS (SELECT sub, cell AS cid,
+         |    list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / $S ORDER BY j) AS mv
+         |  FROM m$k GROUP BY sub, cell),
+         |cb$k AS (SELECT c.sub, c.cid, coalesce(g.mv, c.cv) AS cv
+         |  FROM cb${k - 1} c LEFT JOIN g$k g ON g.sub = c.sub AND g.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |smp AS (SELECT vec_id, v FROM
+       |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT $PqK),
+       |sub AS (SELECT vec_id, t.sub AS sub,
+       |    v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS sv
+       |  FROM e, unnest(range($PqSub)) AS t(sub)),
+       |cb0 AS (SELECT t.sub AS sub, s.cid,
+       |    s.v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS cv
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM smp) s,
+       |       unnest(range($PqSub)) AS t(sub)),
+       |$passes,
+       |fin AS (SELECT vec_id, sub, cell, dist FROM (
+       |    SELECT su.vec_id, su.sub, cb.cid AS cell,
+       |      ${l2f("su.sv", "cb.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY su.vec_id, su.sub
+       |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
+       |    FROM sub su JOIN cb$PqIters cb ON cb.sub = su.sub) WHERE rk = 1),
+       |agg AS (SELECT vec_id, list(cell ORDER BY sub) AS codes,
+       |    list(dist ORDER BY sub) AS dl
+       |  FROM fin GROUP BY vec_id)
+       |SELECT vec_id, codes,
+       |  round(list_reduce(list_prepend(0.0, dl), (a, x) -> a + x), 6) AS err6
+       |FROM agg""".stripMargin
   }
 }

@@ -71,6 +71,29 @@ class EventsSpec extends SparkTestBase {
     assert(got === Seq(("a", "2026-01-01 10:00:00", 5L, 15000L / 11L)))
   }
 
+  test("type transitions: per-user ordering, tie-break by event_id, integer micro-probs") {
+    val ev = Seq(
+      // user 1: view → click → view  (transitions: v→c, c→v)
+      (10L, 1L, "view", ts("2026-01-01 00:00:00")),
+      (11L, 1L, "click", ts("2026-01-01 00:00:10")),
+      (12L, 1L, "view", ts("2026-01-01 00:00:20")),
+      // user 2: view → view — and the second pair shares a timestamp, so
+      // event_id must break the tie (13 before 14)
+      (13L, 2L, "view", ts("2026-01-01 00:00:00")),
+      (14L, 2L, "view", ts("2026-01-01 00:00:00")),
+      // user 3: a single event — no transition; and no cross-user
+      // transition to user 1 despite adjacent timestamps
+      (15L, 3L, "click", ts("2026-01-01 00:00:05")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.typeTransitionsOf(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 1L, 500000L),  // of 2 view-outgoing transitions
+      ("view", "view", 1L, 500000L),
+      ("click", "view", 1L, 1000000L),
+    ))
+  }
+
   test("retention cohorts by first-seen day with exact day offsets") {
     val ev = Seq(
       (1L, "view", ts("2026-01-01 09:00:00")),

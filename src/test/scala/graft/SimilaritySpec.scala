@@ -178,4 +178,54 @@ class SimilaritySpec extends SparkTestBase {
     info(f"JL norm-estimate median relative error = $med%.3f")
     assert(med < 0.4, f"JL norm estimate too distorted: median $med%.3f")
   }
+
+  test("PQ codes: deterministic, self-coding corpus reconstructs exactly, codes compress") {
+    import spark.implicits._
+    // corpus of <= PqK vectors: every vector is a seed, so after Lloyd
+    // each distinct subvector is its own centroid (up to the 2^-30
+    // fixed-point quantum) and reconstruction error rounds to zero
+    val tiny = (0L until 12L).map { id =>
+      (id, Array.tabulate(64)(i => math.sin(id * 64.0 + i)))
+    }
+    val tinyCodes = Similarity.pqCodesOf(spark, tiny.toDS())
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    assert(tinyCodes.length === 12)
+    tinyCodes.foreach { case (id, codes, err6) =>
+      assert(codes.length === Similarity.PqSub)
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqK))
+      assert(err6 === 0.0, s"vec $id should self-reconstruct, err=$err6")
+    }
+    // identical vectors share a code word
+    val dup = Seq((0L, Array.fill(64)(0.5)), (1L, Array.fill(64)(0.5)),
+      (2L, Array.fill(64)(-0.25))).toDS()
+    val dupCodes = Similarity.pqCodesOf(spark, dup)
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    assert(dupCodes(0)._2.toSeq === dupCodes(1)._2.toSeq)
+    assert(dupCodes(0)._2.toSeq !== dupCodes(2)._2.toSeq)
+
+    // sf corpus: two runs bit-identical; codes bounded; errors finite
+    val a = Similarity.pqCodes(spark, sf)
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    val b = Similarity.pqCodes(spark, sf)
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+    assert(a.map(r => (r._1, r._2.toSeq, r._3)).toSeq ===
+      b.map(r => (r._1, r._2.toSeq, r._3)).toSeq)
+    assert(a.forall(_._2.forall(c => c >= 0 && c < Similarity.PqK)))
+    assert(a.forall(r => r._3 >= 0.0 && !r._3.isNaN))
+    // the trained codebook must do useful work: mean reconstruction error
+    // beats the k=1 baseline (quantizing every vector to the corpus mean)
+    val raw = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>)")
+      .as[Array[Double]].collect()
+    val mean = Array.tabulate(64)(i => raw.map(_(i)).sum / raw.length)
+    val err1 = raw.map(v => v.zip(mean).map { case (x, m) =>
+      (x - m) * (x - m)
+    }.sum).sum / raw.length
+    val errPq = a.map(_._3).sum / a.length
+    info(f"mean PQ err = $errPq%.4f vs k=1 baseline $err1%.4f")
+    // on iid-random data the k=16/8-dim rate-distortion bound is ≈ 0.5×
+    // the k=1 error (16^(-2/8)); require a clear win, not the bound
+    assert(errPq < err1 * 0.75,
+      f"PQ reconstruction ($errPq%.4f) should clearly beat the global-mean baseline ($err1%.4f)")
+  }
 }
