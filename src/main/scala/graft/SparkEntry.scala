@@ -85,6 +85,7 @@ object SparkEntry {
       "ann_brute_topk" -> (Similarity.annBruteTopK _),
       "ann_lsh_topk"   -> (Similarity.annLshTopK _),
       "ann_ivf_topk"   -> (Similarity.annIvfTopK _),
+      "ann_pq_topk"    -> (Similarity.annPqTopK _),
       "dedup_semantic" -> (Similarity.semanticDedup _),
       "embed_quantize_int8" -> (Similarity.quantizeStats _),
       "embed_reduce_rp"     -> (Similarity.reduceEmbeddings _),
@@ -181,6 +182,7 @@ object SparkEntry {
       "ann_brute_topk" -> Similarity.annBruteTopKOracle,
       "ann_lsh_topk"   -> Similarity.annLshTopKOracle,
       "ann_ivf_topk"   -> Similarity.annIvfTopKOracle,
+      "ann_pq_topk"    -> Similarity.annPqTopKOracle,
       "dedup_semantic" -> Similarity.semanticDedupOracle,
       "embed_quantize_int8" -> Similarity.quantizeStatsOracle,
       "embed_reduce_rp"     -> Similarity.reduceEmbeddingsOracle,

@@ -771,8 +771,10 @@ object Similarity {
     (best, bestD)
   }
 
-  private[graft] def pqCodesOf(s: SparkSession,
-      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): DataFrame = {
+  /** Codebook training: seeds + [[PqIters]] fixed-point Lloyd passes.
+    * Returns cb(sub)(cid)(comp). */
+  private[graft] def pqTrain(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
     import s.implicits._
     val meanAgg = fixedMeanAgg
     // seeds: centroid j of EVERY subspace comes from the j-th seed vector
@@ -799,7 +801,13 @@ object Similarity {
         means.getOrElse(sub * 64 + cid, cb(sub)(cid))
       }
     }
-    val bcb = s.sparkContext.broadcast(cb)
+    cb
+  }
+
+  private[graft] def pqCodesOf(s: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    val bcb = s.sparkContext.broadcast(pqTrain(s, vecs))
     vecs.map { case (id, v) =>
       val codes = new Array[Long](PqSub)
       var err = 0.0
@@ -821,11 +829,19 @@ object Similarity {
     * difference at an argmin boundary would flip a code), unrolled Lloyd
     * passes with the same fixed-point means, and the per-vector error
     * summed in subspace order before the 6dp round. */
-  val pqCodesOracle: String = {
+  /** Ordered 8-component L2² fold — bit-parity with the JVM loop in
+    * [[nearestSubCell]]. */
+  private def pqL2f(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range($PqDim), " +
+      s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (a, x) -> a + x)"
+
+  /** Shared PQ CTE chain: embeddings → seeds → per-subspace codebooks
+    * through [[PqIters]] Lloyd passes → `fin` = (vec_id, sub, cell,
+    * dist), the final per-subspace assignment. Prefix of
+    * [[pqCodesOracle]] and [[annPqTopKOracle]]. */
+  private def pqCtes: String = {
     val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
-    def l2f(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range($PqDim), " +
-        s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (a, x) -> a + x)"
+    def l2f(a: String, b: String): String = pqL2f(a, b)
     val passes = (1 to PqIters).map { k =>
       s"""a$k AS (SELECT vec_id, sub, cell FROM (
          |    SELECT su.vec_id, su.sub, cb.cid AS cell,
@@ -860,12 +876,113 @@ object Similarity {
        |      ${l2f("su.sv", "cb.cv")} AS dist,
        |      row_number() OVER (PARTITION BY su.vec_id, su.sub
        |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
-       |    FROM sub su JOIN cb$PqIters cb ON cb.sub = su.sub) WHERE rk = 1),
+       |    FROM sub su JOIN cb$PqIters cb ON cb.sub = su.sub) WHERE rk = 1)""".stripMargin
+  }
+
+  val pqCodesOracle: String =
+    s"""$pqCtes,
        |agg AS (SELECT vec_id, list(cell ORDER BY sub) AS codes,
        |    list(dist ORDER BY sub) AS dl
        |  FROM fin GROUP BY vec_id)
        |SELECT vec_id, codes,
        |  round(list_reduce(list_prepend(0.0, dl), (a, x) -> a + x), 6) AS err6
        |FROM agg""".stripMargin
+
+  // ------------------------------------------- PQ asymmetric-distance ANN
+  /** ADC shortlist size: candidates surviving the compressed-domain scan
+    * into the exact re-rank — 5× the emitted [[TopK]]. */
+  val AdcShortlist = 50
+
+  /** PQ ANN search by ASYMMETRIC DISTANCE (Jégou et al. 2011 §IV): each
+    * query precomputes a [[PqSub]]×[[PqK]] distance table against the
+    * trained codebooks; every corpus vector's approximate L2² is then
+    * [[PqSub]] table LOOKUPS on its 8-byte code — no float vector is
+    * touched during the scan. The [[AdcShortlist]] best per query go
+    * through the exact cosine re-rank, same output contract as the other
+    * `ann_*` entries.
+    *
+    * Scale shape: the scan reads CODES (8 bytes/vector, 32× smaller than
+    * the float column) under a broadcast distance table (5 queries ×
+    * 128 doubles); shortlisting is a per-partition top-k merge
+    * (row_number → TopKPerKey rewrite), and only [[AdcShortlist]] rows
+    * per query ever rejoin the full-precision vectors. This is the
+    * memory-bound regime ANN actually runs in at 100 TB — the IVF cell
+    * scan bounds WHICH vectors are scored; PQ bounds the BYTES each
+    * scoring touches.
+    *
+    * Determinism: the ADC sum runs in ascending-subspace order (the
+    * [[pqCodesOf]] err discipline) so shortlist ranks are bit-exact
+    * reproducible in the DuckDB twin; the re-rank rounds like the brute
+    * oracle. */
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val cb = pqTrain(s, vecs)
+    val queries = vecs.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    // per-query distance table: dt(q)(sub)(cid), ascending loops
+    val dt: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(PqSub, cb(0).length) { (sub, cid) =>
+        var dd = 0.0; var i = 0
+        while (i < PqDim) {
+          val df = qv(sub * PqDim + i) - cb(sub)(cid)(i); dd += df * df; i += 1
+        }
+        dd
+      })
+    }
+    val bcb = s.sparkContext.broadcast(cb)
+    val bdt = s.sparkContext.broadcast(dt)
+    // one pass: encode each vector, then ADC-score it against every query
+    val adc = vecs.flatMap { case (id, v) =>
+      val codes = new Array[Int](PqSub)
+      var sub = 0
+      while (sub < PqSub) {
+        codes(sub) = nearestSubCell(bcb.value(sub), v, sub)._1; sub += 1
+      }
+      bdt.value.iterator.filter(_._1 != id).map { case (qid, tbl) =>
+        var d = 0.0; var s2 = 0
+        while (s2 < PqSub) { d += tbl(s2)(codes(s2)); s2 += 1 }
+        (qid, id, d)
+      }
+    }.toDF("query_id", "vec_id", "adc")
+    val w = Window.partitionBy($"query_id").orderBy($"adc".asc, $"vec_id".asc)
+    val shortlist = adc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= AdcShortlist).select($"query_id", $"vec_id")
+    rerank(s, d, shortlist)
   }
+
+  /** DuckDB twin of [[annPqTopK]]: the [[pqCtes]] training replay, the
+    * query distance tables as one (query, sub, cid) join, the ADC sum as
+    * an ORDERED subspace fold (bit-parity with the JVM loop), and the
+    * exact re-rank of the shortlist exactly as the IVF/LSH twins. */
+  val annPqTopKOracle: String =
+    s"""$pqCtes,
+       |qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $NumQueries),
+       |qsub AS (SELECT query_id, t.sub AS sub,
+       |    v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS qsv
+       |  FROM qv, unnest(range($PqSub)) AS t(sub)),
+       |dt AS (SELECT q.query_id, q.sub, cb.cid, ${pqL2f("q.qsv", "cb.cv")} AS dist
+       |  FROM qsub q JOIN cb$PqIters cb ON cb.sub = q.sub),
+       |adcl AS (SELECT d.query_id, f.vec_id, list(d.dist ORDER BY f.sub) AS dl
+       |  FROM fin f JOIN dt d ON d.sub = f.sub AND d.cid = f.cell
+       |  WHERE f.vec_id <> d.query_id
+       |  GROUP BY d.query_id, f.vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_reduce(list_prepend(0.0, dl), (a, x) -> a + x) ASC,
+       |               vec_id ASC) AS rk
+       |    FROM adcl) WHERE rk <= $AdcShortlist),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM short c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
 }

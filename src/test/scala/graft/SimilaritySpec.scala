@@ -228,4 +228,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(errPq < err1 * 0.75,
       f"PQ reconstruction ($errPq%.4f) should clearly beat the global-mean baseline ($err1%.4f)")
   }
+
+  test("PQ ADC ANN recall@10 vs brute force is useful and beats random") {
+    import spark.implicits._
+    val brute = Similarity.annBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.annPqTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet === brute.keySet)
+    val n = graft.core.Tables.embeddings(spark, sf).count().toDouble
+    val recalls = brute.map { case (q, want) =>
+      pq(q).intersect(want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    // a random 50-shortlist would recall ~ AdcShortlist/n of the true
+    // top-10; ADC on 8-byte codes must do far better
+    val randomBaseline = Similarity.AdcShortlist / n
+    info(f"PQ-ADC recall@10 = $recall%.2f (random shortlist ≈ $randomBaseline%.2f)")
+    assert(recall >= 0.5, f"PQ-ADC recall too low: $recall%.2f")
+    assert(recall > 4 * randomBaseline)
+  }
 }
