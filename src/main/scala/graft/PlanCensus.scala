@@ -91,6 +91,8 @@ object PlanCensus {
       "localCheckpoint of the distinct edge list and the oriented edge set — each feeds multiple downstream branches (degree count, adjacency gather, closure probe) and would otherwise recompute the pair-expansion join per branch"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->
       "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (bucket totals, doc-count priors) — the DSIR shape; build sides are exactly 1 row"),
+    "orders_basket_rules" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row n_baskets aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
       "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
     "train_sampling_temperature" -> Map(

@@ -58,6 +58,7 @@ object SparkEntry {
       // link-graph analytics
       "graph_pagerank"       -> (Graph.pageRank _),
       "graph_triangles"      -> (Graph.triangleCounts _),
+      "orders_basket_rules"  -> (Graph.basketRules _),
       // batch event analytics
       "events_funnel"        -> (Events.eventFunnel _),
       "events_retention"     -> (Events.retentionCohorts _),
@@ -162,6 +163,7 @@ object SparkEntry {
       "train_sampling_temperature" -> Corpus.samplingTemperatureOracle,
       "graph_pagerank"       -> Graph.pageRankOracle,
       "graph_triangles"      -> Graph.triangleCountsOracle,
+      "orders_basket_rules"  -> Graph.basketRulesOracle,
       "events_funnel"        -> Events.eventFunnelOracle,
       "events_retention"     -> Events.retentionCohortsOracle,
       "events_anomaly"       -> Events.anomalyWindowsOracle,

@@ -200,6 +200,75 @@ object Graph {
       .agg(sum($"x.c").as("n_triangles"))
   }
 
+  // ------------------------------------------------- market-basket rules
+  /** Minimum pair support for an association rule — pairs seen together
+    * in fewer baskets are noise, and the filter is what keeps the rule
+    * table small relative to the pair expansion. */
+  val BasketMinSupport = 2L
+
+  /** Market-basket association rules over order baskets: for every part
+    * pair co-purchased in ≥ [[BasketMinSupport]] orders, both directed
+    * rules a→b with confidence = s_ab/s_a and lift = s_ab·N/(s_a·s_b) —
+    * the frequent-itemset primitive (Agrawal & Srikant, VLDB'94) at the
+    * pair level.
+    *
+    * Ratios are INTEGER (micros/millis via `div`), so the DuckDB twin is
+    * bit-exact. BIGINT headroom: `s_ab·N·1000` overflows only past
+    * ~10¹⁵ basket-pair mass (s_ab·N > 9.2·10¹⁵) — trillion-order
+    * corpora switch this one product to DECIMAL(38,0).
+    *
+    * Scale shape: the pair expansion is per-order bounded (≤ 21 rows per
+    * order, the [[triangleCounts]] projection), map-side combined into
+    * (a,b) support counts and support-filtered BEFORE any join; item
+    * supports join back on 8-byte part keys (co-partitioned shuffle
+    * joins — the support table is |parts|-sized and NOT broadcast by
+    * design), and the order total is a 1-row scalar subquery. */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    basketRulesOf(s, Tables.lineitem(s, d)
+      .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
+  }
+
+  /** [[basketRules]] over an arbitrary (gk, node) membership frame. */
+  private[graft] def basketRulesOf(s: SparkSession, mem0: DataFrame): DataFrame = {
+    import s.implicits._
+    val mem = mem0.distinct()
+    val pairs = mem.as("x").join(mem.as("y"),
+        $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
+      .groupBy($"x.node".as("a"), $"y.node".as("b"))
+      .agg(count(lit(1)).as("s_ab"))
+      .filter($"s_ab" >= BasketMinSupport)
+    val item = mem.groupBy($"node").agg(count(lit(1)).as("s_i"))
+    val tot = mem.agg(countDistinct($"gk").as("n_baskets"))
+    val both = pairs.select($"a".as("antecedent"), $"b".as("consequent"), $"s_ab")
+      .unionAll(pairs.select($"b".as("antecedent"), $"a".as("consequent"), $"s_ab"))
+    both
+      .join(item.select($"node".as("antecedent"), $"s_i".as("s_a")), "antecedent")
+      .join(item.select($"node".as("consequent"), $"s_i".as("s_c")), "consequent")
+      .crossJoin(broadcast(tot))
+      .select($"antecedent", $"consequent", $"s_ab",
+        expr("(s_ab * 1000000) div s_a").as("conf_micros"),
+        expr("(s_ab * n_baskets * 1000) div (s_a * s_c)").as("lift_milli"))
+  }
+
+  /** DuckDB twin of [[basketRules]]. */
+  val basketRulesOracle: String =
+    s"""WITH mem AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+      |pr AS (SELECT x.node AS a, y.node AS b, count(*) AS s_ab
+      |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node
+      |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+      |it AS (SELECT node, count(*) AS s_i FROM mem GROUP BY node),
+      |t AS (SELECT count(DISTINCT gk) AS n_baskets FROM mem),
+      |bo AS (SELECT a AS antecedent, b AS consequent, s_ab FROM pr
+      |  UNION ALL SELECT b, a, s_ab FROM pr)
+      |SELECT bo.antecedent, bo.consequent, bo.s_ab,
+      |  CAST((bo.s_ab * 1000000) // ia.s_i AS BIGINT) AS conf_micros,
+      |  CAST((bo.s_ab * t.n_baskets * 1000) // (ia.s_i * ic.s_i) AS BIGINT) AS lift_milli
+      |FROM bo
+      |JOIN it ia ON ia.node = bo.antecedent
+      |JOIN it ic ON ic.node = bo.consequent
+      |CROSS JOIN t""".stripMargin
+
   /** DuckDB twin of [[triangleCounts]]: brute id-ordered enumeration
     * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — a different join order
     * than the engine's degree orientation, but the identical triangle

@@ -50,6 +50,23 @@ class GraphSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("basket rules: support filter, exact integer confidence and lift, both directions") {
+    val mem = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),  // A,B,C together once
+      (2L, 10L), (2L, 20L),             // A,B again ×2 → s_AB = 3
+      (3L, 10L), (3L, 20L),
+      (4L, 30L), (4L, 40L),             // C,D once → below min support
+      (5L, 50L),                        // singleton basket
+    ).toDF("gk", "node")
+    val got = Graph.basketRulesOf(spark, mem)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // s_A = s_B = 3, N = 5 → conf = 3/3 = 1.0; lift = 3·5·1000/(3·3) = 1666
+    assert(got === Set(
+      (10L, 20L, 3L, 1000000L, 1666L),
+      (20L, 10L, 3L, 1000000L, 1666L),
+    ))
+  }
+
   test("K4 yields three triangles per node; duplicate memberships don't double-count") {
     val mem = Seq(
       (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
