@@ -122,10 +122,26 @@ object EventStream {
       if (src.isDirectory)
         src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
       else Seq(src)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = base.resolve(f"part_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      dst.toFile.setLastModified(1000000L + i)
+    if (parts.length == 1) {
+      val dst = base.resolve("part_00000.parquet")
+      java.nio.file.Files.copy(parts.head.toPath, dst)
+      dst.toFile.setLastModified(1000000L)
+    } else {
+      // multi-part rehearsal corpora MUST arrive in one micro-batch:
+      // with maxFilesPerTrigger=1 the first shard's commit parks the
+      // watermark at (corpus max − delay) — every later shard's
+      // earlier-timestamped rows are then LATE for the stateful
+      // operators and silently dropped (measured at sf1: the funnel
+      // lost every user of shards 2–10). Combining preserves the RAW ts
+      // family — no Tables normalization touches the staged bytes.
+      val combined = base.resolve("stage_combined").toString
+      s.read.parquet(parts.map(_.getPath): _*).coalesce(1)
+        .write.parquet(combined)
+      val one = new java.io.File(combined).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = base.resolve("part_00000.parquet")
+      java.nio.file.Files.move(one.toPath, dst)
+      dst.toFile.setLastModified(1000000L)
     }
     // TWO sentinels, in separate micro-batches: the first (max + 5 h)
     // advances the watermark to max + 3 h at its batch's END — past every
@@ -569,4 +585,118 @@ object EventStream {
       }
       .toDF("user_id", "session_id", "n_events", "session_value")
   }
+
+  // --------------------------------------------------- streaming funnel
+  /** Carries BOTH the watermarked event-time column (`ts` — event-time
+    * timeout requires it to survive projection into the stateful
+    * operator) and its exact micros (`us` — the state arithmetic). */
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: Timestamp, us: Long)
+  case class FunnelUserRow(user_id: Long, t1us: Long,
+                           t2us: Option[Long], t3us: Option[Long])
+  case class FunnelState(minViewUs: Long,
+                                 clicks: Seq[Long], purchases: Seq[Long],
+                                 lastUs: Long)
+
+  /** Funnel seal gap: a user's funnel is evaluated once the watermark is
+    * 3 h past their last event. */
+  val FunnelGapMs: Long = 3L * 3600 * 1000
+
+  /** Streaming per-user conversion funnel — the stream twin of
+    * [[graft.operators.Events.eventFunnel]]'s user stage: one row per
+    * viewing user at seal time with their view → click → purchase
+    * conversion instants (t2/t3 null where the user never converted).
+    *
+    * The funnel is NOT incrementally computable under out-of-order
+    * arrival: a click's eligibility (`ts ≥ t1`) depends on the FINAL
+    * first-view instant, which later (earlier-timestamped) views can
+    * still lower. The state therefore holds min-view (O(1)) plus the
+    * user's click/purchase instants inside the un-watermarked horizon,
+    * and the chained conditional mins are computed once, at seal — the
+    * exact batch semantics. A deployment bounds the click/purchase
+    * vectors with a conversion window (keep only instants within W of
+    * min-view); the gate keeps them whole so the oracle equality is
+    * exact rather than windowed.
+    *
+    * Late-data policy (the [[windowTopKTypes]] rule): rows arriving after
+    * their user sealed find no state and would restart the funnel; they
+    * are dropped by the same watermark contract that sealed the user —
+    * the stream's watermark delay admits 2 h of disorder, the 3 h seal
+    * gap sits behind it. */
+  def funnelUsers(events: DataFrame): Dataset[FunnelUserRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us")).as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUserRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.minViewUs == Long.MaxValue) Iterator.empty
+            else {
+              val t1 = st.minViewUs
+              val t2 = st.clicks.filter(_ >= t1).sorted.headOption
+              val t3 = t2.flatMap(c => st.purchases.filter(_ >= c).sorted.headOption)
+              Iterator.single(FunnelUserRow(userId, t1, t2, t3))
+            }
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Nil, Nil, Long.MinValue))
+            rows.foreach { e =>
+              st = e.event_type match {
+                case "view"     => st.copy(minViewUs = math.min(st.minViewUs, e.us),
+                  lastUs = math.max(st.lastUs, e.us))
+                case "click"    => st.copy(clicks = st.clicks :+ e.us,
+                  lastUs = math.max(st.lastUs, e.us))
+                case "purchase" => st.copy(purchases = st.purchases :+ e.us,
+                  lastUs = math.max(st.lastUs, e.us))
+                case _          => st.copy(lastUs = math.max(st.lastUs, e.us))
+              }
+            }
+            state.update(st)
+            // a straggler user's seal instant may already be behind the
+            // watermark (setTimeoutTimestamp would throw); reschedule to
+            // the next watermark tick instead — the row was admitted, so
+            // the funnel seals at the earliest legal moment
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000 + FunnelGapMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Gate form of [[funnelUsers]]: the sentinel-flushed Append file sink
+    * ([[stagedSentinelStream]] + [[runAppendToFileSink]]) — the second
+    * sentinel's watermark (+6 h − 2 h delay) clears every real user's
+    * +3 h seal, so all funnels land in the distributed sink. Sentinel
+    * events carry no view/click/purchase types, so they can neither
+    * start a funnel nor perturb one. */
+  def runFunnelUsersBatch(s: SparkSession, d: String): DataFrame =
+    runAppendToFileSink(s, funnelUsers(stagedSentinelStream(s, d))
+      .toDF()
+      .select(col("user_id"),
+        expr("timestamp_micros(t1us)").as("t1"),
+        expr("timestamp_micros(t2us)").as("t2"),
+        expr("timestamp_micros(t3us)").as("t3")))
+
+  /** DuckDB twin: the [[graft.operators.Events.eventFunnelOracle]] CTE
+    * chain at the per-user grain, left-joined so non-converting viewers
+    * keep their NULL steps. */
+  val funnelUsersOracle: String =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |    WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |    FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |    WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |    FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id)
+      |SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+      |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin
 }

@@ -253,4 +253,30 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("streaming funnel: sealed per-user rows equal the batch chained-min funnel") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.runFunnelUsersBatch(spark, sf)
+      .selectExpr("user_id", "CAST(t1 AS STRING)", "CAST(t2 AS STRING)", "CAST(t3 AS STRING)")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    // batch twin, computed independently with DataFrame chained mins
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" >= $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id").filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val want = t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .selectExpr("user_id", "CAST(t1 AS STRING)", "CAST(t2 AS STRING)", "CAST(t3 AS STRING)")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(got.size === want.size)
+    assert(got === want)
+    // sanity: rows exist and at least some funnels completed (at the
+    // tiny test SF every viewer happens to convert — the null pattern is
+    // pinned by the set equality above, not assumed here)
+    assert(got.nonEmpty && got.exists(_._4.nonEmpty))
+  }
 }
