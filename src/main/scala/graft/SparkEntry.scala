@@ -104,6 +104,8 @@ object SparkEntry {
       "train_curriculum_order" -> (Sampling.curriculumOrder _),
       "curation_pipeline" -> ((s, d) => Sampling.curationPipeline(s, d)),
       "pack_sequences"    -> (Sampling.packSequences _),
+      // source formats
+      "source_jsonl_roundtrip" -> (graft.sources.Writers.jsonlRoundtrip _),
       // multimodal plumbing
       "multimodal_decode_meta" -> (Multimodal.decodeMeta _),
       "multimodal_features"    -> (Multimodal.extractFeatures _),
@@ -201,6 +203,7 @@ object SparkEntry {
       "train_curriculum_order" -> Sampling.curriculumOrderOracle,
       "curation_pipeline" -> Sampling.curationPipelineOracle,
       "pack_sequences"    -> Sampling.packSequencesOracle,
+      "source_jsonl_roundtrip" -> graft.sources.Writers.jsonlRoundtripOracle,
       "multimodal_decode_meta" -> Multimodal.decodeMetaOracle,
       "multimodal_resize"      -> Multimodal.resizePayloadsOracle,
       "multimodal_frame_sample" -> Multimodal.frameSampleOracle,

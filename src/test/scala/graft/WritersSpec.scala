@@ -36,4 +36,21 @@ class WritersSpec extends SparkTestBase {
       .select($"o_orderkey").as[Long].collect()
     assert(first.toSeq === first.sorted.toSeq)
   }
+
+  test("JSONL round-trip is lossless on escaping, unicode, and types") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text", "en", "src0", 10L),
+      (2L, "quotes \" and \\ backslash", "en", "src0", 24L),
+      (3L, "tab\there newline-free but control  char", "en", "src1", 40L),
+      (4L, "unicode: 中文 émojis 😀 ḟancy", "zh", "src1", 25L),
+      (5L, "{\"looks\": \"like json\"}", "en", "src2", 22L),
+      (6L, "", "en", "src2", 0L), // empty text must survive, not become null
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = s"target/jsonl_rt_spec/${java.lang.Long.toHexString(System.nanoTime())}"
+    val back = graft.sources.Writers.jsonlRoundtripOf(nasty, path)
+      .as[(Long, String, String, String, Long)].collect().toSet
+    val want = nasty.as[(Long, String, String, String, Long)].collect().toSet
+    assert(back === want)
+  }
 }
