@@ -600,21 +600,27 @@ object Corpus {
     * algebra, same evaluation order), only the per-doc sum crosses the
     * 4dp rounding; the gopher label predicate is the integer-space form
     * whose parity [[TextOps.gopherRulesOracle]] already pins. */
+  /** The Gopher-rule keep predicate over a `text` column, as DuckDB SQL —
+    * the exact integer-space form [[graft.operators.TextOps.gopherRulesOracle]]
+    * pins; shared by [[nbQualityOracle]] and [[datasetCardOracle]]. */
+  private[graft] val gopherPosSql: String =
+    """(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) >= 50
+      |     AND CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) <= 100000
+      |     AND CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), x -> length(x))) AS BIGINT)
+      |         BETWEEN 3 * len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |             AND 10 * len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |     AND (CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |          + (length(text) - length(replace(text, '...', ''))) // 3) * 10
+      |         <= len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |     AND CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 5
+      |         >= CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) * 4
+      |     AND len(list_intersect(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), ['the','a','of','and','to','in','is','it'])) >= 2
+      |    )""".stripMargin
+
   val nbQualityOracle: String =
     s"""WITH lab AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
-       |    (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) >= 50
-       |     AND CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) <= 100000
-       |     AND CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> length(x))) AS BIGINT)
-       |         BETWEEN 3 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-       |             AND 10 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-       |     AND (CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-       |          + (length(text) - length(replace(text, '...', ''))) // 3) * 10
-       |         <= len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-       |     AND CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 5
-       |         >= CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) * 4
-       |     AND len(list_intersect(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ['the','a','of','and','to','in','is','it'])) >= 2
-       |    ) AS pos
+       |    $gopherPosSql AS pos
        |  FROM documents),
        |tb AS (SELECT doc_id, pos,
        |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % $DsirBuckets AS bucket
@@ -636,6 +642,79 @@ object Corpus {
        |  round(ln((pr.d_pos + 1) / (pr.d_neg + 1)) + sum(db.c * m.lw), 4) + 0.0 AS nb_logodds
        |FROM db JOIN m USING (bucket) CROSS JOIN pr
        |GROUP BY db.doc_id, pr.d_pos, pr.d_neg""".stripMargin
+
+  // -------------------------------------------------------- dataset card
+  /** Per-source dataset-card summary — the quantitative table a corpus
+    * release ships (datasheet/data-statement practice): doc counts,
+    * token mass and corpus share, language spread, mean document length,
+    * and the Gopher-rule keep rate per source. One row per source, all
+    * ratios in exact integer micro-units.
+    *
+    * Scale shape: ONE scan computes every per-doc signal (token mass =
+    * the ceil-quarter convention shared with [[lmBits]]; the gopher
+    * verdict inline, as in [[nbQuality]]), map-side combines into the
+    * \|sources\|-row aggregate, and the corpus total rides one scalar
+    * subquery broadcast. Output is bounded by \|sources\| at any corpus
+    * size. */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    datasetCardOf(Tables.documents(s, d))
+
+  private[graft] def datasetCardOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perDoc = docs
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"))
+      .withColumn("n_sym", expr(
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
+          "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(array_intersect(toks, array('the','a','of','and','to','in','is','it')))")
+        .cast("long"))
+      .withColumn("keep",
+        $"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
+          $"n_sym" * 10 <= $"n_words" &&
+          $"n_alpha" * 5 >= $"n_words" * 4 &&
+          $"n_stop" >= 2L)
+      .select($"source", $"lang", $"n_chars",
+        expr("(n_chars + 3) div 4").as("tok"), $"keep")
+    val bySource = perDoc.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"tok").as("token_mass"),
+      countDistinct($"lang").as("n_langs"),
+      sum($"n_chars").as("sum_chars"),
+      sum(when($"keep", 1L).otherwise(0L)).as("n_keep"))
+    val total = bySource.agg(sum($"token_mass").as("mass_total"))
+    bySource.crossJoin(broadcast(total))
+      .select($"source", $"n_docs", $"token_mass", $"n_langs",
+        expr("(token_mass * 1000000) div mass_total").as("share_micros"),
+        expr("sum_chars div n_docs").as("mean_chars"),
+        expr("(n_keep * 1000000) div n_docs").as("gopher_keep_micros"))
+  }
+
+  /** DuckDB twin of [[datasetCard]] — the [[gopherPosSql]] predicate,
+    * the lmBits ceil-quarter token mass, integer `//` ratios. */
+  val datasetCardOracle: String =
+    s"""WITH pd AS (SELECT source, lang, n_chars,
+       |    CAST((n_chars + 3) // 4 AS BIGINT) AS tok,
+       |    $gopherPosSql AS keep
+       |  FROM documents),
+       |b AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS token_mass,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM pd GROUP BY source),
+       |t AS (SELECT CAST(sum(token_mass) AS BIGINT) AS mass_total FROM b)
+       |SELECT source, n_docs, token_mass, n_langs,
+       |  CAST((token_mass * 1000000) // t.mass_total AS BIGINT) AS share_micros,
+       |  CAST(sum_chars // n_docs AS BIGINT) AS mean_chars,
+       |  CAST((n_keep * 1000000) // n_docs AS BIGINT) AS gopher_keep_micros
+       |FROM b CROSS JOIN t""".stripMargin
 
   /** Cross-source duplication-leakage matrix: for every pair of sources,
     * how many winnowing fingerprints (MOSS scheme, [[TextOps.winnowFingerprints]])

@@ -344,6 +344,26 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("dataset card: exact per-source masses, shares, langs, and keep rates") {
+    val good = (Seq("the", "a", "of", "and") ++ (1 to 46).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good, "en", "sa", good.length.toLong),
+      (2L, "tiny", "en", "sa", 4L),
+      (3L, "small doc", "de", "sb", 9L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.datasetCardOf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val tokGood = (good.length + 3) / 4
+    val massA = tokGood + 1 // "tiny" = 4 chars → 1 token
+    val massB = 3           // 9 chars → ceil-quarter 3
+    val total = massA + massB
+    assert(got("sa") === ("sa", 2L, massA.toLong, 1L,
+      massA.toLong * 1000000 / total, (good.length + 4) / 2L, 500000L))
+    assert(got("sb") === ("sb", 1L, massB.toLong, 1L,
+      massB.toLong * 1000000 / total, 9L, 0L))
+  }
+
   test("NB quality classifier equals the in-JVM multinomial-NB reference") {
     // labels are the gopher rules: docs 1-2 pass (50 words, stopwords,
     // sane lengths), doc 3 is too short, doc 4 has no stopwords, doc 5
