@@ -214,6 +214,60 @@ object Events {
         expr("(n * 1000000) div row_total").as("p_micros"))
   }
 
+  /** Hour width of the deterministic timeline buckets the skew-resistant
+    * transition counter splits each user's history into. */
+  val TransBucketUs: Long = 3600L * 1000000L
+
+  /** Skew-resistant [[typeTransitions]]: identical output, no hot-user
+    * straggler. The plain form sorts each user's WHOLE timeline in one
+    * window partition — a user owning half the stream becomes one task
+    * (measured: 2.3× at 50 % heat, sf1). This form splits every
+    * timeline into FIXED hour buckets:
+    *
+    *   1. within-(user, bucket) windows emit the in-bucket consecutive
+    *      pairs — parallelism = users × active hours, and a bucket holds
+    *      at most one hour of one user's events regardless of how hot
+    *      the user is;
+    *   2. a per-(user, bucket) aggregate keeps only each bucket's FIRST
+    *      and LAST event (min_by/max_by on the (ts, event_id) order);
+    *   3. a per-user window over that O(hours)-row frame stitches the
+    *      boundary pairs (bucket's last → next non-empty bucket's first).
+    *
+    * Fixed bucket edges make the split DETERMINISTIC (range-partition
+    * sampling would re-draw boundaries per pass), the transition
+    * multiset is split-invariant, and nothing is collected — the
+    * [[graft.streaming.EventStream.sessionizeSkewResistant]] design
+    * applied to the Markov counter. */
+  def typeTransitionsSkewResistant(s: SparkSession, d: String): DataFrame =
+    typeTransitionsSkewResistantOf(Tables.events(s, d))
+
+  private[graft] def typeTransitionsSkewResistantOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = ev0.select($"user_id", $"event_type", $"ts", $"event_id",
+      expr(s"unix_micros(ts) div $TransBucketUs").as("bucket"))
+    val wIn = Window.partitionBy($"user_id", $"bucket").orderBy($"ts", $"event_id")
+    val inBucket = ev
+      .withColumn("next_type", lead($"event_type", 1).over(wIn))
+      .filter($"next_type".isNotNull)
+      .select($"event_type".as("from_type"), $"next_type".as("to_type"))
+    val edges = ev.groupBy($"user_id", $"bucket").agg(
+      min_by($"event_type", struct($"ts", $"event_id")).as("first_type"),
+      max_by($"event_type", struct($"ts", $"event_id")).as("last_type"))
+    val wU = Window.partitionBy($"user_id").orderBy($"bucket")
+    val boundary = edges
+      .withColumn("next_first", lead($"first_type", 1).over(wU))
+      .filter($"next_first".isNotNull)
+      .select($"last_type".as("from_type"), $"next_first".as("to_type"))
+    val trans = inBucket.unionAll(boundary)
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"from_type").agg(sum($"n").as("row_total"))
+    trans.join(broadcast(totals), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        expr("(n * 1000000) div row_total").as("p_micros"))
+  }
+
   /** DuckDB twin of [[typeTransitions]] — same (ts, event_id) total
     * order, same integer micro-probabilities. */
   val typeTransitionsOracle: String =

@@ -94,6 +94,30 @@ class EventsSpec extends SparkTestBase {
     ))
   }
 
+  test("skew-resistant transitions equal the plain form, including bucket-boundary pairs") {
+    // user 1 crosses three hour buckets with an empty bucket in between:
+    // the boundary stitch must pair 00:59 → 02:01 across the gap
+    val ev = Seq(
+      (1L, 1L, "view", ts("2026-01-01 00:10:00")),
+      (2L, 1L, "click", ts("2026-01-01 00:59:59")),
+      (3L, 1L, "purchase", ts("2026-01-01 02:01:00")),
+      (4L, 1L, "view", ts("2026-01-01 02:30:00")),
+      // user 2: same-timestamp tie inside one bucket
+      (5L, 2L, "view", ts("2026-01-01 05:00:00")),
+      (6L, 2L, "error", ts("2026-01-01 05:00:00")),
+      // user 3: one event per bucket — ALL pairs are boundary pairs
+      (7L, 3L, "view", ts("2026-01-01 10:30:00")),
+      (8L, 3L, "click", ts("2026-01-01 11:30:00")),
+      (9L, 3L, "purchase", ts("2026-01-01 12:30:00")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val plain = Events.typeTransitionsOf(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    val skewres = Events.typeTransitionsSkewResistantOf(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(skewres === plain)
+    assert(plain.contains(("click", "purchase", 2L, 1000000L))) // both boundary-crossing
+  }
+
   test("retention cohorts by first-seen day with exact day offsets") {
     val ev = Seq(
       (1L, "view", ts("2026-01-01 09:00:00")),
