@@ -61,4 +61,89 @@ object Writers {
     * the round trip lost nothing. */
   val jsonlRoundtripOracle: String =
     "SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents"
+
+  // ------------------------------------------------------ Z-order layout
+  /** Bits interleaved per dimension: each column is first normalized
+    * into 2^[[ZBits]] equal-width buckets over its observed range, so
+    * dimensions of wildly different cardinalities (a 150-value key next
+    * to a 2,400-day range) interleave at matched resolution — skipping
+    * this is the classic z-order failure mode (the narrow column's high
+    * bits are all zero and the curve degenerates to a single-column
+    * sort; measured exactly that on the first cut: full custkey spread
+    * per window). Delta/Iceberg OPTIMIZE ZORDER normalizes the same way
+    * via per-column range ids. */
+  val ZBits = 8
+
+  /** Morton/Z-value of two dimension keys: bit i of `a` lands at output
+    * bit 2i, bit i of `b` at 2i+1 — the space-filling-curve interleave
+    * that makes one sort order serve range predicates on BOTH columns.
+    * Emitted per dialect from the same unrolled integer expression, so
+    * Spark and DuckDB compute identical values. */
+  private def zExpr(a: String, b: String, spark: Boolean): String =
+    (0 until ZBits).flatMap { i =>
+      if (spark) Seq(
+        s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")
+      else Seq(
+        s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Z-order layout index over orders: interleave the customer key and
+    * the order date (epoch days) so ONE clustered write serves range
+    * scans on either dimension — the lakehouse data-layout technique
+    * (Delta/Iceberg OPTIMIZE ZORDER) for the 100 TB case where a table
+    * has two hot predicates and only one physical sort order to spend.
+    * Pair with [[writeSortedClustered]] on `z`: parquet min/max footers
+    * then bound BOTH key ranges per file, so either predicate prunes
+    * whole files.
+    *
+    * Map-only (census 0/0): the z-value is a pure integer function of
+    * the row, and the DuckDB twin evaluates the same unrolled interleave
+    * bit-for-bit. */
+  def zorderIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val orders = graft.core.Tables.orders(s, d)
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS day_no")
+    val bounds = orders.selectExpr(
+      "min(o_custkey) AS cmin", "max(o_custkey) AS cmax",
+      "min(day_no) AS dmin", "max(day_no) AS dmax")
+    val n = 1 << ZBits
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("cb", expr(s"((o_custkey - cmin) * $n) div (cmax - cmin + 1)"))
+      .withColumn("db", expr(s"((day_no - dmin) * $n) div (dmax - dmin + 1)"))
+      .selectExpr("o_orderkey", "cb", "db",
+        s"CAST(${zExpr("cb", "db", spark = true)} AS BIGINT) AS z")
+  }
+
+  /** DuckDB twin of [[zorderIndex]] — the same normalization and
+    * interleave in DuckDB's native shift operators. */
+  val zorderIndexOracle: String = {
+    val n = 1 << ZBits
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no
+       |  FROM orders),
+       |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+       |             min(day_no) AS dmin, max(day_no) AS dmax FROM o),
+       |nb AS (SELECT o_orderkey,
+       |    CAST(((o_custkey - cmin) * $n) // (cmax - cmin + 1) AS BIGINT) AS cb,
+       |    CAST(((day_no - dmin) * $n) // (dmax - dmin + 1) AS BIGINT) AS db
+       |  FROM o CROSS JOIN b)
+       |SELECT o_orderkey, cb, db,
+       |  CAST(${zExpr("cb", "db", spark = false)} AS BIGINT) AS z
+       |FROM nb""".stripMargin
+  }
+
+  /** In-JVM reference of the same interleave, for the locality spec. */
+  private[graft] def zValue(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < ZBits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }

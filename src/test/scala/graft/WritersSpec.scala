@@ -37,6 +37,40 @@ class WritersSpec extends SparkTestBase {
     assert(first.toSeq === first.sorted.toSeq)
   }
 
+  test("z-order: interleave exact vs JVM replay; windows of the curve stay spatially local") {
+    import graft.sources.Writers
+    // hand-pinned interleave: a=0b11 → bits 0,2; b=0b01 → bit 1 ⇒ 0b111=7
+    assert(Writers.zValue(3L, 1L) === 7L)
+    assert(Writers.zValue(0L, 3L) === 10L) // b bits land at 1 and 3
+    val rows = Writers.zorderIndex(spark, sf)
+      .selectExpr("cb", "db", "z")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (c, d, z) => assert(z === Writers.zValue(c, d)) }
+    assert(rows.forall { case (c, d, _) =>
+      c >= 0 && c < (1 << Writers.ZBits) && d >= 0 && d < (1 << Writers.ZBits)
+    })
+    // locality: consecutive windows of the z-sorted curve keep BOTH
+    // per-dimension spreads to a fraction of their domains — the
+    // property that lets one physical sort order prune range scans on
+    // either column. A single-column sort cannot: its windows pin one
+    // dimension and span the ENTIRE other domain.
+    def medianSpreads(ws: Iterator[Array[(Long, Long, Long)]]): (Double, Double) = {
+      val s = ws.map(w => ((w.map(_._1).max - w.map(_._1).min).toDouble,
+        (w.map(_._2).max - w.map(_._2).min).toDouble)).toSeq
+      (s.map(_._1).sorted.apply(s.size / 2), s.map(_._2).sorted.apply(s.size / 2))
+    }
+    val cDom = (rows.map(_._1).max - rows.map(_._1).min).toDouble
+    val dDom = (rows.map(_._2).max - rows.map(_._2).min).toDouble
+    val (zc, zd) = medianSpreads(
+      rows.sortBy(_._3).grouped(64).filter(_.length == 64))
+    val (_, lc) = medianSpreads(
+      rows.sortBy(r => (r._1, r._2)).grouped(64).filter(_.length == 64))
+    info(f"z-windows: cust spread $zc%.0f/$cDom%.0f, day spread $zd%.0f/$dDom%.0f; " +
+      f"custkey-sorted windows: day spread $lc%.0f/$dDom%.0f")
+    assert(zc < cDom / 2 && zd < dDom / 2) // z bounds BOTH dimensions
+    assert(lc > dDom * 0.9)                // linear sort pays full range on dim 2
+  }
+
   test("JSONL round-trip is lossless on escaping, unicode, and types") {
     import spark.implicits._
     val nasty = Seq(
