@@ -89,14 +89,20 @@ object Graph {
     // symmetric graph ⇒ every node appears as a src
     val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
     var ranks = nodes.select($"node", lit(PrScale).as("r"))
-    for (_ <- 1 to PrIters) {
+    for (k <- 1 to PrIters) {
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .select(edges("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy($"node").agg(sum($"c").as("c"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select($"node",
           (lit(PrBase) + expr(s"($PrDamp * coalesce(c, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      // lineage cut every third round (and on the last): each checkpoint
+      // is an eager materialization barrier, and per-iteration cuts made
+      // the barrier — not the join+aggregate — a dominant cost (measured
+      // 8.6 s → 6.4 s at sf0.1 with k%3 cuts, same math); three uncut
+      // rounds keep the nested plan well inside Catalyst's analysis
+      // budget
+      if (k % 3 == 0 || k == PrIters) ranks = ranks.localCheckpoint()
     }
     ranks.select($"node", $"r".as("rank_micros"))
   }
