@@ -550,26 +550,8 @@ object Corpus {
   private[graft] def nbQualityOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val B = DsirBuckets
-    val labeled = docs
-      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      .withColumn("n_words", size($"toks").cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"))
-      .withColumn("n_sym", expr(
-        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
-          "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
-      .withColumn("n_alpha",
-        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
-      .withColumn("n_stop", expr(
-        "size(array_intersect(toks, array('the','a','of','and','to','in','is','it')))")
-        .cast("long"))
-      .withColumn("pos",
-        $"n_words" >= 50L && $"n_words" <= 100000L &&
-          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
-          $"n_sym" * 10 <= $"n_words" &&
-          $"n_alpha" * 5 >= $"n_words" * 4 &&
-          $"n_stop" >= 2L)
-      .select($"doc_id", $"pos", $"toks")
+    val labeled = TextOps.withGopherMetrics(docs)
+      .select($"doc_id", $"gopher_keep".as("pos"), $"toks")
     val toks = labeled.select($"doc_id", $"pos", explode($"toks").as("word"))
       .withColumn("bucket",
         conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % B)
@@ -595,11 +577,6 @@ object Corpus {
         (round(log(($"d_pos" + 1) / ($"d_neg" + 1)) + $"evid", 4) + lit(0.0)).as("nb_logodds"))
   }
 
-  /** DuckDB twin of [[nbQuality]] — the [[dsirWeightsOracle]] float
-    * discipline: per-bucket log-weights are bit-equal (same smoothing
-    * algebra, same evaluation order), only the per-doc sum crosses the
-    * 4dp rounding; the gopher label predicate is the integer-space form
-    * whose parity [[TextOps.gopherRulesOracle]] already pins. */
   /** The Gopher-rule keep predicate over a `text` column, as DuckDB SQL —
     * the exact integer-space form [[graft.operators.TextOps.gopherRulesOracle]]
     * pins; shared by [[nbQualityOracle]] and [[datasetCardOracle]]. */
@@ -617,6 +594,12 @@ object Corpus {
       |     AND len(list_intersect(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), ['the','a','of','and','to','in','is','it'])) >= 2
       |    )""".stripMargin
 
+  /** DuckDB twin of [[nbQuality]] — the [[dsirWeightsOracle]] float
+    * discipline: per-bucket log-weights are bit-equal (same smoothing
+    * algebra, same evaluation order), only the per-doc sum crosses the
+    * 4dp rounding; the gopher label predicate is [[gopherPosSql]], the
+    * integer-space form whose parity [[TextOps.gopherRulesOracle]]
+    * already pins. */
   val nbQualityOracle: String =
     s"""WITH lab AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
@@ -661,27 +644,9 @@ object Corpus {
 
   private[graft] def datasetCardOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val perDoc = docs
-      .withColumn("toks", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      .withColumn("n_words", size($"toks").cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"))
-      .withColumn("n_sym", expr(
-        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
-          "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
-      .withColumn("n_alpha",
-        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
-      .withColumn("n_stop", expr(
-        "size(array_intersect(toks, array('the','a','of','and','to','in','is','it')))")
-        .cast("long"))
-      .withColumn("keep",
-        $"n_words" >= 50L && $"n_words" <= 100000L &&
-          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
-          $"n_sym" * 10 <= $"n_words" &&
-          $"n_alpha" * 5 >= $"n_words" * 4 &&
-          $"n_stop" >= 2L)
+    val perDoc = TextOps.withGopherMetrics(docs)
       .select($"source", $"lang", $"n_chars",
-        expr("(n_chars + 3) div 4").as("tok"), $"keep")
+        expr("(n_chars + 3) div 4").as("tok"), $"gopher_keep".as("keep"))
     val bySource = perDoc.groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
       sum($"tok").as("token_mass"),

@@ -152,7 +152,12 @@ object Events {
     val moments = wc.groupBy($"event_type").agg(
       count(lit(1)).as("n_w"),
       sum($"n_events").as("s"),
-      sum($"n_events" * $"n_events").as("q"))
+      // q accumulates in DECIMAL(38,0) from the first multiply: a
+      // sustained ~1e8-events/hour type crosses 2^63 on sum(c²) and
+      // Spark's non-ANSI long arithmetic would wrap SILENTLY while the
+      // oracle's HUGEINT keeps going — the headroom the z-test below
+      // claims has to start here, not at the comparison cast
+      sum($"n_events".cast("decimal(38,0)") * $"n_events").as("q"))
     wc.join(broadcast(moments), "event_type")
       .filter(expr(
         "(n_events * n_w - s) > 0 AND " +
@@ -168,7 +173,8 @@ object Events {
     """WITH wc AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
       |    count(*) AS c FROM events GROUP BY 1, 2),
       |st AS (SELECT event_type, count(*) AS n_w,
-      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS q
       |  FROM wc GROUP BY event_type)
       |SELECT wc.event_type, wc.window_start, wc.c AS n_events,
       |  CAST((st.s * 1000) // st.n_w AS BIGINT) AS mean_milli

@@ -439,9 +439,14 @@ object TextOps {
   def gopherRules(s: SparkSession, d: String): DataFrame =
     gopherRulesOf(Tables.documents(s, d))
 
-  /** [[gopherRules]] over an arbitrary (doc_id, text) frame — the
-    * boundary-value spec's entry (each rule pinned AT its threshold). */
-  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+  /** The Gopher metric columns over a frame with a `text` column:
+    * `toks`, `n_words`, `sum_len`, `n_sym`, `n_alpha`, `n_stop`, and the
+    * combined `gopher_keep` verdict — THE one Scala copy of the rule
+    * predicate ([[graft.operators.Corpus.gopherPosSql]] is its one SQL
+    * twin); [[gopherRulesOf]], `Corpus.nbQualityOf`, and
+    * `Corpus.datasetCardOf` all read these columns rather than
+    * re-deriving the thresholds. */
+  private[graft] def withGopherMetrics(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val stop = "'the','a','of','and','to','in','is','it'"
@@ -457,16 +462,26 @@ object TextOps {
         expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long"))
       .withColumn("n_stop",
         expr(s"size(array_intersect(toks, array($stop)))").cast("long"))
+      .withColumn("gopher_keep",
+        $"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
+          $"n_sym" * 10 <= $"n_words" &&
+          $"n_alpha" * 5 >= $"n_words" * 4 &&
+          $"n_stop" >= 2L)
+  }
+
+  /** [[gopherRules]] over an arbitrary (doc_id, text) frame — the
+    * boundary-value spec's entry (each rule pinned AT its threshold). */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    withGopherMetrics(docs)
       .select($"doc_id", $"n_words",
         Dedup.ratio4("sum_len", "n_words").as("mean_word_len"),
         Dedup.ratio4("n_sym", "n_words").as("symbol_ratio"),
         Dedup.ratio4("n_alpha", "n_words").as("alpha_frac"),
         $"n_stop".as("n_stop_distinct"),
-        ($"n_words" >= 50L && $"n_words" <= 100000L &&
-          $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10 &&
-          $"n_sym" * 10 <= $"n_words" &&
-          $"n_alpha" * 5 >= $"n_words" * 4 &&
-          $"n_stop" >= 2L).as("keep"))
+        $"gopher_keep".as("keep"))
   }
 
   /** DuckDB twin of [[gopherRules]] — same integer-space thresholds, same

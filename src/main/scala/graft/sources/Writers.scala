@@ -98,9 +98,11 @@ object Writers {
     * then bound BOTH key ranges per file, so either predicate prunes
     * whole files.
     *
-    * Map-only (census 0/0): the z-value is a pure integer function of
-    * the row, and the DuckDB twin evaluates the same unrolled interleave
-    * bit-for-bit. */
+    * Plan shape: one scan feeding a 1-row min/max bounds aggregate that
+    * rides back as a scalar-subquery broadcast (census 1 exchange / 1
+    * broadcast, exempted BNLJ), then the z-value itself is a pure
+    * integer projection; the DuckDB twin evaluates the same unrolled
+    * interleave bit-for-bit. */
   def zorderIndex(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, expr}
     val orders = graft.core.Tables.orders(s, d)

@@ -599,8 +599,16 @@ object EventStream {
                                  lastUs: Long)
 
   /** Funnel seal gap: a user's funnel is evaluated once the watermark is
-    * 3 h past their last event. */
-  val FunnelGapMs: Long = 3L * 3600 * 1000
+    * 2.5 h past their last event. The gap must exceed the 2 h watermark
+    * delay (or sealing admits disorder the watermark still allows) and
+    * sit STRICTLY below the first sentinel's +3 h watermark advance:
+    * event-time timeouts fire on `timeoutTimestamp < watermark` (strict),
+    * so a 3 h gap would leave the user owning the corpus-max event to
+    * seal only in the trailing no-data micro-batch — the exact
+    * `processAllAvailable()`/`stop()` race the sentinel design exists to
+    * avoid (see [[stagedSentinelStream]]). 2.5 h keeps a 30-minute
+    * margin, the [[windowTopKTypes]] discipline. */
+  val FunnelGapMs: Long = 150L * 60 * 1000
 
   /** Streaming per-user conversion funnel — the stream twin of
     * [[graft.operators.Events.eventFunnel]]'s user stage: one row per
@@ -648,12 +656,15 @@ object EventStream {
             var st = state.getOption.getOrElse(
               FunnelState(Long.MaxValue, Nil, Nil, Long.MinValue))
             rows.foreach { e =>
+              // O(1) prepend — an append (:+) copies the whole List per
+              // event, turning a hot user's single-batch fold quadratic;
+              // order is irrelevant because seal sorts
               st = e.event_type match {
                 case "view"     => st.copy(minViewUs = math.min(st.minViewUs, e.us),
                   lastUs = math.max(st.lastUs, e.us))
-                case "click"    => st.copy(clicks = st.clicks :+ e.us,
+                case "click"    => st.copy(clicks = e.us +: st.clicks,
                   lastUs = math.max(st.lastUs, e.us))
-                case "purchase" => st.copy(purchases = st.purchases :+ e.us,
+                case "purchase" => st.copy(purchases = e.us +: st.purchases,
                   lastUs = math.max(st.lastUs, e.us))
                 case _          => st.copy(lastUs = math.max(st.lastUs, e.us))
               }
@@ -672,9 +683,11 @@ object EventStream {
   }
 
   /** Gate form of [[funnelUsers]]: the sentinel-flushed Append file sink
-    * ([[stagedSentinelStream]] + [[runAppendToFileSink]]) — the second
-    * sentinel's watermark (+6 h − 2 h delay) clears every real user's
-    * +3 h seal, so all funnels land in the distributed sink. Sentinel
+    * ([[stagedSentinelStream]] + [[runAppendToFileSink]]) — the FIRST
+    * sentinel's watermark (+5 h − 2 h delay = +3 h) strictly clears
+    * every real user's +2.5 h seal, so the second sentinel's data batch
+    * fires all the timeouts and every funnel lands in the distributed
+    * sink before the query stops. Sentinel
     * events carry no view/click/purchase types, so they can neither
     * start a funnel nor perturb one. */
   def runFunnelUsersBatch(s: SparkSession, d: String): DataFrame =
