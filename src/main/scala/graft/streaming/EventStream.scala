@@ -698,6 +698,52 @@ object EventStream {
         expr("timestamp_micros(t2us)").as("t2"),
         expr("timestamp_micros(t3us)").as("t3")))
 
+  // --------------------------------------------- stream-stream interval join
+  /** Stream-stream INTERVAL JOIN: every (view, click) pair of the same
+    * user with the click inside 30 minutes after the view — the
+    * attribution join, run with BOTH sides unbounded. This is the one
+    * Structured Streaming capability the rest of the module doesn't
+    * exercise: symmetric join state on both streams, bounded by the
+    * watermark plus the interval condition (Spark derives each side's
+    * state-eviction bound from `click.ts BETWEEN view.ts AND view.ts +
+    * 30 min` — views older than watermark − 30 min and clicks older
+    * than the watermark are dropped from state).
+    *
+    * Inner joins emit eagerly on match (no watermark wait), so the gate
+    * runs the Append file sink directly; the sentinels exist only to
+    * let the final stateful eviction happen before stop — result rows
+    * are all out by then. Both sides are branches of ONE staged source
+    * stream (a supported stream self-join), keyed on `user_id` in the
+    * equi-condition so the state store partitions by user. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    views.join(clicks,
+        expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_micros"))
+  }
+
+  /** Gate form of [[intervalJoin]] through the sentinel-staged source
+    * and the Append file sink. */
+  def runIntervalJoinBatch(s: SparkSession, d: String): DataFrame =
+    runAppendToFileSink(s, intervalJoin(stagedSentinelStream(s, d)))
+
+  /** DuckDB twin: the plain batch interval join. */
+  val intervalJoinOracle: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_micros
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin
+
   /** DuckDB twin: the [[graft.operators.Events.eventFunnelOracle]] CTE
     * chain at the per-user grain, left-joined so non-converting viewers
     * keep their NULL steps. */

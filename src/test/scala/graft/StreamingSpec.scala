@@ -254,6 +254,25 @@ class StreamingSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.runIntervalJoinBatch(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = graft.core.Tables.events(spark, sf)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val want = v.join(c, $"user_id" === $"cu" &&
+        $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"view_id", $"click_id",
+        (unix_micros($"c_ts") - unix_micros($"v_ts")).as("lag"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 30L * 60 * 1000000))
+  }
+
   test("streaming funnel: sealed per-user rows equal the batch chained-min funnel") {
     import org.apache.spark.sql.functions._
     val got = EventStream.runFunnelUsersBatch(spark, sf)
