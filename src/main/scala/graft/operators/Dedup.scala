@@ -1623,4 +1623,62 @@ object Dedup {
        |SELECT lab.doc_id, lab.cluster,
        |  (lab.doc_id = best.best_id) AS keep
        |FROM lab JOIN best USING (cluster)""".stripMargin
+
+  // ------------------------------------------- contamination report rollup
+  /** Per-document contamination REPORT: the four decontamination passes'
+    * verdicts (exact gram containment, Bloom probe, MinHash fuzzy
+    * near-twin, embedding-cosine semantic) rolled into one row per
+    * flagged document plus an agreement count — the artifact a release
+    * review actually reads, and the cross-method disagreement surface
+    * (a doc flagged semantically but by no lexical pass is a paraphrase;
+    * lexically but not semantically, boilerplate). `train_vec` ids are
+    * the documents' ids by the corpus convention (embeddings row i
+    * embeds document i).
+    *
+    * Scale shape: each pass emits only its FLAGGED set (tiny vs the
+    * corpus), and the rollup is three full outer joins over those sets —
+    * the corpus-sized work happens once inside each already-oracled
+    * pass, nothing new is quadratic, and the report is bounded by the
+    * union of flags. */
+  def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def flagged(df: DataFrame, idCol: String, flag: String): DataFrame =
+      df.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .withColumn(flag, lit(true))
+    flagged(contamination(s, d), "train_doc", "f_exact")
+      .join(flagged(bloomContamination(s, d), "train_doc", "f_bloom"),
+        Seq("doc_id"), "full")
+      .join(flagged(fuzzyContamination(s, d), "train_doc", "f_fuzzy"),
+        Seq("doc_id"), "full")
+      .join(flagged(semanticContamination(s, d), "train_vec", "f_semantic"),
+        Seq("doc_id"), "full")
+      .select($"doc_id",
+        coalesce($"f_exact", lit(false)).as("f_exact"),
+        coalesce($"f_bloom", lit(false)).as("f_bloom"),
+        coalesce($"f_fuzzy", lit(false)).as("f_fuzzy"),
+        coalesce($"f_semantic", lit(false)).as("f_semantic"))
+      .withColumn("n_methods",
+        ($"f_exact".cast("int") + $"f_bloom".cast("int") +
+          $"f_fuzzy".cast("int") + $"f_semantic".cast("int")).cast("long"))
+  }
+
+  /** DuckDB twin of [[contaminationReport]]: the four already-pinned
+    * oracles as derived tables (nested WITH), full-outer-joined on the
+    * coalescing USING key. */
+  val contaminationReportOracle: String = {
+    def leg(oracle: String, idCol: String, flag: String): String =
+      s"(SELECT DISTINCT CAST($idCol AS BIGINT) AS doc_id, true AS $flag FROM ($oracle))"
+    s"""SELECT doc_id,
+       |  coalesce(f_exact, false) AS f_exact,
+       |  coalesce(f_bloom, false) AS f_bloom,
+       |  coalesce(f_fuzzy, false) AS f_fuzzy,
+       |  coalesce(f_semantic, false) AS f_semantic,
+       |  CAST(coalesce(CAST(f_exact AS INT), 0) + coalesce(CAST(f_bloom AS INT), 0)
+       |     + coalesce(CAST(f_fuzzy AS INT), 0) + coalesce(CAST(f_semantic AS INT), 0)
+       |    AS BIGINT) AS n_methods
+       |FROM ${leg(contaminationOracle, "train_doc", "f_exact")} ex
+       |FULL JOIN ${leg(bloomContaminationOracle, "train_doc", "f_bloom")} bl USING (doc_id)
+       |FULL JOIN ${leg(fuzzyContaminationOracle, "train_doc", "f_fuzzy")} fz USING (doc_id)
+       |FULL JOIN ${leg(semanticContaminationOracle, "train_vec", "f_semantic")} sm USING (doc_id)""".stripMargin
+  }
 }

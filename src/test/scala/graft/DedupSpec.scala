@@ -457,4 +457,25 @@ class DedupSpec extends SparkTestBase {
     got.foreach { case (t, e, c) =>
       assert(allPairs.get((e, t)).contains(c), s"pair ($e,$t)") }
   }
+
+  test("contamination report: union of the four pass verdicts, agreement count exact") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01" // sf0.001 has too few docs to flag
+    val rep = Dedup.contaminationReport(spark, d)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Long)].collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (id, e, b, f, s2, n) =>
+      assert(n === Seq(e, b, f, s2).count(identity).toLong, s"doc $id")
+      assert(n >= 1L, s"doc $id carries no flag") // report = union of flags
+    }
+    // each method's flag column reproduces that operator's flagged set
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      df.selectExpr(s"CAST($c AS BIGINT)").distinct().as[Long].collect().toSet
+    val byCol = Map(
+      ids(Dedup.contamination(spark, d), "train_doc") -> rep.filter(_._2).map(_._1),
+      ids(Dedup.bloomContamination(spark, d), "train_doc") -> rep.filter(_._3).map(_._1),
+      ids(Dedup.fuzzyContamination(spark, d), "train_doc") -> rep.filter(_._4).map(_._1),
+      ids(Dedup.semanticContamination(spark, d), "train_vec") -> rep.filter(_._5).map(_._1))
+    byCol.foreach { case (want, got2) => assert(got2.toSet === want) }
+  }
 }
