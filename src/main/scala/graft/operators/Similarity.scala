@@ -952,6 +952,56 @@ object Similarity {
     rerank(s, d, shortlist)
   }
 
+  // ---------------------------------------------- ANN index-quality report
+  /** Recall report for the three approximate ANN indexes against the
+    * exact brute-force top-k — the index-quality metric a similarity
+    * deployment monitors continuously (an index whose recall drifts
+    * after an embedding-model update is silently corrupting every
+    * downstream dedup and retrieval pass). One row per method with the
+    * matched/expected counts and recall in exact integer micros.
+    *
+    * Scale shape: each leg is an equi-join of two TopK-bounded result
+    * sets (≤ NumQueries·TopK rows each) into a single-row count — the
+    * expensive corpus-touching work happens once inside each
+    * already-oracled index query; the report itself joins only their
+    * outputs. */
+  def annRecallReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brute = annBruteTopK(s, d).select($"query_id", $"neighbor_id")
+    val expected = brute.agg(count(lit(1)).as("n_expected"))
+    def leg(method: String, df: DataFrame): DataFrame =
+      df.select($"query_id", $"neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .crossJoin(broadcast(expected))
+        .select(lit(method).as("method"), $"n_matched", $"n_expected",
+          expr("(n_matched * 1000000) div n_expected").as("recall_micros"))
+    leg("ivf", annIvfTopK(s, d))
+      .unionAll(leg("lsh", annLshTopK(s, d)))
+      .unionAll(leg("pq", annPqTopK(s, d)))
+  }
+
+  /** DuckDB twin of [[annRecallReport]] — the three index oracles and
+    * the brute oracle as derived tables (nested WITH), joined on
+    * (query, neighbor) exactly as the engine legs. `lazy` because it
+    * composes [[annPqTopKOracle]], declared further down the object —
+    * an eager val would capture null during object initialization. */
+  lazy val annRecallReportOracle: String = {
+    def leg(method: String, oracle: String): String =
+      s"""SELECT '$method' AS method,
+         |  (SELECT count(*) FROM ($oracle) a JOIN ($annBruteTopKOracle) b
+         |     USING (query_id, neighbor_id)) AS n_matched,
+         |  (SELECT count(*) FROM ($annBruteTopKOracle)) AS n_expected""".stripMargin
+    val legs = Seq(
+      leg("ivf", annIvfTopKOracle),
+      leg("lsh", annLshTopKOracle),
+      leg("pq", annPqTopKOracle)).mkString("\nUNION ALL\n")
+    s"""SELECT method, CAST(n_matched AS BIGINT) AS n_matched,
+       |  CAST(n_expected AS BIGINT) AS n_expected,
+       |  CAST((n_matched * 1000000) // n_expected AS BIGINT) AS recall_micros
+       |FROM ($legs)""".stripMargin
+  }
+
   /** DuckDB twin of [[annPqTopK]]: the [[pqCtes]] training replay, the
     * query distance tables as one (query, sub, cid) join, the ADC sum as
     * an ORDERED subspace fold (bit-parity with the JVM loop), and the
