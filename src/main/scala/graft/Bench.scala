@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One measured run: wall-clock total and the streaming-execution span
+    * inside it ([[graft.streaming.EventStream.drainOpSecs]]; 0 for batch
+    * queries). `total - op` for a `stream_*` gate entry is the harness
+    * cost (corpus restage + sentinels + checkpoint dirs + read-back). */
+  private case class Run(total: Double, op: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,19 +50,25 @@ object Bench {
     // cannot have corrupted the min) while still catching sub-second
     // queries whose runs disagree by enough to matter — the r6 corruption
     // class included 0.2 s queries committed at ~0.9 s
-    def dispersed(ts: Seq[Double]): Boolean =
-      ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 3.0 && ts.max - ts.min > 0.5
+    def dispersed(rs: Seq[Run]): Boolean = rs.nonEmpty && {
+      val ts = rs.map(_.total)
+      ts.min > 0 && ts.max / ts.min > 3.0 && ts.max - ts.min > 0.5
+    }
     // only SUCCESSFUL runs may contribute — a failed run's fast abort
     // must never report as a fast query; a fully-failed query reports
     // -1 and is listed in "failed"
-    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
-      val times = (1 to n).flatMap { _ =>
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int): Seq[Run] = {
+      val times = (1 to runs).flatMap { _ =>
+        graft.streaming.EventStream.drainOpSecs() // zero the span counter
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a count() would let
         // Catalyst prune the aggregates being benchmarked)
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(Run((System.nanoTime() - t0) / 1e9,
+            graft.streaming.EventStream.drainOpSecs()))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -69,6 +81,15 @@ object Bench {
       times
     }
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    // a query that stays dispersed after every retry escalates to one
+    // LONG series (r7 shipped q22_json_extract at 4.16x with the "do NOT
+    // commit" warning fired and ignored — the guard now escalates instead
+    // of shipping a warned artifact): measure escN runs, accept the n
+    // fastest — the min is the min of the WHOLE series (trimming the slow
+    // tail cannot invent a faster run), and if even the n fastest disagree
+    // >3x the noise is real and the query stays listed in still_dispersed
+    val escN = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ESC_N", "7").toInt,
+      2 * n + 1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -77,42 +98,61 @@ object Bench {
         // runs agree best (lowest max/min; tie -> lowest min), so the
         // committed min is always backed by a mutually-consistent series
         // rather than one lucky (or unlucky) outlier
-        var best = measure(name, fn)
+        var best = measure(name, fn, n)
         var retries = 0
         while (dispersed(best) && retries < maxRetries) {
           System.err.println(
-            f"[bench] $name dispersion ${best.max / best.min}%.1fx " +
-              f"(min ${best.min}%.2fs max ${best.max}%.2fs) — retrying " +
+            f"[bench] $name dispersion ${best.map(_.total).max / best.map(_.total).min}%.1fx " +
+              f"(min ${best.map(_.total).min}%.2fs max ${best.map(_.total).max}%.2fs) — retrying " +
               s"(${retries + 1}/$maxRetries)")
-          val fresh = measure(name, fn)
+          val fresh = measure(name, fn, n)
           if (fresh.nonEmpty) {
-            val (fr, br) = (fresh.max / fresh.min, best.max / best.min)
-            if (fr < br || (fr == br && fresh.min < best.min)) best = fresh
+            val (fr, br) = (fresh.map(_.total).max / fresh.map(_.total).min,
+              best.map(_.total).max / best.map(_.total).min)
+            if (fr < br || (fr == br && fresh.map(_.total).min < best.map(_.total).min))
+              best = fresh
           }
           retries += 1
         }
-        (name, best, retries)
+        var escalated = false
+        if (dispersed(best)) {
+          System.err.println(s"[bench] $name exhausted $maxRetries retries — " +
+            s"escalating to one $escN-run series")
+          val big = measure(name, fn, escN)
+          if (big.nonEmpty) {
+            escalated = true
+            best = big.sortBy(_.total).take(n)
+          }
+        }
+        (name, best, retries, escalated)
       }
-    results.foreach { case (name, ts, _) =>
-      if (dispersed(ts))
-        System.err.println(
-          f"[bench] WARNING: $name STILL dispersed ${ts.max / ts.min}%.1fx after " +
-            f"$maxRetries retries (min ${ts.min}%.2fs max ${ts.max}%.2fs) — " +
-            "environment noise persists; do NOT commit this artifact")
+    val stillDispersed = results.collect { case (name, rs, _, _) if dispersed(rs) => name }
+    stillDispersed.foreach { name =>
+      System.err.println(
+        s"[bench] WARNING: $name STILL dispersed after retries AND the " +
+          s"$escN-run escalation — genuinely noisy; listed in still_dispersed")
     }
-    val qs = results.map { case (k, ts, _) =>
-      s"\"" + k + "\":" + (if (ts.nonEmpty) ts.min else -1.0)
+    val qs = results.map { case (k, rs, _, _) =>
+      s"\"" + k + "\":" + (if (rs.nonEmpty) rs.map(_.total).min else -1.0)
     }.mkString("{", ",", "}")
-    // per-query {min,max,n_ok,retries}: makes cross-run dispersion visible
-    // in the committed artifact itself (min alone hides that ALL runs were
-    // slow, and retries shows where the guard had to intervene)
-    val spread = results.map { case (k, ts, r) =>
-      val (mn, mx) = if (ts.nonEmpty) (ts.min, ts.max) else (-1.0, -1.0)
-      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${ts.length},\"retries\":$r}"
+    // per-query {min,max,n_ok,retries[,esc][,op,harness]}: makes cross-run
+    // dispersion visible in the committed artifact itself (min alone hides
+    // that ALL runs were slow, retries/esc show where the guard intervened,
+    // and op/harness split a streaming gate entry's query-execution span
+    // from its restage+checkpoint scaffolding)
+    val spread = results.map { case (k, rs, r, esc) =>
+      val (mn, mx) = if (rs.nonEmpty) (rs.map(_.total).min, rs.map(_.total).max)
+                     else (-1.0, -1.0)
+      val escS = if (esc) ",\"esc\":true" else ""
+      val opS = rs.sortBy(_.total).headOption.filter(_.op > 0.0).map { fastest =>
+        val h = math.max(0.0, fastest.total - fastest.op)
+        s""","op":${fastest.op},"harness":$h"""
+      }.getOrElse("")
+      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${rs.length},\"retries\":$r$escS$opS}"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts, _) if ts.isEmpty => s"\"$k\"" }
+    val failed = results.collect { case (k, rs, _, _) if rs.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts, _) if ts.nonEmpty => ts.min }.sum
+    val total = results.collect { case (_, rs, _, _) if rs.nonEmpty => rs.map(_.total).min }.sum
     // locale-proof rounding: Double.toString always uses '.', where the f
     // interpolator follows the default locale and can emit ',' — invalid JSON
     //
@@ -123,16 +163,70 @@ object Bench {
     // headlining it would make every artifact read "noisy" while the
     // actionable signal (a min that might itself be inflated) drowned.
     // The full per-query min/max series stays visible in "spread"
-    // regardless. (Limit worth stating: if EVERY run of a query lands
-    // equally inflated, no intra-series metric can see it — that case is
-    // covered by cross-round comparison of per-query minima, which is why
-    // the artifact keeps them.)
+    // regardless.
     val maxDisp = math.round(results.collect {
-      case (_, ts, _) if ts.nonEmpty && ts.min > 0 && ts.max - ts.min > 0.5 =>
-        ts.max / ts.min
+      case (_, rs, _, _) if rs.nonEmpty && rs.map(_.total).min > 0 &&
+          rs.map(_.total).max - rs.map(_.total).min > 0.5 =>
+        rs.map(_.total).max / rs.map(_.total).min
     }.foldLeft(1.0)(math.max) * 100) / 100.0
+    // cross-round minima diff: if EVERY run of a query lands equally
+    // inflated, no intra-series metric can see it (r7's q15 committed
+    // 8.8 s min over 3 consistent runs; the same query ran 0.60 s on 30x
+    // the data) — the only detector is the PREVIOUS round's minimum. Diff
+    // against the latest same-sf BENCH_r*.json (or $SPARK_GRAFT_BENCH_PREV)
+    // and embed every >2x mover in the artifact, so q15-class noise
+    // arrives as data instead of needing a prose excavation.
+    val (prevName, vsPrev) = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      val candidate = explicit.orElse {
+        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
+        rs.lastOption
+      }
+      candidate.flatMap { f =>
+        try {
+          // the driver's BENCH_r*.json wraps (and escapes, and may
+          // truncate) the bench line inside a "tail" field — unescape
+          // before matching so both the raw line and the wrapper parse
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+            .replace("\\\"", "\"")
+          val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
+          val prevSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+          // minima are comparable only at the same scale factor
+          if (!prevSf.contains(sfDir)) None
+          else {
+            val num = """-?[0-9.]+(?:[Ee][+-]?[0-9]+)?"""
+            val qStart = txt.indexOf("\"queries\":{")
+            val prev: Map[String, Double] =
+              if (qStart >= 0) {
+                val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+                val entryRe = (""""([A-Za-z0-9_]+)":(""" + num + ")").r
+                entryRe.findAllMatchIn(body)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              } else {
+                // truncated wrapper: the "queries" object is gone but the
+                // surviving "spread" tail still carries per-query minima
+                val spreadRe = (""""([A-Za-z0-9_]+)":\{"min":(""" + num + ")").r
+                spreadRe.findAllMatchIn(txt)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              }
+            val movers = results.flatMap { case (k, rs2, _, _) =>
+              for {
+                cur <- rs2.map(_.total).minOption if cur > 0
+                p <- prev.get(k) if p > 0
+                ratio = cur / p
+                if ratio > 2.0 || ratio < 0.5
+              } yield s""""$k":${math.round(ratio * 100) / 100.0}"""
+            }
+            if (prev.isEmpty) None else Some((f, movers.mkString("{", ",", "}")))
+          }
+        } catch { case _: Throwable => None }
+      }.map { case (f, m) => (s""""$f"""", m) }.getOrElse(("null", "{}"))
+    }
+    val stillJson = stillDispersed.map(s => s""""$s"""").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"still_dispersed":$stillJson,"prev":$prevName,"vs_prev":$vsPrev,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)

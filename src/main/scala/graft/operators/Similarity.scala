@@ -804,23 +804,29 @@ object Similarity {
     cb
   }
 
+  /** Emits the code word as ONE BIGINT (`codes_packed` =
+    * Σ code(sub) << 4·sub): with [[PqK]] = 16 each code is a nibble, so
+    * the whole [[PqSub]]-subspace word is 32 bits — the same 8-byte
+    * physical layout a 100 TB PQ index stores per vector, and a scalar
+    * the correctness gate can canonicalize (a raw `array<long>` column
+    * crashed the driver's pandas lex-sort in r7). */
   private[graft] def pqCodesOf(s: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])]): DataFrame = {
     import s.implicits._
     val bcb = s.sparkContext.broadcast(pqTrain(s, vecs))
     vecs.map { case (id, v) =>
-      val codes = new Array[Long](PqSub)
+      var packed = 0L
       var err = 0.0
       var sub = 0
       while (sub < PqSub) {
         val (c, dd) = nearestSubCell(bcb.value(sub), v, sub)
-        codes(sub) = c.toLong
+        packed |= c.toLong << (4 * sub)
         err += dd
         sub += 1
       }
-      (id, codes, err)
-    }.toDF("vec_id", "codes", "err")
-      .select($"vec_id", $"codes", round($"err", 6).as("err6"))
+      (id, packed, err)
+    }.toDF("vec_id", "codes_packed", "err")
+      .select($"vec_id", $"codes_packed", round($"err", 6).as("err6"))
   }
 
   /** DuckDB twin of [[pqCodes]] — the [[annIvfTopKOracle]] replay
@@ -881,10 +887,11 @@ object Similarity {
 
   val pqCodesOracle: String =
     s"""$pqCtes,
-       |agg AS (SELECT vec_id, list(cell ORDER BY sub) AS codes,
+       |agg AS (SELECT vec_id,
+       |    CAST(sum(cell * (1 << (4 * sub))) AS BIGINT) AS codes_packed,
        |    list(dist ORDER BY sub) AS dl
        |  FROM fin GROUP BY vec_id)
-       |SELECT vec_id, codes,
+       |SELECT vec_id, codes_packed,
        |  round(list_reduce(list_prepend(0.0, dl), (a, x) -> a + x), 6) AS err6
        |FROM agg""".stripMargin
 

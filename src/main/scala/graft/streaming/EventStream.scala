@@ -277,6 +277,19 @@ object EventStream {
        |  CAST(n_events AS BIGINT) AS n_events, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $TopKTypesK""".stripMargin
 
+  /** Wall-nanos the streaming queries spent EXECUTING (start →
+    * processAllAvailable → stop) since the last drain. The gate-harness
+    * cost around that span — corpus restage, sentinel writes, checkpoint
+    * dirs, result read-back — is what a `run*Batch` total includes beyond
+    * it; Bench drains this per run so the committed artifact records
+    * operator and harness time separately (the r7 artifact recorded one
+    * undifferentiated number, so the r6→r7 memory-sink→file-sink gate
+    * swap read as a 3× regression on `stream_event_windows`). */
+  private val opNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Read-and-reset the streaming-execution span accumulator (seconds). */
+  def drainOpSecs(): Double = opNanos.getAndSet(0L) / 1e9
+
   /** Run an Append-mode streaming frame to a PARQUET FILE SINK and read
     * the result back — the scale-path sink shape (executors write
     * partitioned files; nothing is collected to the driver; the
@@ -295,7 +308,11 @@ object EventStream {
       .format("parquet").option("path", out)
       .option("checkpointLocation", s"$base/ckpt")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    val t0 = System.nanoTime()
+    try q.processAllAvailable() finally {
+      q.stop()
+      opNanos.addAndGet(System.nanoTime() - t0)
+    }
     // a stream that emitted nothing (empty source, or every window still
     // inside the watermark) writes no parquet files — read.parquet would
     // throw "unable to infer schema"; the correct result is an EMPTY

@@ -187,10 +187,14 @@ class SimilaritySpec extends SparkTestBase {
     val tiny = (0L until 12L).map { id =>
       (id, Array.tabulate(64)(i => math.sin(id * 64.0 + i)))
     }
+    // codes_packed is Σ code(sub) << 4·sub — unpack for the assertions
+    def unpack(p: Long): Seq[Long] =
+      (0 until Similarity.PqSub).map(sub => (p >> (4 * sub)) & 0xFL)
     val tinyCodes = Similarity.pqCodesOf(spark, tiny.toDS())
-      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(tinyCodes.length === 12)
-    tinyCodes.foreach { case (id, codes, err6) =>
+    tinyCodes.foreach { case (id, packed, err6) =>
+      val codes = unpack(packed)
       assert(codes.length === Similarity.PqSub)
       assert(codes.forall(c => c >= 0 && c < Similarity.PqK))
       assert(err6 === 0.0, s"vec $id should self-reconstruct, err=$err6")
@@ -199,18 +203,17 @@ class SimilaritySpec extends SparkTestBase {
     val dup = Seq((0L, Array.fill(64)(0.5)), (1L, Array.fill(64)(0.5)),
       (2L, Array.fill(64)(-0.25))).toDS()
     val dupCodes = Similarity.pqCodesOf(spark, dup)
-      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
-    assert(dupCodes(0)._2.toSeq === dupCodes(1)._2.toSeq)
-    assert(dupCodes(0)._2.toSeq !== dupCodes(2)._2.toSeq)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(dupCodes(0)._2 === dupCodes(1)._2)
+    assert(dupCodes(0)._2 !== dupCodes(2)._2)
 
     // sf corpus: two runs bit-identical; codes bounded; errors finite
     val a = Similarity.pqCodes(spark, sf)
-      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
     val b = Similarity.pqCodes(spark, sf)
-      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
-    assert(a.map(r => (r._1, r._2.toSeq, r._3)).toSeq ===
-      b.map(r => (r._1, r._2.toSeq, r._3)).toSeq)
-    assert(a.forall(_._2.forall(c => c >= 0 && c < Similarity.PqK)))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => unpack(r._2).forall(c => c >= 0 && c < Similarity.PqK)))
     assert(a.forall(r => r._3 >= 0.0 && !r._3.isNaN))
     // the trained codebook must do useful work: mean reconstruction error
     // beats the k=1 baseline (quantizing every vector to the corpus mean)
