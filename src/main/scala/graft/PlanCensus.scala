@@ -89,6 +89,11 @@ object PlanCensus {
       "localCheckpoint lineage cuts: the static degree-annotated edge list is materialized once and ranks are cut per iteration (the star-contraction idiom)"),
     "graph_triangles" -> Map("ExistingRDD" ->
       "localCheckpoint of the distinct edge list and the oriented edge set — each feeds multiple downstream branches (degree count, adjacency gather, closure probe) and would otherwise recompute the pair-expansion join per branch"),
+    "graph_triangles_approx" -> Map(
+      "ExistingRDD" ->
+        "inherits graph_triangles' localCheckpoints (edge list counted + coin-filtered, oriented sample reused thrice by the closure)",
+      "BroadcastNestedLoopJoin" ->
+        "crossJoin(broadcast(single-row edge/triangle count aggregates)) assembling the one-row estimator report — the scalar-subquery shape; build sides are exactly 1 row"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->
       "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (bucket totals, doc-count priors) — the DSIR shape; build sides are exactly 1 row"),
     "orders_basket_rules" -> Map("BroadcastNestedLoopJoin" ->

@@ -169,12 +169,33 @@ object Graph {
     * the resulting distinct undirected edge set. */
   private[graft] def triangleCountsOf(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
+    val closed = orientedClosure(s, canonicalEdges(s, mem0)
+      .localCheckpoint()) // reused three times below (wedge ×2 + closure)
+    // credit u and v with k triangles each, every apex w with one
+    closed.selectExpr(
+        "explode(concat(" +
+          "array(struct(src AS node, k AS c), struct(dst AS node, k AS c)), " +
+          "transform(common, w -> struct(w AS node, 1L AS c)))) AS x")
+      .groupBy($"x.node".as("node"))
+      .agg(sum($"x.c").as("n_triangles"))
+  }
+
+  /** Canonical undirected edge set (u < v by id) of a (gk, node)
+    * membership frame: nodes sharing a group key become edges. */
+  private def canonicalEdges(s: SparkSession, mem0: DataFrame): DataFrame = {
+    import s.implicits._
     val mem = mem0.distinct()
-    // undirected edge set, canonical u < v by id
-    val e = mem.as("x").join(mem.as("y"),
+    mem.as("x").join(mem.as("y"),
         $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
       .select($"x.node".as("u"), $"y.node".as("v")).distinct()
-      .localCheckpoint() // reused three times below (wedge ×2 + closure)
+  }
+
+  /** Degree-oriented edge-iterator closure over a canonical (u < v) edge
+    * set: one row per oriented pivot edge that owns ≥ 1 triangle, with
+    * `common` = its apex list and `k` = |common| — shared by the exact
+    * per-node counter and the DOULION estimator. */
+  private def orientedClosure(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
     val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
     // orient low-(deg, id) → high-(deg, id); ties can't happen on id
@@ -191,20 +212,75 @@ object Graph {
     // edge (u,v) owns triangle {u,v,w} iff w is an out-neighbor of BOTH
     val adj = orientedCk.groupBy($"src".as("n"))
       .agg(sort_array(collect_list($"dst")).as("nbrs"))
-    val closed = orientedCk
+    orientedCk
       .join(adj.select($"n".as("src"), $"nbrs".as("nu")), "src")
       .join(adj.select($"n".as("dst"), $"nbrs".as("nv")), "dst")
       .withColumn("common", array_intersect($"nu", $"nv"))
       .withColumn("k", size($"common").cast("long"))
       .filter($"k" > 0L)
-    // credit u and v with k triangles each, every apex w with one
-    closed.selectExpr(
-        "explode(concat(" +
-          "array(struct(src AS node, k AS c), struct(dst AS node, k AS c)), " +
-          "transform(common, w -> struct(w AS node, 1L AS c)))) AS x")
-      .groupBy($"x.node".as("node"))
-      .agg(sum($"x.c").as("n_triangles"))
   }
+
+  // ------------------------------------------- approximate triangle count
+  /** DOULION edge-sampling denominator: each edge survives with
+    * p = 1/[[TriSampleMod]], so a triangle survives with p³ and the
+    * unbiased estimate is `sampled · TriSampleMod³` (Tsourakakis,
+    * Kang, Miller & Faloutsos, KDD'09). */
+  val TriSampleMod = 4L
+
+  /** The 100 TB mode of [[triangleCounts]]: exact enumeration is
+    * intrinsically Ω(m·d̄) however it is oriented, so at cluster scale a
+    * triangle-density monitor runs DOULION — sparsify the edge set by a
+    * DETERMINISTIC per-edge hash coin (md5 of the canonical edge key, the
+    * [[Sampling]] split discipline: replayable in any engine, stable
+    * across re-runs, uncorrelated with ids), count triangles on the ~p
+    * fraction that survives at ~p² of the exact closure cost, and scale
+    * by 1/p³. One output row: exact edge counts on both sides of the
+    * coin, the sampled triangle count, and the unbiased estimate —
+    * every column integer and DuckDB-replayable, so the gate hash-matches
+    * the ESTIMATOR itself while GraphSpec bounds its error against the
+    * exact count (the HLL-sketch discipline). */
+  def triangleCountApprox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    triangleCountApproxOf(s, Tables.lineitem(s, d)
+      .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
+  }
+
+  /** [[triangleCountApprox]] over an arbitrary (gk, node) membership frame. */
+  private[graft] def triangleCountApproxOf(s: SparkSession, mem0: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = canonicalEdges(s, mem0).localCheckpoint() // counted + sampled
+    val sampled = e.filter(
+        expr(s"conv(substring(md5(concat('tri:', CAST(u AS STRING), ':', " +
+          s"CAST(v AS STRING))), 1, 8), 16, 10) % $TriSampleMod = 0")
+      ).localCheckpoint() // reused three times by the closure
+    val tri = orientedClosure(s, sampled)
+      .agg(coalesce(sum($"k"), lit(0L)).as("n_sampled_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("n_sampled_edges"))))
+      .crossJoin(broadcast(tri))
+      .select($"n_edges", $"n_sampled_edges", $"n_sampled_triangles",
+        ($"n_sampled_triangles" * lit(TriSampleMod * TriSampleMod * TriSampleMod))
+          .as("est_triangles"))
+  }
+
+  /** DuckDB twin of [[triangleCountApprox]]: the same md5-coin edge
+    * sample, brute a&lt;b&lt;c enumeration on the survivors (the
+    * [[triangleCountsOracle]] join shape), same 1/p³ scale-up. */
+  val triangleCountApproxOracle: String =
+    s"""WITH mem AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+       |e AS (SELECT DISTINCT x.node AS u, y.node AS v
+       |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node),
+       |smp AS (SELECT u, v FROM e
+       |  WHERE CAST(('0x' || substr(md5('tri:' || CAST(u AS VARCHAR) || ':' ||
+       |    CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % $TriSampleMod = 0),
+       |tri AS (SELECT count(*) AS c
+       |  FROM smp e1 JOIN smp e2 ON e1.v = e2.u
+       |  JOIN smp e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sampled_edges,
+       |  CAST(c AS BIGINT) AS n_sampled_triangles,
+       |  CAST(c * ${TriSampleMod * TriSampleMod * TriSampleMod} AS BIGINT) AS est_triangles
+       |FROM tri""".stripMargin
 
   // ------------------------------------------------- market-basket rules
   /** Minimum pair support for an association rule — pairs seen together

@@ -845,44 +845,50 @@ object Similarity {
     * through [[PqIters]] Lloyd passes → `fin` = (vec_id, sub, cell,
     * dist), the final per-subspace assignment. Prefix of
     * [[pqCodesOracle]] and [[annPqTopKOracle]]. */
-  private def pqCtes: String = {
+  private def pqCtes: String = "WITH " + pqCtesBody("")
+
+  /** [[pqCtes]] with every CTE name prefixed by `x` — lets the composed
+    * IVF+PQ twin ([[annIvfPqTopKOracle]]) inline this training chain next
+    * to [[ivfCorpusCtes]] without name collisions (both chains define
+    * e/smp/a1/m1/g1). Returns the CTE list WITHOUT the leading WITH. */
+  private def pqCtesBody(x: String): String = {
     val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
     def l2f(a: String, b: String): String = pqL2f(a, b)
     val passes = (1 to PqIters).map { k =>
-      s"""a$k AS (SELECT vec_id, sub, cell FROM (
+      s"""${x}a$k AS (SELECT vec_id, sub, cell FROM (
          |    SELECT su.vec_id, su.sub, cb.cid AS cell,
          |      row_number() OVER (PARTITION BY su.vec_id, su.sub
          |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
-         |    FROM sub su JOIN cb${k - 1} cb ON cb.sub = su.sub) WHERE rk = 1),
-         |m$k AS (SELECT a.sub, a.cell, t.j,
+         |    FROM ${x}sub su JOIN ${x}cb${k - 1} cb ON cb.sub = su.sub) WHERE rk = 1),
+         |${x}m$k AS (SELECT a.sub, a.cell, t.j,
          |    CAST(sum(CAST(floor(su.sv[t.j + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS sq,
          |    count(*) AS cnt
-         |  FROM a$k a JOIN sub su ON su.vec_id = a.vec_id AND su.sub = a.sub,
+         |  FROM ${x}a$k a JOIN ${x}sub su ON su.vec_id = a.vec_id AND su.sub = a.sub,
          |       unnest(range($PqDim)) AS t(j)
          |  GROUP BY a.sub, a.cell, t.j),
-         |g$k AS (SELECT sub, cell AS cid,
+         |${x}g$k AS (SELECT sub, cell AS cid,
          |    list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / $S ORDER BY j) AS mv
-         |  FROM m$k GROUP BY sub, cell),
-         |cb$k AS (SELECT c.sub, c.cid, coalesce(g.mv, c.cv) AS cv
-         |  FROM cb${k - 1} c LEFT JOIN g$k g ON g.sub = c.sub AND g.cid = c.cid)""".stripMargin
+         |  FROM ${x}m$k GROUP BY sub, cell),
+         |${x}cb$k AS (SELECT c.sub, c.cid, coalesce(g.mv, c.cv) AS cv
+         |  FROM ${x}cb${k - 1} c LEFT JOIN ${x}g$k g ON g.sub = c.sub AND g.cid = c.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |smp AS (SELECT vec_id, v FROM
-       |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT $PqK),
-       |sub AS (SELECT vec_id, t.sub AS sub,
+    s"""${x}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${x}smp AS (SELECT vec_id, v FROM
+       |  (SELECT vec_id, v, $mixSigned AS m FROM ${x}e) ORDER BY m LIMIT $PqK),
+       |${x}sub AS (SELECT vec_id, t.sub AS sub,
        |    v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS sv
-       |  FROM e, unnest(range($PqSub)) AS t(sub)),
-       |cb0 AS (SELECT t.sub AS sub, s.cid,
+       |  FROM ${x}e, unnest(range($PqSub)) AS t(sub)),
+       |${x}cb0 AS (SELECT t.sub AS sub, s.cid,
        |    s.v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS cv
-       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM smp) s,
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM ${x}smp) s,
        |       unnest(range($PqSub)) AS t(sub)),
        |$passes,
-       |fin AS (SELECT vec_id, sub, cell, dist FROM (
+       |${x}fin AS (SELECT vec_id, sub, cell, dist FROM (
        |    SELECT su.vec_id, su.sub, cb.cid AS cell,
        |      ${l2f("su.sv", "cb.cv")} AS dist,
        |      row_number() OVER (PARTITION BY su.vec_id, su.sub
        |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
-       |    FROM sub su JOIN cb$PqIters cb ON cb.sub = su.sub) WHERE rk = 1)""".stripMargin
+       |    FROM ${x}sub su JOIN ${x}cb$PqIters cb ON cb.sub = su.sub) WHERE rk = 1)""".stripMargin
   }
 
   val pqCodesOracle: String =
@@ -959,6 +965,118 @@ object Similarity {
     rerank(s, d, shortlist)
   }
 
+  // --------------------------------------------------- IVF+PQ composed ANN
+  /** The PRODUCTION ANN shape at 100 TB — IVF and PQ composed (Jégou et
+    * al. 2011 §V, the IVFADC system): the IVF cell scan bounds WHICH
+    * vectors are scored (each query touches its [[IvfProbes]] probed
+    * cells, ~nprobe/ncells of the corpus), ADC on the PQ codes bounds the
+    * BYTES each scoring touches (8-byte codes under a broadcast distance
+    * table, no float vector read during the scan), and only the
+    * [[AdcShortlist]] ADC-best candidates per query rejoin the
+    * full-precision vectors for the exact re-rank. Same output contract
+    * as every other `ann_*` entry.
+    *
+    * ONE corpus pass does assignment + encoding + scoring: each vector
+    * finds its IVF cell, and only if some query probes that cell is it
+    * PQ-encoded (lazily, once) and ADC-scored against exactly those
+    * queries. Both trainings ride the fixed-point disciplines of their
+    * standalone twins ([[lloydCentroids]], [[pqTrain]]), so the DuckDB
+    * twin replays the whole composition bit-for-bit. */
+  def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val cb = pqTrain(s, vecs)
+    val queries = vecs.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    // per-query (probed cell set, ADC distance table) — one broadcast:
+    // NumQueries × (IvfProbes + PqSub·PqK doubles), constant size
+    val qside: Array[(Long, Set[Long], Array[Array[Double]])] =
+      queries.map { case (qid, qv) =>
+        val cells = cosTo(centroids, qv)
+          .sortBy { case (cid, sim) => (-sim, cid) }
+          .take(IvfProbes).map(_._1).toSet
+        val tbl = Array.tabulate(PqSub, cb(0).length) { (sub, cid) =>
+          var dd = 0.0; var i = 0
+          while (i < PqDim) {
+            val df = qv(sub * PqDim + i) - cb(sub)(cid)(i); dd += df * df; i += 1
+          }
+          dd
+        }
+        (qid, cells, tbl)
+      }
+    val bcCells = s.sparkContext.broadcast(centroids)
+    val bcb = s.sparkContext.broadcast(cb)
+    val bq = s.sparkContext.broadcast(qside)
+    val adc = vecs.flatMap { case (id, v) =>
+      val cell = nearestCell(bcCells.value, v)
+      var codes: Array[Int] = null // encoded lazily, only for probed cells
+      bq.value.iterator
+        .filter { case (qid, cells, _) => qid != id && cells.contains(cell) }
+        .map { case (qid, _, tbl) =>
+          if (codes == null) {
+            codes = new Array[Int](PqSub)
+            var sub = 0
+            while (sub < PqSub) {
+              codes(sub) = nearestSubCell(bcb.value(sub), v, sub)._1; sub += 1
+            }
+          }
+          var d2 = 0.0; var s2 = 0
+          while (s2 < PqSub) { d2 += tbl(s2)(codes(s2)); s2 += 1 }
+          (qid, id, d2)
+        }
+    }.toDF("query_id", "vec_id", "adc")
+    val w = Window.partitionBy($"query_id").orderBy($"adc".asc, $"vec_id".asc)
+    val shortlist = adc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= AdcShortlist).select($"query_id", $"vec_id")
+    rerank(s, d, shortlist)
+  }
+
+  /** DuckDB twin of [[annIvfPqTopK]]: the [[ivfCorpusCtes]] training +
+    * probe + candidate chain (verbatim from [[annIvfTopKOracle]]), the
+    * `p`-prefixed [[pqCtesBody]] training replay, ADC restricted to the
+    * IVF candidate pairs, then the shortlist and exact re-rank of
+    * [[annPqTopKOracle]]. */
+  val annIvfPqTopKOracle: String =
+    s"""$ivfCorpusCtes,
+       |pr AS (SELECT query_id, cell FROM (
+       |    SELECT vv.vec_id AS query_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc WHERE vv.vec_id < $NumQueries)
+       |  WHERE rk <= $IvfProbes),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM asg a JOIN pr p USING (cell) WHERE a.vec_id <> p.query_id),
+       |${pqCtesBody("p")},
+       |qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $NumQueries),
+       |qsub AS (SELECT query_id, t.sub AS sub,
+       |    v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS qsv
+       |  FROM qv, unnest(range($PqSub)) AS t(sub)),
+       |dt AS (SELECT q.query_id, q.sub, cb.cid, ${pqL2f("q.qsv", "cb.cv")} AS dist
+       |  FROM qsub q JOIN pcb$PqIters cb ON cb.sub = q.sub),
+       |adcl AS (SELECT d.query_id, f.vec_id, list(d.dist ORDER BY f.sub) AS dl
+       |  FROM pfin f JOIN dt d ON d.sub = f.sub AND d.cid = f.cell
+       |  JOIN cand c ON c.query_id = d.query_id AND c.vec_id = f.vec_id
+       |  GROUP BY d.query_id, f.vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_reduce(list_prepend(0.0, dl), (a, x) -> a + x) ASC,
+       |               vec_id ASC) AS rk
+       |    FROM adcl) WHERE rk <= $AdcShortlist),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM short c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // ---------------------------------------------- ANN index-quality report
   /** Recall report for the three approximate ANN indexes against the
     * exact brute-force top-k — the index-quality metric a similarity
@@ -984,6 +1102,7 @@ object Similarity {
         .select(lit(method).as("method"), $"n_matched", $"n_expected",
           expr("(n_matched * 1000000) div n_expected").as("recall_micros"))
     leg("ivf", annIvfTopK(s, d))
+      .unionAll(leg("ivfpq", annIvfPqTopK(s, d)))
       .unionAll(leg("lsh", annLshTopK(s, d)))
       .unionAll(leg("pq", annPqTopK(s, d)))
   }
@@ -1001,6 +1120,7 @@ object Similarity {
          |  (SELECT count(*) FROM ($annBruteTopKOracle)) AS n_expected""".stripMargin
     val legs = Seq(
       leg("ivf", annIvfTopKOracle),
+      leg("ivfpq", annIvfPqTopKOracle),
       leg("lsh", annLshTopKOracle),
       leg("pq", annPqTopKOracle)).mkString("\nUNION ALL\n")
     s"""SELECT method, CAST(n_matched AS BIGINT) AS n_matched,

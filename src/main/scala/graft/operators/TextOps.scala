@@ -283,6 +283,92 @@ object TextOps {
        |FROM pairs GROUP BY a, b
        |ORDER BY cnt DESC, a ASC, b ASC LIMIT $BpeMergeTopK""".stripMargin
 
+  // ---------------------------------------------------- BPE merge application
+  /** The third tokenizer stage: ENCODE the corpus with the trained merge
+    * table — [[bpeMergeCandidates]] produces the ranked merge list; this
+    * applies it, Sennrich et al. 2016 §3 style ("apply the merges in the
+    * order they were learned"). Each word becomes a delimiter-framed
+    * symbol stream (`" t h e "`), and merge k rewrites every
+    * non-overlapping occurrence of `" a b "` to `" ab "` — plain string
+    * replace, scan-left-continue-after-replacement, the SAME semantics in
+    * the JVM and DuckDB, which is what makes the encode hash-matchable.
+    * The delimiter framing makes each replace symbol-boundary-safe (a `b`
+    * inside the merged symbol `ab` can never participate in a later
+    * match). Emitted per doc: word count, post-merge BPE token count, and
+    * merges applied (= chars − tokens).
+    *
+    * Scale shape: training is the already-bounded [[bpeMergeCandidates]]
+    * aggregate (vocab-collapsed, ≤ |alphabet|² keys, constant top-k to
+    * the driver); the encode is a MAP-ONLY pass — 50 codegen'd chained
+    * `replace` expressions under a literal merge list, no shuffle until
+    * the per-doc count aggregate. A deployment with a fat vocabulary
+    * would factor the encode through `distinct(word)` exactly like
+    * training does; the gate keeps the per-occurrence form because at
+    * ≤ 50 rules the encode is cheaper than the extra shuffle. */
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeApplyOf(Tables.documents(s, d))
+
+  /** [[bpeApply]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // ranked merge list — constant-size driver traffic (≤ BpeMergeTopK
+    // rows), already ordered (cnt DESC, a, b) by the training query
+    val merges = bpeMergeCandidatesOf(docs).select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val spaced = concat(regexp_replace($"w", "(.)", " $1"), lit(" "))
+    val encoded = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val perWord = docs.select($"doc_id", explode(tokensCol).as("w"))
+      .select($"doc_id", length($"w").as("n_chars"),
+        // " s1 s2 ... sk " carries k+1 delimiters
+        (length(encoded) -
+          length(org.apache.spark.sql.functions.replace(encoded, lit(" "), lit(""))) -
+          1).cast("long").as("n_sym"))
+    val agg = perWord.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_words"),
+      sum($"n_sym").as("n_bpe_tokens"),
+      (sum($"n_chars") - sum($"n_sym")).as("n_merges"))
+    // zero-word docs keep a zero row (oracle row-count parity)
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        coalesce($"n_merges", lit(0L)).as("n_merges"))
+  }
+
+  /** DuckDB twin of [[bpeApply]]: the training twin as a derived table,
+    * its ranked (from, to) patterns folded over each word's spaced char
+    * stream with `list_reduce` + `replace` — the same
+    * scan-left-continue-after semantics as the JVM chain. The
+    * VARCHAR-index fold (indices cast to VARCHAR so the accumulator and
+    * elements share `list_reduce`'s one type) is the [[pqCtes]]-era
+    * workaround for DuckDB's single-type fold lists. */
+  val bpeApplyOracle: String =
+    s"""WITH merges AS (SELECT a, b, cnt FROM ($bpeMergeCandidatesOracle)),
+       |ml AS (SELECT
+       |    list(' ' || a || ' ' || b || ' ' ORDER BY cnt DESC, a ASC, b ASC) AS fr,
+       |    list(' ' || a || b || ' ' ORDER BY cnt DESC, a ASC, b ASC) AS t2
+       |  FROM merges),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents),
+       |enc AS (SELECT doc_id, length(w) AS n_chars,
+       |    length(e) - length(replace(e, ' ', '')) - 1 AS n_sym
+       |  FROM (SELECT doc_id, w,
+       |      list_reduce(list_prepend(regexp_replace(w, '(.)', ' \\1', 'g') || ' ',
+       |        list_transform(range(1, len(fr) + 1), i -> CAST(i AS VARCHAR))),
+       |        (acc, x) -> replace(acc, fr[CAST(x AS INT)], t2[CAST(x AS INT)])) AS e
+       |    FROM tok CROSS JOIN ml)),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(sum(n_chars) - sum(n_sym) AS BIGINT) AS n_merges
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_words, 0) AS n_words,
+       |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  coalesce(a.n_merges, 0) AS n_merges
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------- quality scoring
   /** Document quality scoring: length / punctuation / stopword / digit
     * ratios combined into one score — the standard pre-training text

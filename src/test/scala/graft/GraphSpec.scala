@@ -76,4 +76,32 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("DOULION estimate: deterministic, internally consistent, error bounded vs exact") {
+    import org.apache.spark.sql.functions.sum
+    val approx = Graph.triangleCountApprox(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(approx.length === 1)
+    val (nEdges, nSampled, sampledTri, est) = approx.head
+    // estimator internals: p = 1/TriSampleMod of edges survive the coin
+    // (binomial band), and the estimate is exactly the 1/p^3 scale-up
+    assert(est === sampledTri * Graph.TriSampleMod * Graph.TriSampleMod *
+      Graph.TriSampleMod)
+    val p = 1.0 / Graph.TriSampleMod
+    assert(math.abs(nSampled - nEdges * p) < 5 * math.sqrt(nEdges * p * (1 - p)),
+      s"edge coin is biased: $nSampled of $nEdges kept")
+    // error bound vs the exact count (the HLL-sketch discipline): DOULION
+    // variance gives σ ≈ sqrt(T/p³ + extra wedge terms); on this corpus a
+    // 35% relative band holds with wide margin for any healthy estimator
+    val exact = Graph.triangleCounts(spark, sf)
+      .agg(sum("n_triangles")).as[Long].head() / 3L
+    val relErr = math.abs(est - exact).toDouble / exact
+    info(s"exact=$exact est=$est relErr=$relErr " +
+      s"(sampled $nSampled/$nEdges edges, $sampledTri triangles)")
+    assert(relErr < 0.35, s"estimate $est vs exact $exact (relErr $relErr)")
+    // deterministic: the md5 coin makes re-runs bit-identical
+    val again = Graph.triangleCountApprox(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.head === approx.head)
+  }
 }

@@ -253,4 +253,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, f"PQ-ADC recall too low: $recall%.2f")
     assert(recall > 4 * randomBaseline)
   }
+
+  test("IVF+PQ composed ANN: contract, determinism, recall beats random") {
+    import spark.implicits._
+    val res = Similarity.annIvfPqTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    // contract: every query emits exactly TopK ranked rows, ranks 1..k,
+    // never the query itself
+    val byQ = res.groupBy(_._1)
+    assert(byQ.keySet === (0L until Similarity.NumQueries).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === Similarity.TopK)
+      assert(rows.map(_._3).sorted.toSeq === (1 to Similarity.TopK))
+      assert(rows.forall(_._2 != q))
+    }
+    // deterministic end to end (both trainings are fixed-point)
+    val again = Similarity.annIvfPqTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(res.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // recall: the composition can only lose vs each half alone (IVF
+    // bounds candidates, PQ distorts ranks within them) — require it
+    // still clearly beats random neighbor picking at its scan budget
+    val brute = Similarity.annBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = res.map(r => (r._1, r._2)).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    info(f"IVF+PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.30, f"IVF+PQ recall too low: $recall%.2f")
+  }
 }

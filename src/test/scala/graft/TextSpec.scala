@@ -296,6 +296,41 @@ class TextSpec extends SparkTestBase {
     assert(got === Seq(("a", "b", 3L), ("b", "c", 1L)))
   }
 
+  test("BPE apply: hand-computed encode, overlap pin, corpus invariants") {
+    import graft.operators.TextOps
+    // training over this corpus: (a,a) 7 (aaab×2 gives 4, aaaa gives 3),
+    // (a,b) 3 (aaab×2 + ab), (x,y) 1 — applied in that rank order:
+    //   aaab: " a a a b " -(a,a)-> " aa a b " -(a,b)-> " aa ab "  = 2 toks
+    //   ab:   " a b "     -(a,b)-> " ab "                        = 1 tok
+    //   aaaa: " a a a a " -(a,a)-> " aa a a "                    = 3 toks
+    //     (scan-left-continue-after-replacement: the trailing delimiter of
+    //     the replacement is consumed, so back-to-back pairs do NOT chain
+    //     — the pinned cross-engine semantics of plain string replace)
+    //   b, a, xy: 1 tok each ((x,y) merges xy)
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab b a"), (3L, "xy"), (4L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeApplyOf(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 4L, 4L),  // 2 words, 2+2 tokens, 8-4 merges
+      (2L, 3L, 3L, 1L),  // ab -> 1 tok (1 merge); b, a untouched
+      (3L, 1L, 1L, 1L),  // xy -> 1 tok
+      (4L, 1L, 3L, 1L))) // aaaa -> [aa, a, a]
+    // sf corpus invariants: merges strictly shrink, nothing goes negative,
+    // totals reconcile (tokens + merges = chars)
+    val stats = TextOps.bpeApply(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.forall { case (_, w, t, m) => w >= 0 && t >= 0 && m >= 0 })
+    assert(stats.forall { case (_, w, t, _) => t >= w }) // >= 1 token per word
+    assert(stats.map(_._4).sum > 0, "top-50 merges should fire somewhere")
+    val chars = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    stats.foreach { case (id, _, t, m) =>
+      val c = chars(id).split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum
+      assert(t + m === c, s"doc $id: tokens+merges != word chars")
+    }
+  }
+
   test("BPE merge candidates on the sf corpus: top-k ordered, counts positive") {
     import graft.operators.TextOps
     val got = TextOps.bpeMergeCandidates(spark, sf)
