@@ -94,6 +94,10 @@ object PlanCensus {
         "inherits graph_triangles' localCheckpoints (edge list counted + coin-filtered, oriented sample reused thrice by the closure)",
       "BroadcastNestedLoopJoin" ->
         "crossJoin(broadcast(single-row edge/triangle count aggregates)) assembling the one-row estimator report — the scalar-subquery shape; build sides are exactly 1 row"),
+    "graph_components" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: the symmetric edge list is materialized once and HashMin labels are cut every third round (the pageRank idiom)"),
+    "graph_kcore" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: the peeled edge set is cut every second round so the fixed-round loop keeps an O(1)-deep plan"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->
       "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (bucket totals, doc-count priors) — the DSIR shape; build sides are exactly 1 row"),
     "orders_basket_rules" -> Map("BroadcastNestedLoopJoin" ->
@@ -108,6 +112,11 @@ object PlanCensus {
       "inherits ann_brute_topk's bounded-N broadcast scoring inside each leg plus crossJoin(broadcast(single-row n_expected aggregate)); build sides are NumQueries rows / exactly 1 row"),
     "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
       "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
+    "train_epoch_plan" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (budget/n_src, alloc/headroom sums) — the tokenBudget shape; build sides are exactly 1 row",
+      "ExistingRDD" ->
+        "localCheckpoint of the bounded |sources|-row aggregate, materialized ONCE so the scalar-subquery branches re-read it instead of re-scanning the corpus (the samplingTemperature idiom)"),
     "train_sampling_temperature" -> Map(
       "BroadcastNestedLoopJoin" ->
         "two crossJoin(broadcast(single-row aggregate)) scalar subqueries (token total, q normalizer) — the mixWeights shape; build sides are exactly 1 row",

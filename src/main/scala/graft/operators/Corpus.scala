@@ -210,6 +210,98 @@ object Corpus {
        |  (1000 * alloc_tokens) // toks AS epochs_milli
        |FROM a""".stripMargin
 
+  /** Repetition cap for [[epochPlan]]: no source is traversed more than
+    * this many epochs — past ~4 repeats, extra epochs of the same data
+    * stop buying loss (the data-constrained scaling result of Muennighoff
+    * et al. 2023, arXiv:2305.16264); 3 keeps the cap binding on the
+    * synthetic corpus's small sources. */
+  val EpochCap = 3L
+  /** Budget for [[epochPlan]] as a multiple of the corpus token mass —
+    * "train for ~2 average epochs", scale-free so the plan exercises the
+    * same code path at every sf. */
+  val EpochBudgetFactor = 2L
+
+  /** Data-constrained EPOCH PLAN: apportion a token budget of
+    * [[EpochBudgetFactor]]× the corpus mass across sources under a
+    * repetition cap — each source ideally contributes an equal share
+    * (uniform mixing, the diversity-maximizing prior), but no source may
+    * repeat beyond [[EpochCap]] epochs; the surplus the caps free up is
+    * redistributed ONE round, proportional to remaining headroom (a fixed
+    * single water-fill step — deterministic and finite-SQL-replayable,
+    * where iterating to the exact water level is not). Complements
+    * [[tokenBudget]] (mass-proportional, uncapped Hamilton seats): this is
+    * the plan you run when the budget EXCEEDS the corpus and the binding
+    * question is "what repeats, and how often", not "what fits".
+    *
+    * Integer-rational end-to-end; the one product that could exceed
+    * BIGINT at corpus scale (`surplus · headroom` ≈ 10²⁷ at 100 TB token
+    * masses) is carried in DECIMAL(38,0) on both sides — the
+    * [[graft.operators.Events]] anomaly-window overflow discipline.
+    *
+    * Scale shape: one map-side-combined per-source aggregate
+    * (|sources| rows, localCheckpointed once), then scalar-subquery
+    * broadcasts for the budget and the two redistribution sums — the
+    * [[tokenBudget]] plan shape exactly; nothing beyond |sources| rows
+    * ever moves. */
+  def epochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlanOf(Tables.documents(s, d))
+
+  /** [[epochPlan]] over an arbitrary (source, n_chars) frame. */
+  private[graft] def epochPlanOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val by = docs.groupBy($"source")
+      .agg(sum(expr("(n_chars + 3) div 4")).as("toks"))
+      .filter($"toks" > 0)
+      .localCheckpoint()
+    val tot = by.agg((sum($"toks") * EpochBudgetFactor).as("budget"),
+      count(lit(1)).as("n_src"))
+    val a1 = by.crossJoin(broadcast(tot))
+      .withColumn("share0", expr("budget div n_src"))
+      .withColumn("cap", $"toks" * EpochCap)
+      .withColumn("alloc1", least($"share0", $"cap"))
+      .withColumn("head", $"cap" - $"alloc1")
+    val sums = a1.agg(sum($"alloc1").as("alloc1_sum"),
+      sum($"head").as("head_tot"))
+    a1.crossJoin(broadcast(sums))
+      .withColumn("surplus", $"budget" - $"alloc1_sum")
+      .withColumn("alloc_tokens", $"alloc1" +
+        when($"head_tot" > 0L,
+          least($"head", expr(
+            """CAST((CAST(surplus AS DECIMAL(38,0)) * CAST(head AS DECIMAL(38,0)))
+              | div CAST(head_tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)))
+          .otherwise(0L))
+      .select($"source", $"toks", $"alloc_tokens",
+        expr("(1000 * alloc_tokens) div toks").as("epochs_milli"),
+        ($"alloc_tokens" === $"cap").as("capped"))
+  }
+
+  /** DuckDB twin of [[epochPlan]] — same integer arithmetic; the
+    * surplus·headroom product rides HUGEINT there and DECIMAL(38,0) here,
+    * both exact at any realistic mass. */
+  val epochPlanOracle: String =
+    s"""WITH b AS (SELECT source, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source
+       |  HAVING CAST(sum((n_chars + 3) // 4) AS BIGINT) > 0),
+       |t AS (SELECT CAST($EpochBudgetFactor * sum(toks) AS BIGINT) AS budget,
+       |    count(*) AS n_src FROM b),
+       |a1 AS (SELECT source, toks, budget,
+       |    least(budget // n_src, $EpochCap * toks) AS alloc1,
+       |    $EpochCap * toks AS cap,
+       |    $EpochCap * toks - least(budget // n_src, $EpochCap * toks) AS head
+       |  FROM b, t),
+       |s AS (SELECT CAST(sum(alloc1) AS BIGINT) AS alloc1_sum,
+       |    CAST(sum(head) AS BIGINT) AS head_tot FROM a1),
+       |f AS (SELECT source, toks, cap, alloc1 +
+       |    CASE WHEN head_tot > 0
+       |      THEN least(head, CAST(((budget - alloc1_sum) * head) // head_tot AS BIGINT))
+       |      ELSE 0 END AS alloc_tokens
+       |  FROM a1, s)
+       |SELECT source, toks, alloc_tokens,
+       |  (1000 * alloc_tokens) // toks AS epochs_milli,
+       |  alloc_tokens = cap AS capped
+       |FROM f""".stripMargin
+
   /** Per-document salient terms: top-[[TfidfTopK]] by tf·idf
     * (idf = ln(N/df)) with a deterministic (score DESC, term ASC)
     * tie-break — keyword extraction / topic signal for curation.

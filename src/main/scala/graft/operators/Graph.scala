@@ -311,15 +311,39 @@ object Graph {
       .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
   }
 
-  /** [[basketRules]] over an arbitrary (gk, node) membership frame. */
-  private[graft] def basketRulesOf(s: SparkSession, mem0: DataFrame): DataFrame = {
+  /** Support-filtered co-occurrence pairs (a &lt; b, s_ab ≥
+    * [[BasketMinSupport]]) of a (gk, node) membership frame — the shared
+    * projection under [[basketRules]], [[components]] and [[kcore]]. The
+    * per-group pair expansion is bounded by construction (≤ 21 rows per
+    * order on this schema) and map-side combined into support counts, so
+    * the support filter prunes the edge set BEFORE any downstream join. */
+  private[graft] def supportPairs(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
     val mem = mem0.distinct()
-    val pairs = mem.as("x").join(mem.as("y"),
+    mem.as("x").join(mem.as("y"),
         $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
       .groupBy($"x.node".as("a"), $"y.node".as("b"))
       .agg(count(lit(1)).as("s_ab"))
       .filter($"s_ab" >= BasketMinSupport)
+  }
+
+  /** Shared oracle fragment for [[supportPairs]] on the part co-purchase
+    * graph: `pr(a, b, s_ab)` with a &lt; b and s_ab ≥ [[BasketMinSupport]].
+    * MATERIALIZED: the iterated-CTE consumers ([[componentsOracle]],
+    * [[kcoreOracle]]) reference their previous round more than once, and
+    * DuckDB inlines plain CTEs — without materialization the unrolled
+    * chain expands exponentially. */
+  private val supportPairsCtes: String =
+    s"""mem AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+       |pr AS MATERIALIZED (SELECT x.node AS a, y.node AS b, count(*) AS s_ab
+       |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)""".stripMargin
+
+  /** [[basketRules]] over an arbitrary (gk, node) membership frame. */
+  private[graft] def basketRulesOf(s: SparkSession, mem0: DataFrame): DataFrame = {
+    import s.implicits._
+    val mem = mem0.distinct()
+    val pairs = supportPairs(s, mem0)
     val item = mem.groupBy($"node").agg(count(lit(1)).as("s_i"))
     val tot = mem.agg(countDistinct($"gk").as("n_baskets"))
     val both = pairs.select($"a".as("antecedent"), $"b".as("consequent"), $"s_ab")
@@ -365,4 +389,143 @@ object Graph {
       |n AS (SELECT a AS node FROM tri
       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
       |SELECT node, count(*) AS n_triangles FROM n GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------- connected components
+  /** HashMin rounds for [[components]] — enough to converge any graph of
+    * diameter &lt; CcIters; a FIXED count (the [[PrIters]] discipline) keeps
+    * the oracle a finite CTE chain and the semantics deterministic even on
+    * a pathological long-path graph (where the output is still well-defined:
+    * min label within CcIters hops). GraphSpec asserts actual convergence
+    * on the test corpora by cross-checking the O(log n) star-contraction
+    * implementation ([[graft.operators.Dedup.connectedComponents]]). */
+  val CcIters = 12
+
+  /** Connected components of the support-filtered part co-purchase graph
+    * (edges = part pairs bought together in ≥ [[BasketMinSupport]] orders):
+    * every node labeled with the minimum node id reachable within
+    * [[CcIters]] hops — the component id once converged. The component
+    * structure of a thresholded co-occurrence graph is the catalog-
+    * clustering / related-items primitive, and CC is the same operator the
+    * dedup pipeline runs over near-dup candidate edges
+    * ([[Dedup.dedupClusters]]).
+    *
+    * Algorithm: synchronous HashMin label propagation (the Pregel CC
+    * baseline) — `lbl ← min(lbl, min over in-neighbors lbl)` per round.
+    * One map-side-combined shuffle per round (min-aggregate by dst) plus a
+    * join against the once-materialized symmetric edge list; lineage cut
+    * every third round (the [[pageRankOf]] idiom). HashMin converges in
+    * O(diameter) rounds; at 100 TB, graphs with large diameter switch to
+    * the star-contraction form ([[Dedup.connectedComponents]], O(log n)
+    * rounds) — both are shipped, and GraphSpec pins them equal. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    componentsOf(s, supportPairs(s, Tables.lineitem(s, d)
+      .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
+      .select($"a".as("u"), $"b".as("v")))
+  }
+
+  /** [[components]] over an arbitrary canonical (u, v) edge frame. */
+  private[graft] def componentsOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = e0.select($"u".as("src"), $"v".as("dst"))
+      .union(e0.select($"v".as("src"), $"u".as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select($"src".as("node")).distinct()
+    var lbl = nodes.select($"node", $"node".as("lbl"))
+    for (k <- 1 to CcIters) {
+      val mn = sym.join(lbl, sym("src") === lbl("node"))
+        .groupBy(sym("dst").as("node")).agg(min($"lbl").as("mn"))
+      lbl = lbl.join(mn, Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
+      if (k % 3 == 0 || k == CcIters) lbl = lbl.localCheckpoint()
+    }
+    lbl.select($"node", $"lbl".as("component"))
+  }
+
+  /** DuckDB twin of [[components]]: the same [[CcIters]] HashMin rounds as
+    * an unrolled CTE chain (`l0 … l12`), every step BIGINT min/least. */
+  val componentsOracle: String = {
+    val iters = (1 to CcIters).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT p.node, least(p.lbl, coalesce(m.mn, p.lbl)) AS lbl
+         |  FROM l${k - 1} p LEFT JOIN (
+         |    SELECT e.dst AS node, min(q.lbl) AS mn
+         |    FROM ed e JOIN l${k - 1} q ON e.src = q.node GROUP BY e.dst) m
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $supportPairsCtes,
+       |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+       |$iters
+       |SELECT node, lbl AS component FROM l$CcIters""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- k-core
+  /** Core order for [[kcore]]: the 3-core — the standard "dense enough to
+    * be a community, sparse enough to keep most real nodes" cut. */
+  val KcoreK = 3L
+  /** Fixed peel rounds — the [[CcIters]] discipline: deterministic,
+    * oracle-replayable; GraphSpec asserts the peel has actually reached its
+    * fixpoint on the test corpora (a further round changes nothing). */
+  val KcoreIters = 8
+
+  /** K-core extraction over the support-filtered co-purchase graph: peel
+    * nodes of degree &lt; [[KcoreK]] for [[KcoreIters]] synchronous rounds
+    * (removing a node removes its edges, which can drop neighbors below K
+    * — hence iteration), then report every surviving node with its in-core
+    * degree. The k-core is the classic dense-substructure filter: spam-hub
+    * removal in link graphs, community cores in co-occurrence graphs
+    * (Seidman 1983's coreness, restricted to the fixed-k membership
+    * question, which is the form with a finite-CTE twin).
+    *
+    * Scale shape: each round is one map-side-combined degree aggregate
+    * (≤ 2 rows shuffled per edge) plus two semi-join-shaped equi-joins of
+    * the edge list against the ≤ |V|-row survivor set — no pair expansion
+    * anywhere past the shared [[supportPairs]] projection; lineage cut
+    * every second round. Rounds are O(peel depth), bounded by the fixed
+    * count on any scale. */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kcoreOf(s, supportPairs(s, Tables.lineitem(s, d)
+      .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
+      .select($"a".as("u"), $"b".as("v")))
+  }
+
+  /** [[kcore]] over an arbitrary canonical (u, v) edge frame. */
+  private[graft] def kcoreOf(s: SparkSession, e0: DataFrame,
+                             iters: Int = KcoreIters): DataFrame = {
+    import s.implicits._
+    var edges = e0.select($"u", $"v").localCheckpoint()
+    for (k <- 1 to iters) {
+      val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter($"dg" >= KcoreK).select($"n")
+      edges = edges
+        .join(keep.select($"n".as("u")), "u")
+        .join(keep.select($"n".as("v")), "v")
+        .select($"u", $"v")
+      if (k % 2 == 0 || k == iters) edges = edges.localCheckpoint()
+    }
+    edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** DuckDB twin of [[kcore]]: the same [[KcoreIters]] peel rounds as an
+    * unrolled CTE chain (`e0 … e8`), BIGINT degrees throughout. */
+  val kcoreOracle: String = {
+    val iters = (1 to KcoreIters).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT node FROM (
+         |    SELECT u AS node FROM e${k - 1} UNION ALL SELECT v FROM e${k - 1})
+         |  GROUP BY node HAVING count(*) >= $KcoreK),
+         |e$k AS MATERIALIZED (SELECT e.u, e.v FROM e${k - 1} e
+         |  JOIN s$k a ON a.node = e.u JOIN s$k b ON b.node = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $supportPairsCtes,
+       |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pr),
+       |$iters
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT u AS node FROM e$KcoreIters
+       |  UNION ALL SELECT v FROM e$KcoreIters)
+       |GROUP BY node""".stripMargin
+  }
 }

@@ -253,4 +253,60 @@ object Profiling {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin
+
+  // ------------------------------------------------------------ SCD2 build
+  /** Slowly-changing-dimension (type 2) history build — the
+    * change-data-capture companion to [[mergeUpsert]]'s last-writer-wins
+    * (type 1) semantics: treating each customer's order stream as the
+    * change feed of their `o_orderpriority` attribute, emit one validity
+    * interval per observed VALUE CHANGE — `[valid_from, valid_to)` with
+    * `valid_to` open (NULL) on the current version. Kimball's SCD2 is the
+    * standard way a warehouse keeps attribute history queryable
+    * point-in-time; the engine form is two window passes.
+    *
+    * Deterministic: the change feed is ordered by (o_orderdate,
+    * o_orderkey) within each customer, so same-day reorders have a
+    * defined sequence. Scale shape: ONE hash exchange on custkey feeds
+    * both window passes (change detection via lag, then versioning via
+    * row_number/lead over the surviving change rows — same partitioning,
+    * no second shuffle); per-customer state is O(orders per customer).
+    * No global window, no collect. */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2HistoryOf(Tables.orders(s, d))
+
+  /** [[scd2History]] over an arbitrary orders-shaped change feed. */
+  private[graft] def scd2HistoryOf(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val changes = orders
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey".as("custkey"), $"version",
+        $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+  }
+
+  /** DuckDB twin of [[scd2History]] — identical two-pass window shape. */
+  val scd2HistoryOracle: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey AS custkey,
+      |  row_number() OVER w AS version,
+      |  o_orderpriority AS priority,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 }

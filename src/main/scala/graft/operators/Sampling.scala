@@ -291,11 +291,10 @@ object Sampling {
       .toDF("doc_id", "bucket", "seq_no", "n_tokens")
   }
 
-  /** DuckDB twin of [[packSequences]]: same token count as the text-stats
-    * oracles, same modulo bucket, and the next-fit fold as a recursive CTE
-    * that advances each bucket one row_number per step (state = (seq_no,
-    * acc) carried on the recursion edge). */
-  val packSequencesOracle: String =
+  /** Shared oracle CTE chain for the next-fit packing replay: `p` ends as
+    * (bucket, rn, doc_id, tok, seq_no, acc) — both [[packSequencesOracle]]
+    * and [[packEfficiencyOracle]] read it. */
+  private val packCtes: String =
     s"""WITH RECURSIVE t AS (SELECT doc_id,
        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS tok,
        |    CAST(doc_id % $PackBuckets AS BIGINT) AS bucket
@@ -309,6 +308,59 @@ object Sampling {
        |  SELECT r.bucket, r.rn, r.doc_id, r.tok,
        |    CASE WHEN p.acc + r.tok <= $PackBudget THEN p.seq_no ELSE p.seq_no + 1 END,
        |    CASE WHEN p.acc + r.tok <= $PackBudget THEN p.acc + r.tok ELSE r.tok END
-       |  FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+       |  FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)""".stripMargin
+
+  /** DuckDB twin of [[packSequences]]: same token count as the text-stats
+    * oracles, same modulo bucket, and the next-fit fold as a recursive CTE
+    * that advances each bucket one row_number per step (state = (seq_no,
+    * acc) carried on the recursion edge). */
+  val packSequencesOracle: String =
+    s"""$packCtes
        |SELECT doc_id, bucket, seq_no, tok AS n_tokens FROM p""".stripMargin
+
+  // ------------------------------------------------------ packing report
+  /** Packing EFFICIENCY report — the throughput meter a training run
+    * reads next to [[packSequences]]: per bucket, how many sequences the
+    * packer opened, how full they run (exact integer millis of the
+    * [[PackBudget]] capacity), and how many OVERFLOW sequences exist
+    * (single docs longer than the budget — the rows whose truncate/split
+    * policy the consumer must decide). Fill × capacity is the attention-
+    * matrix utilization the packing exists to buy; a bucket whose fill
+    * drifts low tells the pipeline its doc-length mix changed.
+    *
+    * Scale shape: rides [[packSequencesOf]] (one shuffle, O(1) per-bucket
+    * state), then two map-side-combined aggregates — (bucket, seq) then
+    * bucket — over data already partitioned by bucket; output is
+    * [[PackBuckets]] rows. */
+  def packEfficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val packed = packSequencesOf(Tables.documents(s, d), PackBudget, PackBuckets)
+    packed.groupBy($"bucket", $"seq_no")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum($"n_docs").as("n_docs"),
+        sum($"seq_tokens").as("n_tokens"),
+        sum(when($"seq_tokens" > PackBudget, 1L).otherwise(0L)).as("n_overflow"))
+      .withColumn("capacity", $"n_seqs" * PackBudget)
+      .withColumn("fill_milli", expr("(1000 * n_tokens) div capacity"))
+      .select($"bucket", $"n_seqs", $"n_docs", $"n_tokens", $"capacity",
+        $"fill_milli", $"n_overflow")
+  }
+
+  /** DuckDB twin of [[packEfficiency]] — the same two-level rollup over
+    * the shared packing replay. */
+  val packEfficiencyOracle: String =
+    s"""$packCtes,
+       |seqs AS (SELECT bucket, seq_no, count(*) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS seq_tokens
+       |  FROM p GROUP BY bucket, seq_no)
+       |SELECT bucket,
+       |  count(*) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE seq_tokens > $PackBudget) AS BIGINT) AS n_overflow,
+       |  CAST(count(*) * $PackBudget AS BIGINT) AS capacity,
+       |  (1000 * CAST(sum(seq_tokens) AS BIGINT)) // (count(*) * $PackBudget) AS fill_milli
+       |FROM seqs GROUP BY bucket""".stripMargin
 }

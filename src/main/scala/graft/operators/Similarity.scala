@@ -1077,6 +1077,135 @@ object Similarity {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // ------------------------------------------------------- filtered ANN
+  /** Probe depth for [[annFilteredTopK]]: filtered search probes DEEPER
+    * than unfiltered ([[IvfProbes]] ×2) because the predicate thins every
+    * probed cell — the standard production counter to filter-induced
+    * recall loss (cf. the filtered-search mode of any deployed vector
+    * store: pre-filter the candidate stream, widen the scan). */
+  val FilteredProbes: Int = IvfProbes * 2
+
+  /** Metadata-filtered ANN — the production "vector search WHERE ..."
+    * shape: each query retrieves its cosine top-k among corpus vectors
+    * sharing the query's `label` (category-restricted search). The
+    * predicate is applied to the IVF candidate stream BEFORE the exact
+    * re-rank (pre-filtering: no top-k slot is wasted on a vector the
+    * filter would discard — post-filtering k results would return fewer),
+    * and the probe ring is widened to [[FilteredProbes]] to compensate
+    * for the thinned cells.
+    *
+    * Scale shape: identical to [[annIvfTopK]] — the label column rides
+    * the same |V|-row assignment frame (one scan), the query-side labels
+    * are a [[NumQueries]]-row broadcast, and the filter prunes candidates
+    * before the re-rank join touches any full-precision vector. */
+  def annFilteredTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
+    val probes = vecs.filter(_._1 < NumQueries).flatMap { case (qid, v) =>
+      cosTo(bc.value, v).sortBy { case (cid, sim) => (-sim, cid) }
+        .take(FilteredProbes).map { case (cid, _) => (qid, cid) }
+    }.toDF("query_id", "cell")
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val qlab = labels.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"))
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(labels, "vec_id")
+      .join(broadcast(qlab), "query_id")
+      .filter($"label" === $"qlabel")
+      .select($"query_id", $"vec_id").distinct()
+    rerank(s, d, cands)
+  }
+
+  /** DuckDB twin of [[annFilteredTopK]]: the [[ivfCorpusCtes]] training
+    * replay with the widened probe ring and the label equi-filter on the
+    * candidate set — everything else verbatim from [[annIvfTopKOracle]]. */
+  val annFilteredTopKOracle: String =
+    s"""$ivfCorpusCtes,
+       |pr AS (SELECT query_id, cell FROM (
+       |    SELECT vv.vec_id AS query_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc WHERE vv.vec_id < $NumQueries)
+       |  WHERE rk <= $FilteredProbes),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qlab AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM asg a JOIN pr p USING (cell)
+       |  JOIN lab l ON l.vec_id = a.vec_id
+       |  JOIN qlab ql ON ql.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id AND l.label = ql.qlabel),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  // -------------------------------------------------- k-means cluster map
+  /** Per-cluster profile of the k-means cells [[lloydCentroids]] trains —
+    * the corpus "data map" a curation team reads before deciding what to
+    * upsample or prune (the SemDeDup/SeaL cluster-inspection step): for
+    * every cell, its population, the dominant `label`, and the label
+    * purity in exact integer millis. Low-purity cells flag embedding-space
+    * regions where the labeling disagrees with the geometry.
+    *
+    * Scale shape: one corpus scan assigns cells under the broadcast
+    * codebook (k centroids, constant size), then two map-side-combined
+    * aggregates — (cell, label) counts and a per-cell argmax via one
+    * |cells·labels|-row window. Nothing here grows super-linearly. */
+  def clusterProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
+    val labeled = assigned
+      .join(Tables.embeddings(s, d).select($"vec_id", $"label"), "vec_id")
+    val cl = labeled.groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"cell").orderBy($"cnt".desc, $"label".asc)
+    cl.withColumn("rk", row_number().over(w))
+      .withColumn("n_vectors", sum($"cnt").over(Window.partitionBy($"cell")))
+      .filter($"rk" === 1)
+      .select($"cell", $"n_vectors", $"label".as("top_label"),
+        $"cnt".as("top_label_n"),
+        expr("(cnt * 1000) div n_vectors").as("purity_milli"))
+  }
+
+  /** DuckDB twin of [[clusterProfile]]: the [[ivfCorpusCtes]] training +
+    * assignment replay, then the same count/argmax/purity arithmetic. */
+  val clusterProfileOracle: String =
+    s"""$ivfCorpusCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cl AS (SELECT a.cell, l.label, count(*) AS cnt
+       |  FROM asg a JOIN lab l USING (vec_id) GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vectors
+       |  FROM cl GROUP BY cell),
+       |rk AS (SELECT cell, label, cnt,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY cnt DESC, label ASC) AS rk
+       |  FROM cl)
+       |SELECT r.cell, t.n_vectors, r.label AS top_label,
+       |  CAST(r.cnt AS BIGINT) AS top_label_n,
+       |  CAST((r.cnt * 1000) // t.n_vectors AS BIGINT) AS purity_milli
+       |FROM rk r JOIN tot t USING (cell) WHERE r.rk = 1""".stripMargin
+
   // ---------------------------------------------- ANN index-quality report
   /** Recall report for the three approximate ANN indexes against the
     * exact brute-force top-k — the index-quality metric a similarity

@@ -637,6 +637,139 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------------ C4 line cleaning
+  /** Line framing for [[c4LineClean]], in tokens — the synthetic corpus is
+    * one unpunctuated line per doc, so "lines" are fixed token windows
+    * (the [[Dedup.paragraphPages]] stand-in discipline: framing synthetic,
+    * rules real; a production corpus swaps the framing for `split('\n')`
+    * and keeps everything downstream). */
+  val C4LineTokens = 10
+  /** C4's minimum words per retained line (Raffel et al. 2020 §2.2 keeps
+    * sentences of ≥ 3 words; 5 here so the rule has bite on 10-token
+    * windows). */
+  val C4MinLineWords = 5
+  /** C4's page gate: a document keeps its place in the corpus only if ≥ 3
+    * of its lines survived the line rules. */
+  val C4MinKeptLines = 3
+
+  /** C4-style LINE-level cleaning — the third granularity of quality
+    * filtering next to the doc-level gates ([[gopherRules]],
+    * [[blocklistFilter]]) and the span/paragraph dedup family: each
+    * document is framed into [[C4LineTokens]]-token lines, a line survives
+    * iff it carries ≥ [[C4MinLineWords]] words and no [[Blocklist]] term,
+    * and the page-level verdict keeps docs with ≥ [[C4MinKeptLines]]
+    * surviving lines. Emits per doc: line totals, survivors, surviving
+    * token mass, and the keep verdict.
+    *
+    * Scale shape: ZERO shuffles — framing, line rules, and the per-doc
+    * rollup are all in-row `transform`/`filter`/`aggregate` over the token
+    * array, one codegen'd projection over the scan (the [[blocklistFilter]]
+    * free-rider argument; census pins 0 exchanges). */
+  def c4LineClean(s: SparkSession, d: String): DataFrame =
+    c4LineCleanOf(Tables.documents(s, d))
+
+  private[graft] def c4LineCleanOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("toks", tokensCol)
+      // empty docs: explicit empty line set (sequence(0,-1) would DESCEND)
+      .withColumn("lines", expr(
+        s"""CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<ARRAY<STRING>>)
+           | ELSE transform(
+           |   sequence(0, CAST(ceil(size(toks) / $C4LineTokens.0) AS INT) - 1),
+           |   i -> slice(toks, i * $C4LineTokens + 1, $C4LineTokens))
+           | END""".stripMargin))
+      .withColumn("kept", expr(
+        s"""filter(lines, l -> size(l) >= $C4MinLineWords
+           |  AND size(filter(l, w -> array_contains(array($listSql), w))) = 0)""".stripMargin))
+      .select($"doc_id",
+        size($"lines").cast("long").as("n_lines"),
+        size($"kept").cast("long").as("n_kept_lines"),
+        expr("aggregate(kept, 0L, (a, l) -> a + size(l))").as("n_kept_tokens"),
+        (size($"kept") >= C4MinKeptLines).as("keep_doc"))
+  }
+
+  /** DuckDB twin of [[c4LineClean]] — same framing, rules and rollup over
+    * `list_transform`/`list_filter`; slices are 1-based inclusive on both
+    * sides ([a+1, a+w] ≡ Spark's `slice(toks, a+1, w)` tail-truncation). */
+  val c4LineCleanOracle: String = {
+    val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |fr AS (SELECT doc_id,
+       |    list_transform(range(CAST(ceil(len(toks) / $C4LineTokens.0) AS BIGINT)),
+       |      i -> toks[(i * $C4LineTokens + 1):(i * $C4LineTokens + $C4LineTokens)]) AS lines
+       |  FROM t),
+       |kp AS (SELECT doc_id, lines,
+       |    list_filter(lines, l -> len(l) >= $C4MinLineWords
+       |      AND len(list_filter(l, w -> list_contains([$listSql], w))) = 0) AS kept
+       |  FROM fr)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |  CAST(coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS BIGINT)
+       |    AS n_kept_tokens,
+       |  len(kept) >= $C4MinKeptLines AS keep_doc
+       |FROM kp""".stripMargin
+  }
+
+  // -------------------------------------------------------- inverted index
+  /** Posting-list depth for [[invertedIndex]]. */
+  val IndexPostingsK = 8
+  /** Document-frequency floor: terms seen in fewer docs don't earn a
+    * posting list (they resolve by scan; the index exists for the head). */
+  val IndexMinDf = 5L
+
+  /** Top-[[IndexPostingsK]] inverted-index postings per term — the
+    * materialized retrieval artifact behind [[Corpus.bm25TopK]]'s ad-hoc
+    * scoring: for every term with df ≥ [[IndexMinDf]], the K highest-tf
+    * documents with their term stats. Impact-ordered posting truncation
+    * (keep only the K best per term) is the standard static index-pruning
+    * move for corpus-scale retrieval.
+    *
+    * Scale shape: tf is one map-side-combined aggregate on (term, doc);
+    * df rides a second aggregate on term and joins back co-partitioned
+    * (both shuffles hash on `term`, so the join is exchange-free); the
+    * per-term truncation runs on the custom [[org.apache.spark.sql.graft.TopKPerKey]]
+    * whole-operator — bounded heap per term, no sort of the full posting
+    * set, no Window. A hot term ("the") costs its df at the heap, not a
+    * full-partition sort. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(s) // installs strategy
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(tokensCol).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" >= IndexMinDf)
+    val kept = tf.join(df, "term")
+    org.apache.spark.sql.graft.TopKOps.topKPerKey(
+        kept, keys = Seq($"term"), orderBy = Seq($"tf".desc, $"doc_id".asc),
+        k = IndexPostingsK, rankName = "rank")
+      .select($"term", $"doc_id", $"tf", $"df", $"rank")
+  }
+
+  /** DuckDB twin of [[invertedIndex]] — the window form of the same
+    * truncation (the TopKPerKey operator is value-identical to
+    * row_number-filter by construction, PlanSpec's q07b precedent). */
+  val invertedIndexOracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY term HAVING count(*) >= $IndexMinDf),
+       |r AS (SELECT tf.term, tf.doc_id, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.term
+       |      ORDER BY tf.tf DESC, tf.doc_id ASC) AS rank
+       |  FROM tf JOIN df USING (term))
+       |SELECT term, doc_id, tf, df, rank FROM r
+       |WHERE rank <= $IndexPostingsK""".stripMargin
+
   // -------------------------------------------------------- fingerprinting
   /** Canonical document fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key at scale (hash the normal form

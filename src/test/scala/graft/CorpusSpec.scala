@@ -309,6 +309,34 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("epoch plan: caps bind, surplus water-fills one round, budget never exceeded") {
+    // toks: s=10, l=100, m=40 → tot 150, budget 300, share0 100
+    // caps 30/300/120 → alloc1 30(capped)/100/100; surplus 70 over headroom
+    // (0, 200, 20): l += 70*200//220 = 63, m += 70*20//220 = 6
+    val docs = Seq(("s", 40L), ("l", 397L), ("m", 157L)).toDF("source", "n_chars")
+    val got = Corpus.epochPlanOf(docs)
+      .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("s") === (("s", 10L, 30L, 3000L, true)))
+    assert(got("l") === (("l", 100L, 163L, 1630L, false)))
+    assert(got("m") === (("m", 40L, 106L, 2650L, false)))
+    // one water-fill round under-allocates by flooring only
+    assert(got.values.map(_._3).sum === 299L)
+  }
+
+  test("epoch plan on the sf corpus: invariants hold for every source") {
+    val rows = Corpus.epochPlan(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val budget = Corpus.EpochBudgetFactor * rows.map(_._2).sum
+    assert(rows.map(_._3).sum <= budget, "allocations must never exceed the budget")
+    rows.foreach { case (src, toks, alloc, epochs, capped) =>
+      assert(alloc <= Corpus.EpochCap * toks, s"$src exceeds the repetition cap")
+      assert(epochs === 1000L * alloc / toks, s"$src epoch arithmetic")
+      assert(epochs <= 1000L * Corpus.EpochCap)
+      assert(capped === (alloc == Corpus.EpochCap * toks), s"$src capped flag")
+    }
+  }
+
   test("temperature sampling: hand-computed α=0.3 shares, rare-language boost > 1") {
     // lang a: 9 docs x 100 toks (n_chars 397 -> (397+3) div 4), lang b: 1 x 100
     val docs = (1 to 9).map(i => (i.toLong, "a", 397L)) :+ ((10L, "b", 397L))

@@ -78,6 +78,31 @@ class CurationSpec extends SparkTestBase {
       (32L, 3L), (40L, 4L), (48L, 5L)))
   }
 
+  test("pack efficiency: report equals an independent rollup of the packing") {
+    import org.apache.spark.sql.functions.col
+    val packed = graft.operators.Sampling.packSequences(spark, sf)
+      .select("doc_id", "bucket", "seq_no", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // independent in-JVM rollup of the same packing
+    val want = packed.groupBy(r => (r._2, r._3)).toSeq
+      .map { case ((b, _), rows) => (b, rows.length.toLong, rows.map(_._4).sum) }
+      .groupBy(_._1).map { case (b, seqs) =>
+        val budget = graft.operators.Sampling.PackBudget
+        val nSeqs = seqs.length.toLong
+        (b, (b, nSeqs, seqs.map(_._2).sum, seqs.map(_._3).sum,
+          nSeqs * budget, 1000L * seqs.map(_._3).sum / (nSeqs * budget),
+          seqs.count(_._3 > budget).toLong))
+      }
+    val got = graft.operators.Sampling.packEfficiency(spark, sf)
+      .select(col("bucket"), col("n_seqs"), col("n_docs"), col("n_tokens"),
+        col("capacity"), col("fill_milli"), col("n_overflow"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === want.size)
+    got.foreach { g => assert(g === want(g._1), s"bucket ${g._1}") }
+    // the fill the packing exists to buy: every bucket ≥ 75% full
+    got.foreach { g => assert(g._6 >= 750L, s"bucket ${g._1} fill ${g._6}") }
+  }
+
   test("train/test split: bands hold, proportions near 90/5/5, id-pure and repartition-stable") {
     import graft.operators.Sampling
     val out = Sampling.trainTestSplit(spark, sf)

@@ -77,6 +77,60 @@ class GraphSpec extends SparkTestBase {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("components: HashMin labels a hand-built multi-component graph correctly") {
+    // path 1-2-3-4 (one component, min 1), pair {10,11}, triangle {20,21,22}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("u", "v")
+    val got = Graph.componentsOf(spark, edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("components: HashMin equals star-contraction CC on the corpus co-purchase graph") {
+    import org.apache.spark.sql.functions.col
+    val edges = Graph.supportPairs(spark,
+        graft.core.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("gk"), col("l_partkey").as("node")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .localCheckpoint()
+    val hashMin = Graph.componentsOf(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    // two independent algorithms (O(diameter) HashMin vs O(log n) star
+    // contraction) must produce the identical component labeling — this is
+    // also the convergence proof for the fixed CcIters round count here
+    val star = graft.operators.Dedup.connectedComponents(spark,
+        edges.select(col("u").as("src"), col("v").as("dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(hashMin === star)
+    assert(hashMin.nonEmpty)
+  }
+
+  test("kcore: peeling cascades and reports in-core degrees exactly") {
+    // K4 {1,2,3,4}; 5 looks 3-core-worthy (deg 3: edges to 1,2,7) but its
+    // pendant neighbor 7 peels first, dropping 5 to degree 2 → cascade
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 7L), (6L, 1L)).toDF("u", "v")
+    val got = Graph.kcoreOf(spark, edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: fixed-round peel reaches its fixpoint on the corpus graph") {
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val edges = Graph.supportPairs(spark,
+        graft.core.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("gk"), col("l_partkey").as("node")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .localCheckpoint()
+    val core = Graph.kcoreOf(spark, edges).as[(Long, Long)].collect().toSet
+    // fixpoint ⇒ every survivor holds ≥ K edges inside the core (an
+    // unconverged peel would leave a sub-K degree behind) …
+    core.foreach { case (_, d) => assert(d >= Graph.KcoreK) }
+    // … and an extra peel round changes nothing
+    val extra = Graph.kcoreOf(spark, edges, Graph.KcoreIters + 1)
+      .as[(Long, Long)].collect().toSet
+    assert(extra === core)
+  }
+
   test("DOULION estimate: deterministic, internally consistent, error bounded vs exact") {
     import org.apache.spark.sql.functions.sum
     val approx = Graph.triangleCountApprox(spark, sf)

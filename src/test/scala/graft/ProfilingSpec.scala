@@ -63,6 +63,56 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("embeddings_ragged_dim") === 1)
   }
 
+  test("scd2 history: change capture, validity chaining, single current version") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String): Timestamp = Timestamp.valueOf(d + " 00:00:00")
+    val orders = Seq(
+      // cust 1: P1, P1 (no change), P2, back to P1 — three versions
+      (1L, 10L, ts("2020-01-01"), "P1"),
+      (1L, 11L, ts("2020-02-01"), "P1"),
+      (1L, 12L, ts("2020-03-01"), "P2"),
+      (1L, 13L, ts("2020-04-01"), "P1"),
+      // cust 2: a single order — one open-ended version
+      (2L, 20L, ts("2021-06-15"), "P3"),
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val got = graft.operators.Profiling.scd2HistoryOf(orders)
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 4)
+    assert(got((1L, 1)) === ((1L, 1, "P1", ts("2020-01-01"),
+      Some(ts("2020-03-01")), false)))
+    assert(got((1L, 2)) === ((1L, 2, "P2", ts("2020-03-01"),
+      Some(ts("2020-04-01")), false)))
+    assert(got((1L, 3)) === ((1L, 3, "P1", ts("2020-04-01"),
+      None, true)))
+    assert(got((2L, 1)) === ((2L, 1, "P3", ts("2021-06-15"),
+      None, true)))
+  }
+
+  test("scd2 history on the sf corpus: contiguous versions, chained intervals, one current") {
+    import spark.implicits._
+    val rows = graft.operators.Profiling.scd2History(spark, sf)
+      .as[(Long, Int, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length), s"cust $cust versions")
+      assert(sorted.count(_._6) === 1, s"cust $cust must hold exactly one current row")
+      assert(sorted.last._6 && sorted.last._5.isEmpty, s"cust $cust tail open")
+      // interval chaining: valid_to of version k = valid_from of k+1;
+      // consecutive versions always differ in the tracked attribute
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"cust $cust chain")
+          assert(a._3 !== b._3, s"cust $cust consecutive versions must differ")
+        case _ =>
+      }
+    }
+  }
+
   test("snapshot diff: statuses exactly match the synthesis rules, unchanged filtered out") {
     import spark.implicits._
     val out = Profiling.snapshotDiff(spark, sf)

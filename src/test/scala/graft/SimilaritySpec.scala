@@ -50,6 +50,58 @@ class SimilaritySpec extends SparkTestBase {
     info(s"IVF recall@10 = $recall")
   }
 
+  test("filtered ANN: label predicate holds, recall vs filtered brute force is useful") {
+    // exact filtered ground truth, computed independently in the JVM:
+    // per query, cosine top-k over SAME-label corpus vectors only
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .as[(Long, Array[Double], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = rows.filter(_._1 < Similarity.NumQueries).flatMap { case (qid, qv, ql) =>
+      rows.filter(r => r._1 != qid && r._3 == ql)
+        .map(r => (r._1, BigDecimal(cos(qv, r._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(Similarity.TopK).map { case (id, _) => (qid, id) }
+    }.toSet
+    val got = Similarity.annFilteredTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every returned neighbor satisfies the predicate
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    got.foreach { case (q, n) => assert(labelOf(n) === labelOf(q) && n != q) }
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"filtered ANN recall@10 = $recall")
+    // widened probe ring (2x) compensates the label thinning; random
+    // selection at the 8/16-cell budget would land ≈ 0.5
+    assert(recall >= 0.60, s"filtered recall@10 = $recall")
+    // deterministic
+    val again = Similarity.annFilteredTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
+  test("cluster profile: partitions the corpus, purity arithmetic exact, deterministic") {
+    val prof = Similarity.clusterProfile(spark, sf)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    val nCorpus = graft.core.Tables.embeddings(spark, sf).count()
+    // cells partition the corpus: populations sum to |corpus|
+    assert(prof.map(_._2).sum === nCorpus)
+    assert(prof.length <= Similarity.IvfCells)
+    val nLabels = graft.core.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    prof.foreach { case (_, n, _, topN, purity) =>
+      assert(topN >= 1L && topN <= n)
+      assert(purity === topN * 1000L / n)
+      assert(purity >= 1000L / nLabels) // the argmax meets the uniform floor
+    }
+    val again = Similarity.clusterProfile(spark, sf)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === prof.sortBy(_._1).toSeq)
+  }
+
   test("SemDeDup: precision 1 vs exact pairs, recall bounded, deterministic") {
     // exact ground truth: vectors with ANY lower-id neighbor at cos >= tau
     // anywhere in the corpus (the all-pairs verifier's keep-first rule)

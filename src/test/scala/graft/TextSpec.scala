@@ -477,4 +477,61 @@ class TextSpec extends SparkTestBase {
     // every doc gets a verdict (map-only gate never drops rows itself)
     assert(got.size === 5)
   }
+
+  test("C4 line clean: framing, min-words and blocklist rules, page gate, empty doc") {
+    import spark.implicits._
+    val w30 = (1 to 30).map(i => s"w$i").mkString(" ")    // 3 full lines
+    val w23 = (1 to 23).map(i => s"w$i").mkString(" ")    // 10+10+3: tail drops
+    val blocked = (1 to 9).map(i => s"w$i").mkString(" ") + " dup " +
+      (1 to 15).map(i => s"v$i").mkString(" ")            // line 2 holds "dup"
+    val docs = Seq(1L -> w30, 2L -> w23, 3L -> blocked, 4L -> "short line", 5L -> "")
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.c4LineCleanOf(docs)
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, 30L, true)))
+    // 23 tokens: lines (10,10,3); the 3-token tail fails min-words -> 2 kept, gate fails
+    assert(got(2L) === ((2L, 3L, 2L, 20L, false)))
+    // 25 tokens: lines (10,10,5); "dup" lands in line 1 -> that line drops,
+    // the 5-word tail meets min-words and survives
+    assert(got(3L) === ((3L, 3L, 2L, 15L, false)))
+    assert(got(4L) === ((4L, 1L, 0L, 0L, false)))         // 2 words < min
+    assert(got(5L) === ((5L, 0L, 0L, 0L, false)))         // empty: zero lines
+  }
+
+  test("inverted index: truncation, ordering, df floor, and window-form equivalence") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = TextOps.invertedIndex(spark, sf)
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val byTerm = got.groupBy(_._1)
+    byTerm.foreach { case (term, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq === (1 to sorted.length), s"term $term ranks")
+      assert(sorted.length <= TextOps.IndexPostingsK)
+      // impact order: tf non-increasing, doc_id ascending within equal tf
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"term $term order")
+        case _ =>
+      }
+      assert(rows.map(_._4).distinct.length === 1 &&
+        rows.head._4 >= TextOps.IndexMinDf)
+    }
+    // the custom TopKPerKey path must equal the standard window form
+    val tf = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, '\\\\s+'), x -> x <> '')")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= TextOps.IndexMinDf)
+    val win = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val want = tf.join(df, "term")
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= TextOps.IndexPostingsK)
+      .select("term", "doc_id", "tf", "df", "rank")
+      .as[(String, Long, Long, Long, Int)].collect().toSet
+    assert(got.toSet === want)
+  }
 }
