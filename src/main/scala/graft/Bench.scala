@@ -176,12 +176,23 @@ object Bench {
     // against the latest same-sf BENCH_r*.json (or $SPARK_GRAFT_BENCH_PREV)
     // and embed every >2x mover in the artifact, so q15-class noise
     // arrives as data instead of needing a prose excavation.
+    // full-minima sibling artifact: the driver's BENCH_r*.json wrapper
+    // TRUNCATES the bench line (r7's committed artifact physically lost
+    // the q15 row it was supposed to make comparable), so every full-suite
+    // run also writes BENCH_LOCAL_<sf>.json in the repo root and the next
+    // run prefers it as the diff base — the cross-round minima check can
+    // then never be blinded by wrapper truncation
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+    val localName = s"BENCH_LOCAL_$sfTag.json"
     val (prevName, vsPrev) = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       val candidate = explicit.orElse {
-        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
-        rs.lastOption
+        if (new java.io.File(localName).isFile) Some(localName)
+        else {
+          val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
+          rs.lastOption
+        }
       }
       candidate.flatMap { f =>
         try {
@@ -231,6 +242,12 @@ object Bench {
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     catch { case _: Throwable => }
+    // full-suite runs persist the untruncated minima for the next round's
+    // diff base (partial SPARK_GRAFT_BENCH_ONLY runs must not overwrite
+    // the full-suite history with a subset)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(localName), line)
+      catch { case _: Throwable => }
     spark.stop()
   }
 }

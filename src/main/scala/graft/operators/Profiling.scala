@@ -294,6 +294,75 @@ object Profiling {
         $"valid_to".isNull.as("is_current"))
   }
 
+  /** Skew-resistant twin of [[scd2History]] — the [[graft.operators.Events]]
+    * transitions / sessionize pair discipline: same output, same oracle,
+    * no per-customer straggler. A 100 TB change feed with one hot entity
+    * (ScaleGen's skew mode plants half of all orders on ONE customer)
+    * serializes [[scd2History]]'s window sort into a single task; here
+    * every HEAVY sort is partitioned by (customer, month-bucket), and the
+    * customer-level passes run over BOUNDED per-bucket aggregates:
+    *
+    *   - change detection: in-bucket lag, with each bucket's first row
+    *     stitched against the previous bucket's last priority (a
+    *     |cust·buckets|-row aggregate);
+    *   - version numbering: in-bucket row_number + per-bucket change
+    *     counts prefix-summed per customer (the train_curriculum_order
+    *     "total order without a global window" recipe);
+    *   - interval chaining: in-bucket lead, bucket-last rows stitched to
+    *     the next changing bucket's first change date.
+    *
+    * GraphSpec-style equality: ProfilingSpec pins this form equal to
+    * [[scd2History]] row-for-row, and the gate runs it against the SAME
+    * DuckDB oracle. */
+  def scd2HistorySkewResistant(s: SparkSession, d: String): DataFrame =
+    scd2SkewResistantOf(Tables.orders(s, d))
+
+  /** [[scd2HistorySkewResistant]] over an arbitrary orders-shaped feed. */
+  private[graft] def scd2SkewResistantOf(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = orders
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("bucket",
+        expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+    val wIn = Window.partitionBy($"o_custkey", $"bucket")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val lagged = o.withColumn("prev_in", lag($"o_orderpriority", 1).over(wIn))
+    // bounded boundary table: each (cust, bucket)'s LAST priority, lagged
+    // one bucket forward so a bucket's first row sees its true predecessor
+    val wB = Window.partitionBy($"o_custkey").orderBy($"bucket")
+    val prevLast = o.groupBy($"o_custkey", $"bucket")
+      .agg(max_by($"o_orderpriority", struct($"o_orderdate", $"o_orderkey"))
+        .as("last_pri"))
+      .withColumn("prev_last", lag($"last_pri", 1).over(wB))
+      .select($"o_custkey", $"bucket", $"prev_last")
+    val changes = lagged.join(prevLast, Seq("o_custkey", "bucket"))
+      .withColumn("prev", coalesce($"prev_in", $"prev_last"))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      .select($"o_custkey", $"bucket", $"o_orderkey", $"o_orderdate",
+        $"o_orderpriority")
+    val numbered = changes
+      .withColumn("rn_in", row_number().over(wIn))
+      .withColumn("next_in", lead($"o_orderdate", 1).over(wIn))
+    // per-bucket change stats (bounded): count → per-customer prefix-sum
+    // offsets; first change date → the stitch target for bucket-last rows
+    val off = numbered.groupBy($"o_custkey", $"bucket")
+      .agg(count(lit(1)).as("c"),
+        min(struct($"o_orderdate", $"o_orderkey")).as("fst"))
+      .withColumn("offset", coalesce(
+        sum($"c").over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("next_first", lead($"fst.o_orderdate", 1).over(wB))
+      .select($"o_custkey", $"bucket", $"offset", $"next_first")
+    numbered.join(off, Seq("o_custkey", "bucket"))
+      .select($"o_custkey".as("custkey"),
+        ($"offset" + $"rn_in").cast("int").as("version"),
+        $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("valid_from"),
+        coalesce($"next_in", $"next_first").as("valid_to"),
+        coalesce($"next_in", $"next_first").isNull.as("is_current"))
+  }
+
   /** DuckDB twin of [[scd2History]] — identical two-pass window shape. */
   val scd2HistoryOracle: String =
     """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

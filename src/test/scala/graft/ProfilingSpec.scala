@@ -90,6 +90,36 @@ class ProfilingSpec extends SparkTestBase {
       None, true)))
   }
 
+  test("scd2 skew-resistant form equals the plain window form exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String): Timestamp = Timestamp.valueOf(d + " 00:00:00")
+    // bucket-boundary torture feed: no-change boundary (Jan→Feb), change
+    // AT a bucket's first row (Mar), an EMPTY month gap (Apr), same-month
+    // multi-change (May), and a single-order customer
+    val orders = Seq(
+      (1L, 10L, ts("2020-01-05"), "P1"),
+      (1L, 11L, ts("2020-02-10"), "P1"),
+      (1L, 12L, ts("2020-03-01"), "P2"),
+      (1L, 13L, ts("2020-03-20"), "P2"),
+      (1L, 14L, ts("2020-05-02"), "P1"),
+      (1L, 15L, ts("2020-05-03"), "P3"),
+      (2L, 20L, ts("2021-06-15"), "P3"),
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val plain = graft.operators.Profiling.scd2HistoryOf(orders)
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)].collect().toSet
+    val skewres = graft.operators.Profiling.scd2SkewResistantOf(orders)
+      .as[(Long, Int, String, Timestamp, Option[Timestamp], Boolean)].collect().toSet
+    assert(skewres === plain)
+    assert(plain.size === 5) // cust 1: P1,P2,P1,P3; cust 2: P3
+    // and on the full corpus: row-for-row identical
+    val p2 = graft.operators.Profiling.scd2History(spark, sf)
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)].collect().toSet
+    val s2 = graft.operators.Profiling.scd2HistorySkewResistant(spark, sf)
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)].collect().toSet
+    assert(s2 === p2)
+  }
+
   test("scd2 history on the sf corpus: contiguous versions, chained intervals, one current") {
     import spark.implicits._
     val rows = graft.operators.Profiling.scd2History(spark, sf)
