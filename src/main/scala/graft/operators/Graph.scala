@@ -137,9 +137,10 @@ object Graph {
     * ([[pageRank]]): triangle-dense neighborhoods are communities,
     * triangle-free high-degree nodes are spam hubs.
     *
-    * The co-purchase projection is bounded by construction: an order
-    * holds ≤ 7 lineitems, so the per-order pair expansion is ≤ 21 rows
-    * per order — linear in `lineitem` whatever the scale.
+    * The co-purchase projection is bounded: an organic order holds ≤ 7
+    * lineitems (≤ 21 pairs), and pathological groups are dropped by the
+    * shared [[BasketCap]] guard — so the expansion stays linear in
+    * `lineitem` whatever the scale AND whatever one bad basket does.
     *
     * Triangle enumeration uses DEGREE ORIENTATION (the MapReduce scheme
     * of Suri & Vassilvitskii, WWW'11) in the EDGE-ITERATOR form: each
@@ -181,10 +182,11 @@ object Graph {
   }
 
   /** Canonical undirected edge set (u < v by id) of a (gk, node)
-    * membership frame: nodes sharing a group key become edges. */
+    * membership frame: nodes sharing a group key become edges;
+    * over-[[BasketCap]] groups dropped before the expansion. */
   private def canonicalEdges(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
-    val mem = mem0.distinct()
+    val mem = cappedMembership(s, mem0)
     mem.as("x").join(mem.as("y"),
         $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
       .select($"x.node".as("u"), $"y.node".as("v")).distinct()
@@ -266,8 +268,8 @@ object Graph {
   /** DuckDB twin of [[triangleCountApprox]]: the same md5-coin edge
     * sample, brute a&lt;b&lt;c enumeration on the survivors (the
     * [[triangleCountsOracle]] join shape), same 1/p³ scale-up. */
-  val triangleCountApproxOracle: String =
-    s"""WITH mem AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+  lazy val triangleCountApproxOracle: String =
+    s"""WITH $memCte,
        |e AS (SELECT DISTINCT x.node AS u, y.node AS v
        |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node),
        |smp AS (SELECT u, v FROM e
@@ -311,15 +313,42 @@ object Graph {
       .select($"l_orderkey".as("gk"), $"l_partkey".as("node")))
   }
 
+  /** Pathological-basket cap: a group (order/basket/page) with more than
+    * this many distinct members is DROPPED before any pair expansion.
+    * The co-occurrence projection is quadratic PER GROUP — one bot cart,
+    * ETL-merged mega-order, or boilerplate hub with 3M members expands to
+    * ~10¹² pairs and DOSes the whole job (the round-8 skew rehearsal
+    * plants exactly this: 50 % of lineitems on ONE order). Every serious
+    * basket miner caps transaction length for the same reason; 64 is far
+    * above any organic basket on this schema (≤ 7) while turning the
+    * adversarial group into one filtered row. Applied IDENTICALLY in
+    * every engine path and DuckDB twin, so results are unchanged on
+    * organic data and the cap itself is oracle-verified. */
+  val BasketCap = 64L
+
+  /** Distinct (gk, node) membership with over-[[BasketCap]] groups
+    * removed — the shared guard in front of every pair expansion. The
+    * group-size aggregate is map-side combined and the semi-join back is
+    * AQE-broadcastable (|groups| rows), so the guard costs one bounded
+    * pass, not a shuffle of the expansion it prevents. */
+  private def cappedMembership(s: SparkSession, mem0: DataFrame): DataFrame = {
+    import s.implicits._
+    val mem = mem0.distinct()
+    val ok = mem.groupBy($"gk").agg(count(lit(1)).as("n"))
+      .filter($"n" <= BasketCap).select($"gk")
+    mem.join(ok, "gk")
+  }
+
   /** Support-filtered co-occurrence pairs (a &lt; b, s_ab ≥
     * [[BasketMinSupport]]) of a (gk, node) membership frame — the shared
     * projection under [[basketRules]], [[components]] and [[kcore]]. The
-    * per-group pair expansion is bounded by construction (≤ 21 rows per
-    * order on this schema) and map-side combined into support counts, so
-    * the support filter prunes the edge set BEFORE any downstream join. */
+    * per-group pair expansion is bounded by [[BasketCap]] (≤ 21 rows per
+    * organic order on this schema; pathological groups dropped) and
+    * map-side combined into support counts, so the support filter prunes
+    * the edge set BEFORE any downstream join. */
   private[graft] def supportPairs(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
-    val mem = mem0.distinct()
+    val mem = cappedMembership(s, mem0)
     mem.as("x").join(mem.as("y"),
         $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
       .groupBy($"x.node".as("a"), $"y.node".as("b"))
@@ -327,14 +356,20 @@ object Graph {
       .filter($"s_ab" >= BasketMinSupport)
   }
 
-  /** Shared oracle fragment for [[supportPairs]] on the part co-purchase
-    * graph: `pr(a, b, s_ab)` with a &lt; b and s_ab ≥ [[BasketMinSupport]].
+  /** Shared oracle fragment: capped distinct membership (`mem`, the
+    * [[cappedMembership]] twin) and the support-filtered pairs `pr(a, b,
+    * s_ab)` with a &lt; b and s_ab ≥ [[BasketMinSupport]].
     * MATERIALIZED: the iterated-CTE consumers ([[componentsOracle]],
     * [[kcoreOracle]]) reference their previous round more than once, and
     * DuckDB inlines plain CTEs — without materialization the unrolled
     * chain expands exponentially. */
-  private val supportPairsCtes: String =
-    s"""mem AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+  private lazy val memCte: String =
+    s"""mem0 AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+       |ok AS (SELECT gk FROM mem0 GROUP BY gk HAVING count(*) <= $BasketCap),
+       |mem AS MATERIALIZED (SELECT mem0.* FROM mem0 JOIN ok USING (gk))""".stripMargin
+
+  private lazy val supportPairsCtes: String =
+    s"""$memCte,
        |pr AS MATERIALIZED (SELECT x.node AS a, y.node AS b, count(*) AS s_ab
        |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node
        |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)""".stripMargin
@@ -342,7 +377,10 @@ object Graph {
   /** [[basketRules]] over an arbitrary (gk, node) membership frame. */
   private[graft] def basketRulesOf(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
-    val mem = mem0.distinct()
+    // item supports and the basket total count over the SAME capped
+    // membership the pair expansion sees, so confidence/lift stay
+    // internally consistent when a pathological basket is dropped
+    val mem = cappedMembership(s, mem0)
     val pairs = supportPairs(s, mem0)
     val item = mem.groupBy($"node").agg(count(lit(1)).as("s_i"))
     val tot = mem.agg(countDistinct($"gk").as("n_baskets"))
@@ -358,8 +396,8 @@ object Graph {
   }
 
   /** DuckDB twin of [[basketRules]]. */
-  val basketRulesOracle: String =
-    s"""WITH mem AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+  lazy val basketRulesOracle: String =
+    s"""WITH $memCte,
       |pr AS (SELECT x.node AS a, y.node AS b, count(*) AS s_ab
       |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node
       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
@@ -379,8 +417,8 @@ object Graph {
     * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — a different join order
     * than the engine's degree orientation, but the identical triangle
     * SET, so per-node counts hash-match. */
-  val triangleCountsOracle: String =
-    """WITH mem AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS node FROM lineitem),
+  lazy val triangleCountsOracle: String =
+    s"""WITH $memCte,
       |e AS (SELECT DISTINCT x.node AS u, y.node AS v
       |  FROM mem x JOIN mem y ON x.gk = y.gk AND x.node < y.node),
       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -444,7 +482,7 @@ object Graph {
 
   /** DuckDB twin of [[components]]: the same [[CcIters]] HashMin rounds as
     * an unrolled CTE chain (`l0 … l12`), every step BIGINT min/least. */
-  val componentsOracle: String = {
+  lazy val componentsOracle: String = {
     val iters = (1 to CcIters).map { k =>
       s"""l$k AS MATERIALIZED (SELECT p.node, least(p.lbl, coalesce(m.mn, p.lbl)) AS lbl
          |  FROM l${k - 1} p LEFT JOIN (
@@ -512,7 +550,7 @@ object Graph {
 
   /** DuckDB twin of [[kcore]]: the same [[KcoreIters]] peel rounds as an
     * unrolled CTE chain (`e0 … e8`), BIGINT degrees throughout. */
-  val kcoreOracle: String = {
+  lazy val kcoreOracle: String = {
     val iters = (1 to KcoreIters).map { k =>
       s"""s$k AS MATERIALIZED (SELECT node FROM (
          |    SELECT u AS node FROM e${k - 1} UNION ALL SELECT v FROM e${k - 1})

@@ -77,6 +77,28 @@ class GraphSpec extends SparkTestBase {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("pathological baskets are dropped before any pair expansion") {
+    // one organic triangle basket + one mega-group over BasketCap: the
+    // mega-group must contribute ZERO edges/rules (guard against the
+    // quadratic per-group expansion the skew rehearsal plants)
+    val mega = (1 to (Graph.BasketCap.toInt + 1)).map(i => (999L, 10000L + i))
+    val mem = (Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L)) ++ mega)
+      .toDF("gk", "node")
+    val tri = Graph.triangleCountsOf(spark, mem)
+      .as[(Long, Long)].collect().toMap
+    assert(tri.keySet === Set(1L, 2L, 3L)) // no mega-group node appears
+    val rules = Graph.basketRulesOf(spark, mem)
+      .select("antecedent").as[Long].collect()
+    assert(rules.forall(_ < 10000L))
+    // cap boundary: a group AT the cap still expands
+    val atCap = (1 to Graph.BasketCap.toInt).map(i => (5L, 20000L + i))
+    val mem2 = (atCap ++ Seq((6L, 20001L), (6L, 20002L))).toDF("gk", "node")
+    val e = Graph.basketRulesOf(spark, mem2)
+      .select("antecedent").as[Long].collect()
+    assert(e.nonEmpty) // pair (20001, 20002) reaches support 2 via gk 5+6
+  }
+
   test("components: HashMin labels a hand-built multi-component graph correctly") {
     // path 1-2-3-4 (one component, min 1), pair {10,11}, triangle {20,21,22}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
