@@ -221,28 +221,56 @@ object Corpus {
     * same code path at every sf. */
   val EpochBudgetFactor = 2L
 
+  /** Number of uniform water-fill rounds in [[epochPlan]] after the
+    * initial equal split — each round re-divides the surplus equally
+    * among still-unsaturated sources, so a round that re-saturates a
+    * source (its headroom < the equal share) hands the excess to the
+    * next round instead of losing it. Two bounded rounds + the
+    * proportional mop + the largest-remainder finish reach EXACT budget
+    * exhaustion on every corpus (proof in the [[epochPlan]] doc). */
+  val WaterFillRounds = 2
+
   /** Data-constrained EPOCH PLAN: apportion a token budget of
     * [[EpochBudgetFactor]]× the corpus mass across sources under a
     * repetition cap — each source ideally contributes an equal share
     * (uniform mixing, the diversity-maximizing prior), but no source may
-    * repeat beyond [[EpochCap]] epochs; the surplus the caps free up is
-    * redistributed ONE round, proportional to remaining headroom (a fixed
-    * single water-fill step — deterministic and finite-SQL-replayable,
-    * where iterating to the exact water level is not). Complements
-    * [[tokenBudget]] (mass-proportional, uncapped Hamilton seats): this is
-    * the plan you run when the budget EXCEEDS the corpus and the binding
-    * question is "what repeats, and how often", not "what fits".
+    * repeat beyond [[EpochCap]] epochs. The surplus the caps free up is
+    * water-filled in BOUNDED MULTI-ROUND form (the fixed-iteration
+    * discipline of `PrIters`/`CcIters`, deterministic and
+    * finite-SQL-replayable where iterating to the exact water level is
+    * not):
+    *
+    *   1. equal split, capped (`min(budget/n, cap)`);
+    *   2. [[WaterFillRounds]] UNIFORM rounds — surplus ÷ #unsaturated
+    *      each, capped at headroom. These are the rounds that handle
+    *      RE-SATURATION: a shallow source whose headroom is below the
+    *      equal share caps out and its excess stays in the pool;
+    *   3. one headroom-PROPORTIONAL mop — because budget ≤ Σcap implies
+    *      surplus ≤ Σheadroom, `⌊surplus·headᵢ/head_tot⌋ ≤ headᵢ` never
+    *      binds and flooring loses < 1 token per unsaturated source, so
+    *      the residual afterwards is < #unsaturated;
+    *   4. a largest-remainder finish (+1 token to the residual-many
+    *      deepest headrooms — the [[tokenBudget]] Hamilton-seat trick),
+    *      which by (3) reaches Σalloc = min(budget, Σcap) EXACTLY.
+    *
+    * Complements [[tokenBudget]] (mass-proportional, uncapped Hamilton
+    * seats): this is the plan you run when the budget EXCEEDS the corpus
+    * and the binding question is "what repeats, and how often", not
+    * "what fits".
     *
     * Integer-rational end-to-end; the one product that could exceed
     * BIGINT at corpus scale (`surplus · headroom` ≈ 10²⁷ at 100 TB token
-    * masses) is carried in DECIMAL(38,0) on both sides — the
+    * masses) is carried in DECIMAL(38,0) here and explicit HUGEINT casts
+    * in the twin (DuckDB does NOT auto-promote BIGINT·BIGINT — an
+    * uncast product would raise, not wrap) — the
     * [[graft.operators.Events]] anomaly-window overflow discipline.
     *
     * Scale shape: one map-side-combined per-source aggregate
     * (|sources| rows, localCheckpointed once), then scalar-subquery
-    * broadcasts for the budget and the two redistribution sums — the
-    * [[tokenBudget]] plan shape exactly; nothing beyond |sources| rows
-    * ever moves. */
+    * broadcasts for the budget and each round's redistribution sums —
+    * the [[tokenBudget]] plan shape exactly; nothing beyond |sources|
+    * rows ever moves, and the final rank window sorts |sources| rows on
+    * one task by contract. */
   def epochPlan(s: SparkSession, d: String): DataFrame =
     epochPlanOf(Tables.documents(s, d))
 
@@ -256,47 +284,99 @@ object Corpus {
       .localCheckpoint()
     val tot = by.agg((sum($"toks") * EpochBudgetFactor).as("budget"),
       count(lit(1)).as("n_src"))
-    val a1 = by.crossJoin(broadcast(tot))
-      .withColumn("share0", expr("budget div n_src"))
+    var a = by.crossJoin(broadcast(tot))
       .withColumn("cap", $"toks" * EpochCap)
-      .withColumn("alloc1", least($"share0", $"cap"))
-      .withColumn("head", $"cap" - $"alloc1")
-    val sums = a1.agg(sum($"alloc1").as("alloc1_sum"),
-      sum($"head").as("head_tot"))
-    a1.crossJoin(broadcast(sums))
-      .withColumn("surplus", $"budget" - $"alloc1_sum")
-      .withColumn("alloc_tokens", $"alloc1" +
-        when($"head_tot" > 0L,
-          least($"head", expr(
-            """CAST((CAST(surplus AS DECIMAL(38,0)) * CAST(head AS DECIMAL(38,0)))
-              | div CAST(head_tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)))
+      .withColumn("alloc", least(expr("budget div n_src"), $"cap"))
+      .select($"source", $"toks", $"budget", $"cap", $"alloc")
+    for (_ <- 1 to WaterFillRounds) {
+      val sums = a.agg(sum($"alloc").as("alloc_sum"),
+        sum(when($"alloc" < $"cap", 1L).otherwise(0L)).as("n_unsat"))
+      a = a.crossJoin(broadcast(sums))
+        .withColumn("alloc", $"alloc" + when($"n_unsat" > 0L,
+          least($"cap" - $"alloc",
+            expr("(budget - alloc_sum) div n_unsat"))).otherwise(0L))
+        .select($"source", $"toks", $"budget", $"cap", $"alloc")
+    }
+    val mop = a.agg(sum($"alloc").as("alloc_sum"),
+      sum($"cap" - $"alloc").as("head_tot"))
+    a = a.crossJoin(broadcast(mop))
+      .withColumn("head", $"cap" - $"alloc")
+      .withColumn("alloc", $"alloc" + when($"head_tot" > 0L,
+        least($"head", expr(
+          """CAST((CAST(budget - alloc_sum AS DECIMAL(38,0)) * CAST(head AS DECIMAL(38,0)))
+            | div CAST(head_tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)))
+        .otherwise(0L))
+      .select($"source", $"toks", $"budget", $"cap", $"alloc")
+    val fin = a.agg(sum($"alloc").as("alloc_sum"))
+    // remainder rank as the bounded |sources|² broadcast self-join
+    // strictly-better count — the [[tokenBudget]] idiom, NOT a global
+    // window (the empty-partition-spec Window class PlanWalk flags)
+    val aHead = a.withColumn("head", $"cap" - $"alloc")
+    val better = aHead.select($"source".as("b_source"), $"head".as("b_head"))
+    aHead.join(broadcast(better),
+        ($"b_head" > $"head") || ($"b_head" === $"head" && $"b_source" < $"source"),
+        "left")
+      .groupBy($"source", $"toks", $"budget", $"cap", $"alloc", $"head")
+      .agg(count($"b_source").as("n_better"))
+      .crossJoin(broadcast(fin))
+      .withColumn("alloc_tokens", $"alloc" +
+        when($"alloc" < $"cap" && $"n_better" < ($"budget" - $"alloc_sum"), 1L)
           .otherwise(0L))
       .select($"source", $"toks", $"alloc_tokens",
         expr("(1000 * alloc_tokens) div toks").as("epochs_milli"),
         ($"alloc_tokens" === $"cap").as("capped"))
   }
 
-  /** DuckDB twin of [[epochPlan]] — same integer arithmetic; the
-    * surplus·headroom product rides HUGEINT there and DECIMAL(38,0) here,
-    * both exact at any realistic mass. */
+  /** DuckDB twin of [[epochPlan]] — the same rounds unrolled as CTEs
+    * (round 0 split, [[WaterFillRounds]] uniform rounds, proportional
+    * mop, largest-remainder finish); the surplus·headroom product is
+    * cast to HUGEINT EXPLICITLY (DuckDB raises on BIGINT·BIGINT
+    * overflow rather than promoting) where the engine rides
+    * DECIMAL(38,0) — both exact at any realistic mass. */
   val epochPlanOracle: String =
     s"""WITH b AS (SELECT source, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS toks
        |  FROM documents GROUP BY source
        |  HAVING CAST(sum((n_chars + 3) // 4) AS BIGINT) > 0),
        |t AS (SELECT CAST($EpochBudgetFactor * sum(toks) AS BIGINT) AS budget,
        |    count(*) AS n_src FROM b),
-       |a1 AS (SELECT source, toks, budget,
-       |    least(budget // n_src, $EpochCap * toks) AS alloc1,
+       |a0 AS (SELECT source, toks, budget,
        |    $EpochCap * toks AS cap,
-       |    $EpochCap * toks - least(budget // n_src, $EpochCap * toks) AS head
+       |    least(budget // n_src, $EpochCap * toks) AS alloc
        |  FROM b, t),
-       |s AS (SELECT CAST(sum(alloc1) AS BIGINT) AS alloc1_sum,
-       |    CAST(sum(head) AS BIGINT) AS head_tot FROM a1),
-       |f AS (SELECT source, toks, cap, alloc1 +
+       |s1 AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+       |    CAST(sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS n_unsat
+       |  FROM a0),
+       |a1 AS (SELECT source, toks, budget, cap, alloc +
+       |    CASE WHEN n_unsat > 0
+       |      THEN least(cap - alloc, (budget - alloc_sum) // n_unsat)
+       |      ELSE 0 END AS alloc
+       |  FROM a0, s1),
+       |s2 AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+       |    CAST(sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS n_unsat
+       |  FROM a1),
+       |a2 AS (SELECT source, toks, budget, cap, alloc +
+       |    CASE WHEN n_unsat > 0
+       |      THEN least(cap - alloc, (budget - alloc_sum) // n_unsat)
+       |      ELSE 0 END AS alloc
+       |  FROM a1, s2),
+       |s3 AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+       |    CAST(sum(cap - alloc) AS BIGINT) AS head_tot FROM a2),
+       |a3 AS (SELECT source, toks, budget, cap, alloc +
        |    CASE WHEN head_tot > 0
-       |      THEN least(head, CAST(((budget - alloc1_sum) * head) // head_tot AS BIGINT))
-       |      ELSE 0 END AS alloc_tokens
-       |  FROM a1, s)
+       |      THEN least(cap - alloc,
+       |        CAST((CAST(budget - alloc_sum AS HUGEINT)
+       |              * CAST(cap - alloc AS HUGEINT))
+       |          // CAST(head_tot AS HUGEINT) AS BIGINT))
+       |      ELSE 0 END AS alloc
+       |  FROM a2, s3),
+       |s4 AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_sum FROM a3),
+       |r AS (SELECT a3.*, alloc_sum,
+       |    row_number() OVER (ORDER BY cap - alloc DESC, source ASC) - 1 AS n_better
+       |  FROM a3, s4),
+       |f AS (SELECT source, toks, cap, alloc +
+       |    CASE WHEN alloc < cap AND n_better < budget - alloc_sum THEN 1 ELSE 0 END
+       |    AS alloc_tokens
+       |  FROM r)
        |SELECT source, toks, alloc_tokens,
        |  (1000 * alloc_tokens) // toks AS epochs_milli,
        |  alloc_tokens = cap AS capped

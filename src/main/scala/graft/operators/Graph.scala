@@ -252,8 +252,8 @@ object Graph {
     import s.implicits._
     val e = canonicalEdges(s, mem0).localCheckpoint() // counted + sampled
     val sampled = e.filter(
-        expr(s"conv(substring(md5(concat('tri:', CAST(u AS STRING), ':', " +
-          s"CAST(v AS STRING))), 1, 8), 16, 10) % $TriSampleMod = 0")
+        expr(s"CAST(conv(substring(md5(concat('tri:', CAST(u AS STRING), ':', " +
+          s"CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT) % $TriSampleMod = 0")
       ).localCheckpoint() // reused three times by the closure
     val tri = orientedClosure(s, sampled)
       .agg(coalesce(sum($"k"), lit(0L)).as("n_sampled_triangles"))

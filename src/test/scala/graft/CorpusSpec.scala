@@ -309,18 +309,37 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
-  test("epoch plan: caps bind, surplus water-fills one round, budget never exceeded") {
+  test("epoch plan: uniform round 1 RE-SATURATES a source, round 2 takes the excess") {
     // toks: s=10, l=100, m=40 → tot 150, budget 300, share0 100
-    // caps 30/300/120 → alloc1 30(capped)/100/100; surplus 70 over headroom
-    // (0, 200, 20): l += 70*200//220 = 63, m += 70*20//220 = 6
+    // caps 30/300/120 → round 0: 30(capped)/100/100; surplus 70, 2 unsat.
+    // Uniform round 1 (+35 each): m's headroom is only 20 → m caps at 120
+    //   and 15 tokens stay in the pool — the re-saturation case a single
+    //   round loses (old single-round plan gave l=163, m=106, sum 299).
+    // Uniform round 2: surplus 15, 1 unsat → l += 15 → 150. Sum = 300 EXACT.
     val docs = Seq(("s", 40L), ("l", 397L), ("m", 157L)).toDF("source", "n_chars")
     val got = Corpus.epochPlanOf(docs)
       .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
     assert(got("s") === (("s", 10L, 30L, 3000L, true)))
-    assert(got("l") === (("l", 100L, 163L, 1630L, false)))
-    assert(got("m") === (("m", 40L, 106L, 2650L, false)))
-    // one water-fill round under-allocates by flooring only
-    assert(got.values.map(_._3).sum === 299L)
+    assert(got("l") === (("l", 100L, 150L, 1500L, false)))
+    assert(got("m") === (("m", 40L, 120L, 3000L, true)))
+    assert(got.values.map(_._3).sum === 300L, "multi-round water-fill is exact")
+  }
+
+  test("epoch plan: flooring stall resolved by the proportional mop + remainder finish") {
+    // toks: a=60, b=65, c=5 → tot 130, budget 260, share0 86
+    // caps 180/195/15 → round 0: 86/86/15(capped); surplus 73, 2 unsat.
+    // Uniform round 1 (+36 each): a=122, b=122; surplus 1.
+    // Uniform round 2: 1 div 2 = 0 — the flooring STALL a uniform-only
+    //   water-fill never escapes. Proportional mop: 1*58//131 = 1*73//131
+    //   = 0, still stalled. Largest-remainder finish: residual 1 goes to
+    //   the deepest headroom (b, head 73) → b=123. Sum = 260 EXACT.
+    val docs = Seq(("a", 240L), ("b", 260L), ("c", 20L)).toDF("source", "n_chars")
+    val got = Corpus.epochPlanOf(docs)
+      .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 60L, 122L, 2033L, false)))
+    assert(got("b") === (("b", 65L, 123L, 1892L, false)))
+    assert(got("c") === (("c", 5L, 15L, 3000L, true)))
+    assert(got.values.map(_._3).sum === 260L, "remainder finish exhausts the budget")
   }
 
   test("epoch plan on the sf corpus: invariants hold for every source") {
@@ -328,7 +347,9 @@ class CorpusSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Boolean)].collect()
     assert(rows.nonEmpty)
     val budget = Corpus.EpochBudgetFactor * rows.map(_._2).sum
-    assert(rows.map(_._3).sum <= budget, "allocations must never exceed the budget")
+    val capacity = Corpus.EpochCap * rows.map(_._2).sum
+    assert(rows.map(_._3).sum === math.min(budget, capacity),
+      "multi-round water-fill must exhaust the budget exactly")
     rows.foreach { case (src, toks, alloc, epochs, capped) =>
       assert(alloc <= Corpus.EpochCap * toks, s"$src exceeds the repetition cap")
       assert(epochs === 1000L * alloc / toks, s"$src epoch arithmetic")
