@@ -430,11 +430,13 @@ object Graph {
 
   // ---------------------------------------------------- connected components
   /** HashMin rounds for [[components]] — enough to converge any graph of
-    * diameter &lt; CcIters; a FIXED count (the [[PrIters]] discipline) keeps
-    * the oracle a finite CTE chain and the semantics deterministic even on
-    * a pathological long-path graph (where the output is still well-defined:
-    * min label within CcIters hops). GraphSpec asserts actual convergence
-    * on the test corpora by cross-checking the O(log n) star-contraction
+    * diameter ≤ CcIters; a FIXED count (the [[PrIters]] discipline) keeps
+    * the oracle a finite CTE chain. A pathological longer-diameter graph
+    * no longer ships truncated labels silently: the runtime fixpoint probe
+    * in [[componentsOf]] (one extra round must change nothing) throws, and
+    * GraphSpec pins both the loud-failure path (14-node path graph) and
+    * convergence exactly at the bound (13-node path), alongside the
+    * corpus-level cross-check against the O(log n) star-contraction
     * implementation ([[graft.operators.Dedup.connectedComponents]]). */
   val CcIters = 12
 
@@ -477,6 +479,25 @@ object Graph {
         .select($"node", least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
       if (k % 3 == 0 || k == CcIters) lbl = lbl.localCheckpoint()
     }
+    // Runtime fixpoint probe (the [[Dedup.connectedComponents]]
+    // non-convergence discipline): HashMin has converged iff no node still
+    // sees a neighbor label below its own — one extra min round must
+    // change NOTHING. A graph whose diameter exceeds [[CcIters]] would
+    // otherwise silently ship within-CcIters-hop labels as component ids;
+    // unconverged labels are wrong labels, so fail LOUDLY and point at the
+    // O(log n) star-contraction form, which has no diameter dependence.
+    // Cost: one more map-side-combined min shuffle + a bounded count over
+    // the already-checkpointed |V|-row label set.
+    val falling = sym.join(lbl, sym("src") === lbl("node"))
+      .groupBy(sym("dst").as("node")).agg(min($"lbl").as("mn"))
+      .join(lbl, Seq("node"))
+      .filter($"mn" < $"lbl").count()
+    if (falling > 0)
+      throw new IllegalStateException(
+        s"components did not converge in $CcIters HashMin rounds " +
+          s"($falling labels still falling — graph diameter exceeds the " +
+          "round bound; use Dedup.connectedComponents, the O(log n) " +
+          "star-contraction form, for large-diameter graphs)")
     lbl.select($"node", $"lbl".as("component"))
   }
 

@@ -127,6 +127,26 @@ class GraphSpec extends SparkTestBase {
     assert(hashMin.nonEmpty)
   }
 
+  test("components: converges exactly at the CcIters diameter bound") {
+    // 13-node path 1-2-…-13: diameter 12 = CcIters — label 1 reaches node
+    // 13 on the final round and the fixpoint probe sees a stable labeling
+    val edges = (1L to 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.componentsOf(spark, edges).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 13L).map(_ -> 1L).toMap)
+  }
+
+  test("components: fails LOUDLY when the graph diameter exceeds the round bound") {
+    // 14-node path: diameter 13 > CcIters = 12 — after 12 rounds node 14
+    // still holds label 2 (the min within 12 hops), so the one-extra-round
+    // probe must throw instead of silently shipping within-12-hop labels
+    val edges = (1L to 13L).map(i => (i, i + 1)).toDF("u", "v")
+    val ex = intercept[IllegalStateException] {
+      Graph.componentsOf(spark, edges).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(ex.getMessage.contains("star-contraction"))
+  }
+
   test("kcore: peeling cascades and reports in-core degrees exactly") {
     // K4 {1,2,3,4}; 5 looks 3-core-worthy (deg 3: edges to 1,2,7) but its
     // pendant neighbor 7 peels first, dropping 5 to degree 2 → cascade
