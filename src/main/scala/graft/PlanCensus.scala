@@ -108,8 +108,11 @@ object PlanCensus {
       "crossJoin(broadcast(single-row min/max bounds aggregate)) — the scalar-subquery shape normalizing each z dimension; build side is exactly 1 row"),
     "dedup_contamination_report" -> Map("BroadcastNestedLoopJoin" ->
       "inherited from the composed dedup_contamination_bloom leg: crossJoin(broadcast(single-row Bloom bitmap aggregate)); build side is exactly 1 row"),
-    "ann_recall_report" -> Map("BroadcastNestedLoopJoin" ->
-      "inherits ann_brute_topk's bounded-N broadcast scoring inside each leg plus crossJoin(broadcast(single-row n_expected aggregate)); build sides are NumQueries rows / exactly 1 row"),
+    "ann_recall_report" -> Map(
+      "BroadcastNestedLoopJoin" ->
+        "inherits ann_brute_topk's bounded-N broadcast scoring inside each leg plus crossJoin(broadcast(single-row n_expected aggregate)); build sides are NumQueries rows / exactly 1 row",
+      "ExistingRDD" ->
+        "localCheckpoint of the NumQueries*TopK-row brute truth, materialized ONCE and re-read by the four unfiltered legs instead of four brute recomputations"),
     "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
       "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
     "train_epoch_plan" -> Map(

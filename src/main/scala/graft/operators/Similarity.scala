@@ -1155,6 +1155,59 @@ object Similarity {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** EXACT filtered ground truth for [[annFilteredTopK]] — brute-force
+    * cosine top-k restricted to same-label vectors (the "vector search
+    * WHERE ..." answer with no index error). Two jobs: the gate oracles
+    * it directly, and [[annRecallReport]]'s `filtered` leg measures the
+    * widened-probe index against it — the recall story a probe-ring /
+    * predicate-thinning trade-off needs a monitor for.
+    *
+    * Scale shape: same as [[annBruteTopK]] — the broadcast side is the
+    * [[NumQueries]]-row query set; the label equality rides the join as
+    * an equi-key (a hash join on label with the id inequality as a
+    * residual), so each corpus vector scores only against same-label
+    * queries. */
+  def annFilteredBruteTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val e = withNorm(s, d).join(labels, "vec_id")
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"label".as("qlabel"))
+    val scored = e.join(broadcast(q),
+        $"label" === $"qlabel" && $"vec_id" =!= $"query_id")
+      .withColumn("sim",
+        org.apache.spark.sql.graft.GraftFunctions.dot($"qv", $"v") /
+          ($"qnorm" * $"norm"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"sim", 6).desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"sim", 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[annFilteredBruteTopK]]: [[annBruteTopKOracle]]
+    * with the label carried through and the same-label equi-filter on
+    * the scored pairs. */
+  val annFilteredBruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+       |    label AS qlabel FROM n WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id,
+       |    list_dot_product(qv, v) / (qnorm * norm) AS sim
+       |  FROM n CROSS JOIN q
+       |  WHERE vec_id <> query_id AND label = qlabel),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // -------------------------------------------------- k-means cluster map
   /** Per-cluster profile of the k-means cells [[lloydCentroids]] trains —
     * the corpus "data map" a curation team reads before deciding what to
@@ -1207,12 +1260,15 @@ object Similarity {
        |FROM rk r JOIN tot t USING (cell) WHERE r.rk = 1""".stripMargin
 
   // ---------------------------------------------- ANN index-quality report
-  /** Recall report for the three approximate ANN indexes against the
-    * exact brute-force top-k — the index-quality metric a similarity
-    * deployment monitors continuously (an index whose recall drifts
-    * after an embedding-model update is silently corrupting every
-    * downstream dedup and retrieval pass). One row per method with the
-    * matched/expected counts and recall in exact integer micros.
+  /** Recall report for the approximate ANN indexes (IVF, IVF+PQ, LSH,
+    * PQ) against the exact brute-force top-k, plus the FILTERED index
+    * against the filtered brute truth — the index-quality metric a
+    * similarity deployment monitors continuously (an index whose recall
+    * drifts after an embedding-model update is silently corrupting every
+    * downstream dedup and retrieval pass; the filtered leg additionally
+    * watches the probe-ring-widening vs predicate-thinning trade-off).
+    * One row per method with the matched/expected counts and recall in
+    * exact integer micros.
     *
     * Scale shape: each leg is an equi-join of two TopK-bounded result
     * sets (≤ NumQueries·TopK rows each) into a single-row count — the
@@ -1222,36 +1278,49 @@ object Similarity {
   def annRecallReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val brute = annBruteTopK(s, d).select($"query_id", $"neighbor_id")
-    val expected = brute.agg(count(lit(1)).as("n_expected"))
-    def leg(method: String, df: DataFrame): DataFrame =
+      .localCheckpoint()
+    def legVs(method: String, df: DataFrame, truth: DataFrame): DataFrame = {
+      val expected = truth.agg(count(lit(1)).as("n_expected"))
       df.select($"query_id", $"neighbor_id")
-        .join(brute, Seq("query_id", "neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_matched"))
         .crossJoin(broadcast(expected))
         .select(lit(method).as("method"), $"n_matched", $"n_expected",
           expr("(n_matched * 1000000) div n_expected").as("recall_micros"))
+    }
+    def leg(method: String, df: DataFrame): DataFrame =
+      legVs(method, df, brute)
+    // the filtered leg measures against the FILTERED brute truth — the
+    // unfiltered truth would punish the index for honoring the predicate
+    val filteredTruth = annFilteredBruteTopK(s, d)
+      .select($"query_id", $"neighbor_id")
     leg("ivf", annIvfTopK(s, d))
       .unionAll(leg("ivfpq", annIvfPqTopK(s, d)))
       .unionAll(leg("lsh", annLshTopK(s, d)))
       .unionAll(leg("pq", annPqTopK(s, d)))
+      .unionAll(legVs("filtered", annFilteredTopK(s, d), filteredTruth))
   }
 
-  /** DuckDB twin of [[annRecallReport]] — the three index oracles and
-    * the brute oracle as derived tables (nested WITH), joined on
+  /** DuckDB twin of [[annRecallReport]] — the five index oracles and
+    * their truth oracles as derived tables (nested WITH), joined on
     * (query, neighbor) exactly as the engine legs. `lazy` because it
     * composes [[annPqTopKOracle]], declared further down the object —
     * an eager val would capture null during object initialization. */
   lazy val annRecallReportOracle: String = {
-    def leg(method: String, oracle: String): String =
+    def legVs(method: String, oracle: String, truth: String): String =
       s"""SELECT '$method' AS method,
-         |  (SELECT count(*) FROM ($oracle) a JOIN ($annBruteTopKOracle) b
+         |  (SELECT count(*) FROM ($oracle) a JOIN ($truth) b
          |     USING (query_id, neighbor_id)) AS n_matched,
-         |  (SELECT count(*) FROM ($annBruteTopKOracle)) AS n_expected""".stripMargin
+         |  (SELECT count(*) FROM ($truth)) AS n_expected""".stripMargin
+    def leg(method: String, oracle: String): String =
+      legVs(method, oracle, annBruteTopKOracle)
     val legs = Seq(
       leg("ivf", annIvfTopKOracle),
       leg("ivfpq", annIvfPqTopKOracle),
       leg("lsh", annLshTopKOracle),
-      leg("pq", annPqTopKOracle)).mkString("\nUNION ALL\n")
+      leg("pq", annPqTopKOracle),
+      legVs("filtered", annFilteredTopKOracle, annFilteredBruteTopKOracle)
+    ).mkString("\nUNION ALL\n")
     s"""SELECT method, CAST(n_matched AS BIGINT) AS n_matched,
        |  CAST(n_expected AS BIGINT) AS n_expected,
        |  CAST((n_matched * 1000000) // n_expected AS BIGINT) AS recall_micros

@@ -283,11 +283,109 @@ object TextOps {
        |FROM pairs GROUP BY a, b
        |ORDER BY cnt DESC, a ASC, b ASC LIMIT $BpeMergeTopK""".stripMargin
 
+  // ------------------------------------------------- iterative BPE trainer
+  /** Fixed merge-round count for [[bpeTrain]] — the [[graft.operators.Graph]]
+    * `PrIters`/`CcIters` fixed-iteration discipline: deterministic and
+    * finite-CTE-replayable where looping to a vocabulary-size target is
+    * not. */
+  val BpeTrainRounds = 10
+
+  /** TRUE iterative BPE training (Sennrich et al. 2016 §3, the actual
+    * loop): [[BpeTrainRounds]] rounds of count-adjacent-pairs →
+    * argmax → merge-rewrite over the vocabulary. This is what
+    * [[bpeMergeCandidates]] (one-shot pair counting) is NOT: merge k
+    * changes the pair statistics merge k+1 sees — after `(a,a)` merges,
+    * round 2 counts pairs over `aa` SYMBOLS, and later rounds routinely
+    * pick multi-character pairs like `(aa, ab)` that a one-shot count
+    * can never surface (TextSpec pins a 3-round hand example where the
+    * two diverge). Output: the learned merge table
+    * (merge_rank, a, b, cnt) with cnt as counted AT SELECTION TIME.
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY at the first
+    * aggregate (word-frequency groupBy, map-side combined) and never
+    * re-expands — each round is one pair aggregate over |vocab| rows
+    * (≤ |vocab|·maxlen pair rows, symbol count shrinks monotonically), a
+    * TakeOrderedAndProject argmax whose single row is the ONLY driver
+    * traffic (the [[bpeApply]] constant-traffic class: K rows total),
+    * and one map-only rewrite; lineage cut per round
+    * ([[graft.operators.Graph.pageRankOf]] idiom). The rewrite uses the
+    * same delimiter-framed scan-left `replace` semantics as
+    * [[bpeApply]], so JVM and DuckDB agree bit-for-bit. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOf(Tables.documents(s, d))
+
+  /** [[bpeTrain]] over an arbitrary (text) frame. */
+  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var vocab = docs.select(explode(tokensCol).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .select(concat(regexp_replace($"w", "(.)", " $1"), lit(" ")).as("e"), $"f")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to BpeTrainRounds if !exhausted) {
+      val best = vocab
+        .select($"f", split(trim($"e"), " ").as("syms"))
+        .filter(size($"syms") >= 2)
+        .select($"f", explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"a".asc, $"b".asc).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol already
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k.toLong, a, b, cnt))
+        vocab = vocab.select(
+            org.apache.spark.sql.functions.replace(
+              $"e", lit(s" $a $b "), lit(s" $a$b ")).as("e"), $"f")
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "a", "b", "cnt")
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the same rounds unrolled as an
+    * `AS MATERIALIZED` CTE chain (`v0, p1, b1, v1, …` — the
+    * [[graft.operators.Graph.componentsOracle]] template; MATERIALIZED
+    * because inlining K rounds of scalar-subquery rewrites re-derives
+    * the whole prefix per round, the CHANGES_r8 §2 inlining wall), each
+    * round: pair counts over the split symbol stream, `LIMIT 1` under
+    * the identical (cnt DESC, a, b) total order, delimiter-framed
+    * `replace` rewrite via scalar subqueries on the one-row argmax. */
+  lazy val bpeTrainOracle: String = {
+    val rounds = (1 to BpeTrainRounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT syms[CAST(i + 1 AS INT)] AS a,
+         |    syms[CAST(i + 2 AS INT)] AS b, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(e), ' ') AS syms, f FROM v${k - 1}),
+         |    unnest(range(len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT replace(e,
+         |    ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
+         |    ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ') AS e, f
+         |  FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeTrainRounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a, b, cnt FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS e, f
+       |  FROM wf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   // ---------------------------------------------------- BPE merge application
   /** The third tokenizer stage: ENCODE the corpus with the trained merge
-    * table — [[bpeMergeCandidates]] produces the ranked merge list; this
-    * applies it, Sennrich et al. 2016 §3 style ("apply the merges in the
-    * order they were learned"). Each word becomes a delimiter-framed
+    * table — [[bpeTrain]] learns the iterative merge list; this applies
+    * it, Sennrich et al. 2016 §3 style ("apply the merges in the order
+    * they were learned"). Each word becomes a delimiter-framed
     * symbol stream (`" t h e "`), and merge k rewrites every
     * non-overlapping occurrence of `" a b "` to `" ab "` — plain string
     * replace, scan-left-continue-after-replacement, the SAME semantics in
@@ -311,9 +409,10 @@ object TextOps {
   /** [[bpeApply]] over an arbitrary (doc_id, text) frame. */
   private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // ranked merge list — constant-size driver traffic (≤ BpeMergeTopK
-    // rows), already ordered (cnt DESC, a, b) by the training query
-    val merges = bpeMergeCandidatesOf(docs).select("a", "b").collect()
+    // the TRAINED merge list ([[bpeTrainOf]], applied in learned order —
+    // "apply the merges in the order they were learned", Sennrich §3) —
+    // constant-size driver traffic (≤ BpeTrainRounds rows)
+    val merges = bpeTrainOf(docs).orderBy("merge_rank").select("a", "b").collect()
       .map(r => (r.getString(0), r.getString(1)))
     val spaced = concat(regexp_replace($"w", "(.)", " $1"), lit(" "))
     val encoded = merges.foldLeft(spaced) { case (c, (a, b)) =>
@@ -337,18 +436,18 @@ object TextOps {
         coalesce($"n_merges", lit(0L)).as("n_merges"))
   }
 
-  /** DuckDB twin of [[bpeApply]]: the training twin as a derived table,
-    * its ranked (from, to) patterns folded over each word's spaced char
-    * stream with `list_reduce` + `replace` — the same
+  /** DuckDB twin of [[bpeApply]]: the [[bpeTrainOracle]] twin as a
+    * derived table, its rank-ordered (from, to) patterns folded over
+    * each word's spaced char stream with `list_reduce` + `replace` — the same
     * scan-left-continue-after semantics as the JVM chain. The
     * VARCHAR-index fold (indices cast to VARCHAR so the accumulator and
     * elements share `list_reduce`'s one type) is the [[pqCtes]]-era
     * workaround for DuckDB's single-type fold lists. */
-  val bpeApplyOracle: String =
-    s"""WITH merges AS (SELECT a, b, cnt FROM ($bpeMergeCandidatesOracle)),
+  lazy val bpeApplyOracle: String =
+    s"""WITH merges AS (SELECT merge_rank, a, b FROM ($bpeTrainOracle)),
        |ml AS (SELECT
-       |    list(' ' || a || ' ' || b || ' ' ORDER BY cnt DESC, a ASC, b ASC) AS fr,
-       |    list(' ' || a || b || ' ' ORDER BY cnt DESC, a ASC, b ASC) AS t2
+       |    list(' ' || a || ' ' || b || ' ' ORDER BY merge_rank) AS fr,
+       |    list(' ' || a || b || ' ' ORDER BY merge_rank) AS t2
        |  FROM merges),
        |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
        |    x -> x <> '')) AS w FROM documents),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.functions.{col, count, expr, lit, md5, sum, when}
 
 /** Output-layout utilities for engine results at scale.
   *
@@ -138,6 +138,113 @@ object Writers {
   }
 
   /** In-JVM reference of the same interleave, for the locality spec. */
+  // ------------------------------------------------ compaction planner
+  /** Ingest-batch granularity for the gate's fragment manifest: each
+    * (source, doc_id div [[FragBatchDocs]]) group stands in for one
+    * parquet fragment an hourly per-source ingest wrote. */
+  val FragBatchDocs = 100L
+  /** Size floor: fragments below this are compaction candidates. */
+  val FragFloorBytes = 1500L
+  /** Rewrite-group target size; next-fit closes a group rather than
+    * exceed it. Floor &lt; target, so every candidate fits in an empty
+    * group and group fill ≤ target is an invariant, not a hope. */
+  val FragTargetBytes = 4000L
+
+  /** SMALL-FILE COMPACTION PLAN — the daily maintenance operator of any
+    * 100 TB parquet warehouse: streaming ingest leaves thousands of
+    * KB-scale fragments per partition, and scan throughput dies by open
+    * cost (each file = a footer read + a seek; 10k tiny files can cost
+    * more than the bytes themselves). The planner bin-packs fragments
+    * below [[FragFloorBytes]] into rewrite groups of ≤
+    * [[FragTargetBytes]] via the same metadata-only NEXT-FIT fold as
+    * [[graft.operators.Sampling.packSequences]] (O(1) state per
+    * partition-key scan), never merging across `source` (a rewrite
+    * group must stay inside one partition directory). Healthy
+    * fragments and SINGLETON groups (one small fragment alone — a
+    * rewrite would buy nothing) are planned `keep`. Output: one row
+    * per fragment — (source, batch, bytes, action, group_no).
+    *
+    * The gate derives the manifest from `documents` data so the DuckDB
+    * twin sees identical input; a production deployment feeds
+    * [[compactionPlanOf]] the real file listing (path → source/batch,
+    * footer size → bytes) — the plan is metadata-only either way: the
+    * DATA is never read, only the listing moves, so the planner costs
+    * |fragments| rows regardless of warehouse bytes.
+    *
+    * Scale shape: one map-side-combined manifest aggregate, one
+    * repartition(source) + in-partition sort of |fragments| METADATA
+    * rows, the O(1)-state fold, and a bounded (source, group) count
+    * join for the singleton demotion. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame =
+    compactionPlanOf(graft.core.Tables.documents(s, d)
+      .groupBy(col("source"),
+        expr(s"doc_id div $FragBatchDocs").as("batch"))
+      .agg(sum(col("n_chars")).as("bytes")))
+
+  /** [[compactionPlan]] over an arbitrary (source, batch, bytes)
+    * fragment manifest. */
+  private[graft] def compactionPlanOf(frags: DataFrame): DataFrame = {
+    val s = frags.sparkSession
+    import s.implicits._
+    val healthy = frags.filter(col("bytes") >= FragFloorBytes)
+      .select(col("source"), col("batch"), col("bytes"),
+        lit("keep").as("action"), lit(0L).as("group_no"))
+    val packed = frags.filter(col("bytes") < FragFloorBytes)
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("batch"))
+      .select(col("source"), col("batch"), col("bytes"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        // O(1) state: the open group of the current source
+        var cur: String = null
+        var grp = 0L; var acc = 0L
+        rows.map { case (src, b, bytes) =>
+          if (src != cur) { cur = src; grp = 1L; acc = bytes }
+          else if (acc + bytes <= FragTargetBytes) acc += bytes
+          else { grp += 1; acc = bytes }
+          (src, b, bytes, grp)
+        }
+      }
+      .toDF("source", "batch", "bytes", "grp")
+    val sizes = packed.groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("n_in_group"))
+    val small = packed.join(sizes, Seq("source", "grp"))
+      .select(col("source"), col("batch"), col("bytes"),
+        when(col("n_in_group") === 1L, "keep").otherwise("rewrite").as("action"),
+        when(col("n_in_group") === 1L, 0L).otherwise(col("grp")).as("group_no"))
+    healthy.unionAll(small)
+  }
+
+  /** DuckDB twin of [[compactionPlan]]: the same manifest aggregate,
+    * the next-fit fold as a recursive CTE advancing each source one
+    * row_number per step (the [[graft.operators.Sampling]] `packCtes`
+    * discipline), the same singleton demotion. */
+  val compactionPlanOracle: String =
+    s"""WITH RECURSIVE f AS (SELECT source,
+       |    CAST(doc_id // $FragBatchDocs AS BIGINT) AS batch,
+       |    CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |sm AS (SELECT source, batch, bytes,
+       |    row_number() OVER (PARTITION BY source ORDER BY batch) AS rn
+       |  FROM f WHERE bytes < $FragFloorBytes),
+       |p AS (
+       |  SELECT source, rn, batch, bytes, CAST(1 AS BIGINT) AS grp, bytes AS acc
+       |  FROM sm WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.source, s.rn, s.batch, s.bytes,
+       |    CASE WHEN p.acc + s.bytes <= $FragTargetBytes THEN p.grp ELSE p.grp + 1 END,
+       |    CASE WHEN p.acc + s.bytes <= $FragTargetBytes THEN p.acc + s.bytes ELSE s.bytes END
+       |  FROM p JOIN sm s ON s.source = p.source AND s.rn = p.rn + 1),
+       |g AS (SELECT source, grp, count(*) AS n_in_group FROM p GROUP BY 1, 2)
+       |SELECT source, batch, bytes, 'keep' AS action,
+       |  CAST(0 AS BIGINT) AS group_no
+       |FROM f WHERE bytes >= $FragFloorBytes
+       |UNION ALL
+       |SELECT p.source, p.batch, p.bytes,
+       |  CASE WHEN g.n_in_group = 1 THEN 'keep' ELSE 'rewrite' END AS action,
+       |  CAST(CASE WHEN g.n_in_group = 1 THEN 0 ELSE p.grp END AS BIGINT) AS group_no
+       |FROM p JOIN g USING (source, grp)""".stripMargin
+
   private[graft] def zValue(a: Long, b: Long): Long = {
     var z = 0L
     var i = 0

@@ -72,6 +72,12 @@ class SimilaritySpec extends SparkTestBase {
     // every returned neighbor satisfies the predicate
     val labelOf = rows.map(r => r._1 -> r._3).toMap
     got.foreach { case (q, n) => assert(labelOf(n) === labelOf(q) && n != q) }
+    // the engine's filtered brute truth (the ann_recall_report `filtered`
+    // leg's denominator) must equal this independent in-JVM ground truth
+    val engineTruth = Similarity.annFilteredBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(engineTruth === truth,
+      "annFilteredBruteTopK must reproduce the in-JVM filtered ground truth")
     val recall = got.intersect(truth).size.toDouble / truth.size
     info(s"filtered ANN recall@10 = $recall")
     // widened probe ring (2x) compensates the label thinning; random

@@ -296,33 +296,57 @@ class TextSpec extends SparkTestBase {
     assert(got === Seq(("a", "b", 3L), ("b", "c", 1L)))
   }
 
-  test("BPE apply: hand-computed encode, overlap pin, corpus invariants") {
+  test("BPE train: iterative rounds pick multi-symbol pairs a one-shot count never sees") {
     import graft.operators.TextOps
-    // training over this corpus: (a,a) 7 (aaab×2 gives 4, aaaa gives 3),
-    // (a,b) 3 (aaab×2 + ab), (x,y) 1 — applied in that rank order:
-    //   aaab: " a a a b " -(a,a)-> " aa a b " -(a,b)-> " aa ab "  = 2 toks
-    //   ab:   " a b "     -(a,b)-> " ab "                        = 1 tok
-    //   aaaa: " a a a a " -(a,a)-> " aa a a "                    = 3 toks
-    //     (scan-left-continue-after-replacement: the trailing delimiter of
-    //     the replacement is consumed, so back-to-back pairs do NOT chain
-    //     — the pinned cross-engine semantics of plain string replace)
-    //   b, a, xy: 1 tok each ((x,y) merges xy)
+    // vocab: aaab(f2) ab b a xy aaaa(f1 each)
+    // R1: (a,a)=7 (aaab 2×2 + aaaa 3) beats (a,b)=3 → aaab " aa a b ",
+    //     aaaa " aa a a " (plain-replace scan: back-to-back pairs do not
+    //     chain, the committed cross-engine rewrite semantics)
+    // R2: (a,b)=3 ties (aa,a)=3, tie-break a ASC → (a,b) → aaab " aa ab "
+    // R3: (aa,ab)=2 — a MULTI-SYMBOL pair; the one-shot candidate table
+    //     (chars only) can never contain it. This is iterative ≠ one-shot.
+    // R4: (a,a)=1 REAPPEARS (aaaa's unchained leftover " aa a a ") → " aa aa "
+    // R5: (aa,aa)=1 → " aaaa "; R6: (x,y)=1 → " xy "; then exhausted (every
+    //     word is one symbol) — 6 merges, not BpeTrainRounds
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab b a"), (3L, "xy"), (4L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOf(docs)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "a", "a", 7L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L),
+      (4L, "a", "a", 1L), (5L, "aa", "aa", 1L), (6L, "x", "y", 1L)))
+    // the one-shot table on the same corpus: single-char pairs only — no
+    // (aa,ab) anywhere, and it can never re-rank a pair after a merge
+    val oneShot = TextOps.bpeMergeCandidatesOf(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(oneShot === Seq(("a", "a", 7L), ("a", "b", 3L), ("x", "y", 1L)))
+  }
+
+  test("BPE apply: hand-computed encode with the TRAINED merge list, corpus invariants") {
+    import graft.operators.TextOps
+    // trained list (see the bpeTrain spec): (a,a) (a,b) (aa,ab) (a,a)
+    // (aa,aa) (x,y) applied in learned order:
+    //   aaab: " a a a b " → " aa a b " → " aa ab " → " aaab "   = 1 tok
+    //   ab:   " a b " → " ab "                                 = 1 tok
+    //   aaaa: " a a a a " → " aa a a " → (rank-4 (a,a)) " aa aa "
+    //         → (rank-5) " aaaa "                              = 1 tok
+    //   b, a: untouched; xy → " xy "                           = 1 tok
     val docs = Seq((1L, "aaab aaab"), (2L, "ab b a"), (3L, "xy"), (4L, "aaaa"))
       .toDF("doc_id", "text")
     val got = TextOps.bpeApplyOf(docs)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq(
-      (1L, 2L, 4L, 4L),  // 2 words, 2+2 tokens, 8-4 merges
+      (1L, 2L, 2L, 6L),  // 2 words, 1+1 tokens, 8-2 merges
       (2L, 3L, 3L, 1L),  // ab -> 1 tok (1 merge); b, a untouched
       (3L, 1L, 1L, 1L),  // xy -> 1 tok
-      (4L, 1L, 3L, 1L))) // aaaa -> [aa, a, a]
+      (4L, 1L, 1L, 3L))) // aaaa -> [aaaa]
     // sf corpus invariants: merges strictly shrink, nothing goes negative,
     // totals reconcile (tokens + merges = chars)
     val stats = TextOps.bpeApply(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
     assert(stats.forall { case (_, w, t, m) => w >= 0 && t >= 0 && m >= 0 })
     assert(stats.forall { case (_, w, t, _) => t >= w }) // >= 1 token per word
-    assert(stats.map(_._4).sum > 0, "top-50 merges should fire somewhere")
+    assert(stats.map(_._4).sum > 0, "trained merges should fire somewhere")
     val chars = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     stats.foreach { case (id, _, t, m) =>

@@ -71,6 +71,59 @@ class WritersSpec extends SparkTestBase {
     assert(lc > dDom * 0.9)                // linear sort pays full range on dim 2
   }
 
+  test("compaction plan: hand-built manifest — next-fit groups, singleton demotion") {
+    // source X fragments (batch → bytes): 0→1000, 1→1000, 2→1800(healthy),
+    // 3→1400, 4→900. floor 1500 / target 4000:
+    //   small scan [1000, 1000, 1400, 900]: grp1 = 1000+1000+1400 = 3400,
+    //   +900 would hit 4300 > 4000 → grp2 = {900} → SINGLETON → demoted to
+    //   keep (rewriting one small file alone buys nothing)
+    val docs = Seq(
+      (0L, "X", 1000L), (100L, "X", 1000L), (200L, "X", 1800L),
+      (300L, "X", 1400L), (400L, "X", 900L)
+    ).toDF("doc_id", "source", "n_chars")
+    val frags = docs.groupBy($"source",
+        org.apache.spark.sql.functions.expr(
+          s"doc_id div ${Writers.FragBatchDocs}").as("batch"))
+      .agg(org.apache.spark.sql.functions.sum($"n_chars").as("bytes"))
+    val got = Writers.compactionPlanOf(frags)
+      .as[(String, Long, Long, String, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      ("X", 0L, 1000L, "rewrite", 1L),
+      ("X", 1L, 1000L, "rewrite", 1L),
+      ("X", 2L, 1800L, "keep", 0L),
+      ("X", 3L, 1400L, "rewrite", 1L),
+      ("X", 4L, 900L, "keep", 0L)))
+  }
+
+  test("compaction plan on the sf corpus: assignment exactly once, fill <= target, no singleton rewrites") {
+    val frags = graft.core.Tables.documents(spark, sf)
+      .groupBy($"source",
+        org.apache.spark.sql.functions.expr(
+          s"doc_id div ${Writers.FragBatchDocs}").as("batch"))
+      .agg(org.apache.spark.sql.functions.sum($"n_chars").as("bytes"))
+    val manifest = frags.as[(String, Long, Long)].collect()
+    val plan = Writers.compactionPlanOf(frags)
+      .as[(String, Long, Long, String, Long)].collect()
+    // every fragment planned exactly once, bytes preserved
+    assert(plan.map(r => (r._1, r._2) -> r._3).toMap ===
+      manifest.map(r => (r._1, r._2) -> r._3).toMap)
+    assert(plan.length === manifest.length)
+    // both actions actually occur at this floor (the thresholds split the
+    // population — a one-sided plan would test nothing)
+    assert(plan.exists(_._4 == "keep") && plan.exists(_._4 == "rewrite"))
+    // healthy fragments are never rewritten; keeps carry group 0
+    plan.foreach { case (_, _, bytes, action, grp) =>
+      if (bytes >= Writers.FragFloorBytes) assert(action == "keep")
+      assert((action == "keep") == (grp == 0L))
+    }
+    // rewrite groups: fill <= target, >= 2 members, same-source members
+    plan.filter(_._4 == "rewrite").groupBy(r => (r._1, r._5)).foreach {
+      case (_, members) =>
+        assert(members.length >= 2, "singleton rewrite group survived")
+        assert(members.map(_._3).sum <= Writers.FragTargetBytes)
+    }
+  }
+
   test("JSONL round-trip is lossless on escaping, unicode, and types") {
     import spark.implicits._
     val nasty = Seq(
