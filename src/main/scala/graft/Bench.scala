@@ -5,7 +5,7 @@ object Bench {
     * inside it ([[graft.streaming.EventStream.drainOpSecs]]; 0 for batch
     * queries). `total - op` for a `stream_*` gate entry is the harness
     * cost (corpus restage + sentinels + checkpoint dirs + read-back). */
-  private case class Run(total: Double, op: Double)
+  private case class Run(total: Double, op: Double, batches: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.core.Tables.sessionDefaults.foreach { case (k, v) => builder.config(k, v) }
+    graft.core.Tables.envExtraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
@@ -62,13 +63,15 @@ object Bench {
         runs: Int): Seq[Run] = {
       val times = (1 to runs).flatMap { _ =>
         graft.streaming.EventStream.drainOpSecs() // zero the span counter
+        graft.streaming.EventStream.drainOpBatches()
         val t0 = System.nanoTime()
         // noop sink: computes every output column (a count() would let
         // Catalyst prune the aggregates being benchmarked)
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           Some(Run((System.nanoTime() - t0) / 1e9,
-            graft.streaming.EventStream.drainOpSecs()))
+            graft.streaming.EventStream.drainOpSecs(),
+            graft.streaming.EventStream.drainOpBatches()))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -146,7 +149,10 @@ object Bench {
       val escS = if (esc) ",\"esc\":true" else ""
       val opS = rs.sortBy(_.total).headOption.filter(_.op > 0.0).map { fastest =>
         val h = math.max(0.0, fastest.total - fastest.op)
-        s""","op":${fastest.op},"harness":$h"""
+        // batches makes the per-batch floor first-class in the artifact:
+        // op/batches is the stateful-commit floor the r8 verdict asked
+        // this round to either shrink or document
+        s""","op":${fastest.op},"harness":$h,"batches":${fastest.batches}"""
       }.getOrElse("")
       s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${rs.length},\"retries\":$r$escS$opS}"
     }.mkString("{", ",", "}")

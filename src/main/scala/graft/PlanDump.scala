@@ -20,6 +20,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.core.Tables.sessionDefaults.foreach { case (k, v) => builder.config(k, v) }
+    graft.core.Tables.envExtraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     org.apache.spark.sql.graft.GraftFunctions.register(spark)

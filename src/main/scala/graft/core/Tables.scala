@@ -45,11 +45,44 @@ object Tables {
       case _ => df
     }
 
-  /** Session configs every graft session needs (Verify, Bench, tests). */
+  /** Session configs every graft session needs (Verify, Bench, tests).
+    *
+    * AQE is pinned ON explicitly (not inherited from the Spark default):
+    * the round-9 posture audit (SCALE_r9.md) ran the plan census and the
+    * skew rehearsals both ways — the committed census is AQE-final, and
+    * the hand-salted skew twins compose with (not fight) AQE's runtime
+    * skew-join splitting, so ON is the standing policy.
+    *
+    * `spark.graft.stream.statePartitions` sizes STREAMING state stores
+    * only (applied around `writeStream.start()` in
+    * [[graft.streaming.EventStream.runAppendToFileSink]]; batch shuffle
+    * partitioning is untouched). Streaming state partitioning is
+    * checkpoint-sticky — a deploy-time parameter sized to peak state, not
+    * a per-query tunable — and at gate scale (sf ≤ 1) 8 partitions hold
+    * the whole watermark-bounded state with room to spare. The round-9
+    * floor measurement: state-store commit cost is per
+    * partition × batch × store, so the 32-partition default was pure
+    * fixed overhead at gate volume — 3.4× on the interval join
+    * (9.8 s → 2.9 s op) with identical results. A 100 TB deployment
+    * raises this to its own peak-volume figure. */
   val sessionDefaults: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.graft.stream.statePartitions" -> "8")
+
+  /** Config-matrix overlay for measurement harnesses (Bench, PlanDump):
+    * `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"` overlays [[sessionDefaults]]
+    * for one run — posture experiments (AQE on/off, state-store provider,
+    * state-partition floor) vary configs without code edits while the
+    * pinned defaults stay the only thing a plain run uses. */
+  def envExtraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap {
+      _.split(';').map(_.trim).filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k.trim, v.trim)
+      }
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

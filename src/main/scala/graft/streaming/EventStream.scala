@@ -287,8 +287,20 @@ object EventStream {
     * swap read as a 3× regression on `stream_event_windows`). */
   private val opNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Micro-batches the streaming queries executed since the last drain
+    * (`lastProgress.batchId + 1` — fresh checkpoint per gate run, so ids
+    * count from 0; includes any trailing no-data batch). The r8 verdict's
+    * open question was WHERE the ~30× streaming premium over the batch
+    * twins lives; with the batch count in the committed artifact the
+    * per-batch floor is `op / batches` line-item by line-item instead of
+    * a prose estimate. */
+  private val opBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Read-and-reset the streaming-execution span accumulator (seconds). */
   def drainOpSecs(): Double = opNanos.getAndSet(0L) / 1e9
+
+  /** Read-and-reset the executed-micro-batch counter. */
+  def drainOpBatches(): Long = opBatches.getAndSet(0L)
 
   /** Run an Append-mode streaming frame to a PARQUET FILE SINK and read
     * the result back — the scale-path sink shape (executors write
@@ -296,6 +308,21 @@ object EventStream {
     * checkpoint directory carries offsets+state for exactly-once). The
     * read-back is only so the finite-gate harness can compare results;
     * production consumers read the sink directory directly. */
+  /** Spark's embedded-RocksDB state-store provider, selectable per
+    * session with `spark.graft.stream.stateStore=rocksdb` (default
+    * `hdfs`). The round-9 provider matrix (SCALE_r9.md) measured RocksDB
+    * SLOWER than the default HDFSBackedStateStoreProvider on every
+    * stateful gate at sf0.1 (e.g. interval join 4.0 s vs 2.9 s op at 8
+    * state partitions): per-batch native store open/commit/changelog
+    * overhead dominates while state is tiny. The gates therefore pin
+    * `hdfs`; a deployment whose per-partition state outgrows executor
+    * heap flips this knob — the HDFS provider keeps every retained
+    * version of a partition's state map ON HEAP, which is the thing that
+    * does not survive 100 TB, and that boundary is a config, not a code
+    * change. */
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def runAppendToFileSink(s: SparkSession, df: DataFrame): DataFrame = {
     // under target/, not /tmp: repeated harness runs (Bench repeats,
     // Verify) would otherwise accumulate unbounded data+checkpoint dirs
@@ -304,14 +331,39 @@ object EventStream {
       java.lang.Long.toHexString(System.nanoTime()))
     java.nio.file.Files.createDirectories(base)
     val out = s"$base/out"
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
+    // provider + state-partition knobs are session confs read at QUERY
+    // START (the checkpoint then owns them for the query's lifetime —
+    // fresh checkpoint per gate run, so setting them here is complete);
+    // set/restore around start so a session's batch queries never see a
+    // streaming-only override
+    val conf = s.conf
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevProvider = conf.getOption(providerKey)
+    val prevParts = conf.getOption(partsKey)
+    conf.get("spark.graft.stream.stateStore", "hdfs") match {
+      case "rocksdb" => conf.set(providerKey, RocksProvider)
+      case _         => conf.unset(providerKey)
+    }
+    // state partition count == shuffle partitions at first batch; the
+    // gate default keeps the session's value (scale posture), override
+    // for floor measurement only
+    conf.getOption("spark.graft.stream.statePartitions")
+      .foreach(conf.set(partsKey, _))
+    val q =
+      try df.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      finally {
+        prevProvider.fold(conf.unset(providerKey))(conf.set(providerKey, _))
+        prevParts.foreach(conf.set(partsKey, _))
+      }
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally {
       q.stop()
       opNanos.addAndGet(System.nanoTime() - t0)
+      Option(q.lastProgress).foreach(p => opBatches.addAndGet(p.batchId + 1))
     }
     // a stream that emitted nothing (empty source, or every window still
     // inside the watermark) writes no parquet files — read.parquet would
