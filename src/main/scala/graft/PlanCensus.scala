@@ -57,6 +57,8 @@ object PlanCensus {
   val exemptFlags: Map[String, Map[String, String]] = Map(
     "ann_brute_topk" -> Map("BroadcastNestedLoopJoin" ->
       "brute force BY DESIGN: broadcast side is NumQueries rows; every corpus vector scores against each"),
+    "ann_hardneg_brute" -> Map("BroadcastNestedLoopJoin" ->
+      "negated-label brute truth BY DESIGN: both join predicates are inequalities (label <> qlabel, vec_id <> query_id), so no hash key exists; broadcast side is NumQueries rows"),
     "dedup_embedding_cosine" -> Map("BroadcastNestedLoopJoin" ->
       "exact all-pairs verifier, bounded-N by contract; scale paths: Similarity.semanticDedup (cell-blocked pruning) and annLshTopK candidates + rerank"),
     "curation_pipeline" -> Map("ExistingRDD" ->
@@ -83,6 +85,8 @@ object PlanCensus {
       "inherits lmBits' crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "text_bm25_topk" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "retrieval_hybrid_rrf" -> Map("BroadcastNestedLoopJoin" ->
+      "inherits bm25's crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) in both the term-selection and BM25 legs — the scalar-subquery shape; build side is exactly 1 row"),
     "dedup_keep_best" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts inside the star-contraction fixpoint loop (inherits dedup_clusters)"),
     "graph_pagerank" -> Map("ExistingRDD" ->

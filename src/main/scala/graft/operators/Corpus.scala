@@ -606,6 +606,157 @@ object Corpus {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ------------------------------------------------ hybrid RRF retrieval
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion (Cormack,
+    * Clarke & Büttcher 2009, "Reciprocal Rank Fusion outperforms Condorcet
+    * and individual rank learning methods" — the public RRF formula
+    * Σ 1/(k + rank), k = 60) — THE production RAG/hybrid-search shape:
+    * every serious retrieval stack runs a BM25 leg and an embedding leg
+    * and fuses on rank, because rank fusion needs no score calibration
+    * between incommensurable scorers. Queries are the [[Similarity
+    * .NumQueries]] query documents (which carry BOTH text and an
+    * embedding, the realistic dual-indexed corpus shape):
+    *
+    *   - lexical leg: "more-like-this" BM25 — each query doc's top
+    *     [[HybridTerms]] tf·idf terms (tf · ln(N/df), the
+    *     [[tfidfTopTerms]] salience formula) become its query terms,
+    *     scored with the [[bm25TopK]] Okapi algebra over the corpus,
+    *     top [[Similarity.TopK]] docs per query;
+    *   - dense leg: [[Similarity.annIvfTopK]] verbatim (IVF-probed exact
+    *     re-rank, top-k cosine neighbors);
+    *   - fusion: full-outer on (query, doc); each leg contributes
+    *     `1000000 div (60 + rank)` micros (EXACT integer RRF — both
+    *     engines divide the same integers, the house float-free ratio
+    *     idiom), absent legs contribute 0; top [[HybridTopK]] by fused
+    *     score with doc_id tie-break. Output keeps both leg ranks
+    *     (0 = not retrieved by that leg) — the fusion provenance a
+    *     relevance engineer debugs with.
+    *
+    * Scale shape: the query-term profile and df table are bounded by the
+    * query docs' vocabulary (|Q| docs — broadcast whatever the corpus
+    * size); the corpus token stream is FILTERED to the ≤ |Q|·[[
+    * HybridTerms]] selected terms BEFORE the tf aggregate (inverted-index
+    * admission, the [[bm25TopK]] discipline), so the lexical leg's only
+    * corpus-sized shuffle is the doc-length aggregate; the dense leg is
+    * the volume-flat IVF path; the fusion frame is |Q|·2k rows. Ranking
+    * compares ×10⁴ integers of 4dp-rounded scores with doc/term
+    * tie-breaks throughout, so engine and oracle cut identical sets. */
+  val HybridTerms = 5
+  val RrfK = 60
+  val HybridTopK = 10
+
+  def hybridRrfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nq = Similarity.NumQueries
+    val toks = Tables.documents(s, d).select($"doc_id",
+      explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    // per-query-doc term counts (|Q| docs — tiny by contract)
+    val qtf = toks.filter($"doc_id" < nq)
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("qtf"))
+    // corpus-wide df for exactly the words the query docs contain: the
+    // token stream is filtered on the broadcast query vocabulary before
+    // the distinct, so the df aggregate never sees unrelated tokens
+    val dfq = toks.join(broadcast(qtf.select($"word").distinct()), "word")
+      .select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    // salience selection: top tf·idf terms per query doc (integer rank)
+    val selW = Window.partitionBy($"query_id").orderBy($"sx".desc, $"word".asc)
+    val qterms = qtf.join(broadcast(dfq), "word").crossJoin(broadcast(stats))
+      .select($"doc_id".as("query_id"), $"word",
+        expr("cast(round(qtf * ln(n_docs / df) * 10000) as bigint)").as("sx"))
+      .withColumn("rk", row_number().over(selW))
+      .filter($"rk" <= HybridTerms)
+      .select($"query_id", $"word")
+    // BM25 leg over the selected-term postings only
+    val ctf = toks.join(broadcast(qterms.select($"word").distinct()), "word")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val lexScored = ctf.join(broadcast(qterms), "word")
+      .filter($"doc_id" =!= $"query_id")
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sterm",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+          ($"tf" * (Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+      .groupBy($"query_id", $"doc_id").agg(round(sum($"sterm"), 4).as("bm25"))
+    val lexW = Window.partitionBy($"query_id").orderBy($"bx".desc, $"doc_id".asc)
+    val lex = lexScored
+      .withColumn("bx", expr("cast(round(bm25 * 10000) as bigint)"))
+      .withColumn("lex_rank", row_number().over(lexW))
+      .filter($"lex_rank" <= Similarity.TopK)
+      .select($"query_id", $"doc_id", $"lex_rank")
+    val dense = Similarity.annIvfTopK(s, d)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("dense_rank"))
+    val fusedW = Window.partitionBy($"query_id")
+      .orderBy($"rrf_micros".desc, $"doc_id".asc)
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        coalesce(expr(s"1000000L div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + dense_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(fusedW))
+      .filter($"fused_rank" <= HybridTopK)
+      .select($"query_id", $"doc_id",
+        coalesce($"lex_rank", lit(0)).as("lex_rank"),
+        coalesce($"dense_rank", lit(0)).as("dense_rank"),
+        $"rrf_micros", $"fused_rank")
+  }
+
+  /** DuckDB twin of [[hybridRrfTopK]]: the [[bm25TopKOracle]] token/df
+    * algebra with per-query term selection, [[Similarity.annIvfTopKOracle]]
+    * verbatim as the dense leg, integer-micro RRF fusion. */
+  lazy val hybridRrfTopKOracle: String = {
+    val nq = Similarity.NumQueries
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |qtf AS (SELECT doc_id AS query_id, word, count(*) AS qtf FROM tok
+       |  WHERE doc_id < $nq GROUP BY 1, 2),
+       |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok
+       |  WHERE word IN (SELECT DISTINCT word FROM qtf) GROUP BY word),
+       |qsel AS (SELECT query_id, word FROM (
+       |    SELECT q.query_id, q.word,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY CAST(round(q.qtf * ln(st.n_docs / d.df) * 10000) AS BIGINT) DESC,
+       |          q.word ASC) AS rk
+       |    FROM qtf q JOIN dfq d USING (word) CROSS JOIN st)
+       |  WHERE rk <= $HybridTerms),
+       |ctf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       |  WHERE word IN (SELECT DISTINCT word FROM qsel) GROUP BY 1, 2),
+       |lexs AS (SELECT s2.query_id, c.doc_id,
+       |    round(sum(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+       |      * (c.tf * ($Bm25K1 + 1))
+       |      / (c.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 4) AS bm25
+       |  FROM ctf c JOIN qsel s2 USING (word) JOIN dfq d USING (word)
+       |  JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN st
+       |  WHERE c.doc_id <> s2.query_id
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY CAST(round(bm25 * 10000) AS BIGINT) DESC, doc_id ASC) AS lex_rank
+       |    FROM lexs) WHERE lex_rank <= ${Similarity.TopK}),
+       |dense AS (SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+       |  FROM (${Similarity.annIvfTopKOracle})),
+       |f AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+       |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    l.lex_rank, dn.dense_rank,
+       |    coalesce(1000000 // ($RrfK + l.lex_rank), 0)
+       |      + coalesce(1000000 // ($RrfK + dn.dense_rank), 0) AS rrf_micros
+       |  FROM lex l FULL OUTER JOIN dense dn
+       |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id)
+       |SELECT query_id, doc_id, coalesce(lex_rank, 0) AS lex_rank,
+       |  coalesce(dense_rank, 0) AS dense_rank, rrf_micros, fused_rank
+       |FROM (SELECT f.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micros DESC, doc_id ASC) AS fused_rank FROM f)
+       |WHERE fused_rank <= $HybridTopK""".stripMargin
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public arXiv:2302.03169):
     * features are unigrams hashed into [[DsirBuckets]] buckets; fit two

@@ -1208,6 +1208,127 @@ object Similarity {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // -------------------------------------------------- hard-negative mining
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the cosine top-k corpus vectors that do NOT share the
+    * query's `label`. These are the "looks similar, is different"
+    * examples a contrastive or reranker training run pairs against each
+    * anchor (the in-batch-negatives upgrade every embedding-model recipe
+    * ships); the mining query is exactly filtered ANN with the predicate
+    * NEGATED, so the operator reuses the [[annFilteredTopK]] machinery:
+    * IVF candidate stream, label predicate BEFORE the exact re-rank,
+    * probe ring widened to [[FilteredProbes]] to counter predicate
+    * thinning (here the filter removes the query's own class — usually
+    * the densest region of its probe ring, so the widening matters
+    * more, not less, than in the equality case).
+    *
+    * Scale shape: identical to [[annFilteredTopK]] — |V|-row assignment
+    * frame, [[NumQueries]]-row broadcast query labels, candidates pruned
+    * before any full-precision vector moves. */
+  def annHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
+    val probes = vecs.filter(_._1 < NumQueries).flatMap { case (qid, v) =>
+      cosTo(bc.value, v).sortBy { case (cid, sim) => (-sim, cid) }
+        .take(FilteredProbes).map { case (cid, _) => (qid, cid) }
+    }.toDF("query_id", "cell")
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val qlab = labels.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"))
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(labels, "vec_id")
+      .join(broadcast(qlab), "query_id")
+      .filter($"label" =!= $"qlabel")
+      .select($"query_id", $"vec_id").distinct()
+    rerank(s, d, cands)
+  }
+
+  /** DuckDB twin of [[annHardNegatives]]: [[annFilteredTopKOracle]] with
+    * the label filter negated — training replay, widened probe ring, and
+    * re-rank verbatim. */
+  val annHardNegativesOracle: String =
+    s"""$ivfCorpusCtes,
+       |pr AS (SELECT query_id, cell FROM (
+       |    SELECT vv.vec_id AS query_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
+       |    FROM vv CROSS JOIN c${IvfLloydIters}n cc WHERE vv.vec_id < $NumQueries)
+       |  WHERE rk <= $FilteredProbes),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qlab AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM asg a JOIN pr p USING (cell)
+       |  JOIN lab l ON l.vec_id = a.vec_id
+       |  JOIN qlab ql ON ql.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id AND l.label <> ql.qlabel),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS sim
+       |  FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  /** EXACT hard-negative ground truth — brute-force cosine top-k among
+    * DIFFERENT-label vectors ([[annFilteredBruteTopK]] with the label
+    * predicate negated). The gate oracles it directly and SimilaritySpec
+    * measures [[annHardNegatives]]' recall against it — the negated
+    * predicate keeps most of the corpus eligible, so the broadcast join
+    * carries the inequality as a residual over the [[NumQueries]]-row
+    * build side exactly like the unfiltered brute baseline. */
+  def annHardNegBruteTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val e = withNorm(s, d).join(labels, "vec_id")
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"label".as("qlabel"))
+    val scored = e.join(broadcast(q),
+        $"label" =!= $"qlabel" && $"vec_id" =!= $"query_id")
+      .withColumn("sim",
+        org.apache.spark.sql.graft.GraftFunctions.dot($"qv", $"v") /
+          ($"qnorm" * $"norm"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"sim", 6).desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"sim", 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin of [[annHardNegBruteTopK]]: [[annFilteredBruteTopKOracle]]
+    * with the label equality negated. */
+  val annHardNegBruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+       |    label AS qlabel FROM n WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id,
+       |    list_dot_product(qv, v) / (qnorm * norm) AS sim
+       |  FROM n CROSS JOIN q
+       |  WHERE vec_id <> query_id AND label <> qlabel),
+       |ranked AS (SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // -------------------------------------------------- k-means cluster map
   /** Per-cluster profile of the k-means cells [[lloydCentroids]] trains —
     * the corpus "data map" a curation team reads before deciding what to
@@ -1294,11 +1415,15 @@ object Similarity {
     // unfiltered truth would punish the index for honoring the predicate
     val filteredTruth = annFilteredBruteTopK(s, d)
       .select($"query_id", $"neighbor_id")
+    // likewise the hard-negative leg: truth = the negated-predicate brute
+    val hardnegTruth = annHardNegBruteTopK(s, d)
+      .select($"query_id", $"neighbor_id")
     leg("ivf", annIvfTopK(s, d))
       .unionAll(leg("ivfpq", annIvfPqTopK(s, d)))
       .unionAll(leg("lsh", annLshTopK(s, d)))
       .unionAll(leg("pq", annPqTopK(s, d)))
       .unionAll(legVs("filtered", annFilteredTopK(s, d), filteredTruth))
+      .unionAll(legVs("hardneg", annHardNegatives(s, d), hardnegTruth))
   }
 
   /** DuckDB twin of [[annRecallReport]] — the five index oracles and
@@ -1319,7 +1444,8 @@ object Similarity {
       leg("ivfpq", annIvfPqTopKOracle),
       leg("lsh", annLshTopKOracle),
       leg("pq", annPqTopKOracle),
-      legVs("filtered", annFilteredTopKOracle, annFilteredBruteTopKOracle)
+      legVs("filtered", annFilteredTopKOracle, annFilteredBruteTopKOracle),
+      legVs("hardneg", annHardNegativesOracle, annHardNegBruteTopKOracle)
     ).mkString("\nUNION ALL\n")
     s"""SELECT method, CAST(n_matched AS BIGINT) AS n_matched,
        |  CAST(n_expected AS BIGINT) AS n_expected,

@@ -406,8 +406,14 @@ object TextOps {
   def bpeApply(s: SparkSession, d: String): DataFrame =
     bpeApplyOf(Tables.documents(s, d))
 
-  /** [[bpeApply]] over an arbitrary (doc_id, text) frame. */
-  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+  /** Per-word-occurrence encode under the trained merge table: one row
+    * per (doc, word occurrence) with the word's char count and its
+    * post-merge symbol count — the shared frame behind [[bpeApplyOf]]'s
+    * per-doc rollup and [[vocabCoverageOf]]'s per-source fertility
+    * report. Map-only (the merge list is a ≤ [[BpeTrainRounds]]-row
+    * literal folded into 50 chained codegen'd `replace`s). */
+  private def bpePerWordOf(docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     // the TRAINED merge list ([[bpeTrainOf]], applied in learned order —
     // "apply the merges in the order they were learned", Sennrich §3) —
@@ -418,12 +424,19 @@ object TextOps {
     val encoded = merges.foldLeft(spaced) { case (c, (a, b)) =>
       org.apache.spark.sql.functions.replace(c, lit(s" $a $b "), lit(s" $a$b "))
     }
-    val perWord = docs.select($"doc_id", explode(tokensCol).as("w"))
-      .select($"doc_id", length($"w").as("n_chars"),
+    val extra = passthrough.map(col)
+    docs.select(($"doc_id" +: extra :+ explode(tokensCol).as("w")): _*)
+      .select(($"doc_id" +: extra :+ length($"w").as("n_chars") :+
         // " s1 s2 ... sk " carries k+1 delimiters
         (length(encoded) -
           length(org.apache.spark.sql.functions.replace(encoded, lit(" "), lit(""))) -
-          1).cast("long").as("n_sym"))
+          1).cast("long").as("n_sym")): _*)
+  }
+
+  /** [[bpeApply]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perWord = bpePerWordOf(docs)
     val agg = perWord.groupBy($"doc_id").agg(
       count(lit(1)).as("n_words"),
       sum($"n_sym").as("n_bpe_tokens"),
@@ -467,6 +480,78 @@ object TextOps {
        |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
        |  coalesce(a.n_merges, 0) AS n_merges
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------ tokenizer fertility map
+  /** Tokenizer-fertility report — the table a tokenizer owner reads after
+    * (re)training to decide whether the vocabulary fits the corpus mix:
+    * per `source`, how hard the trained BPE works. Fertility (BPE tokens
+    * per word) and compression (chars per BPE token) are THE standard
+    * tokenizer-quality metrics (cf. SentencePiece/tokenizers eval
+    * practice); whole-word rate (word occurrences the merge table
+    * collapses to ONE symbol) is the vocabulary-coverage signal — a
+    * source whose fertility is high and whole-word rate near zero is
+    * under-served by the vocab and will cost disproportionate sequence
+    * length at training time. All ratios in exact integer micros
+    * (`x * 1e6 div y`), the suite's float-free ratio idiom.
+    *
+    * Scale shape: the encode is [[bpePerWordOf]]'s map-only pass under
+    * the broadcast-literal merge list; the report is one map-side-
+    * combined aggregate keyed by (doc → source after a broadcast-able
+    * doc→source projection rides the same scan — no second corpus read),
+    * output bounded by |sources|. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverageOf(Tables.documents(s, d))
+
+  private[graft] def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // source rides the explode as a passthrough column, so the aggregate
+    // needs no doc→source join and no second corpus scan
+    val perWord = bpePerWordOf(docs, passthrough = Seq("source"))
+    val agg = perWord.groupBy($"source").agg(
+      countDistinct($"doc_id").as("n_docs_tokenized"),
+      count(lit(1)).as("n_words"),
+      sum($"n_sym").as("n_tokens"),
+      sum($"n_chars").as("n_chars"),
+      sum(when($"n_sym" === 1L, 1L).otherwise(0L)).as("n_whole_words"))
+    agg.select($"source", $"n_docs_tokenized", $"n_words", $"n_tokens",
+        $"n_chars",
+        expr("n_tokens * 1000000L div n_words").as("fertility_micros"),
+        expr("n_chars * 1000000L div n_tokens").as("chars_per_token_micros"),
+        expr("n_whole_words * 1000000L div n_words").as("whole_word_micros"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB twin of [[vocabCoverage]]: the [[bpeApplyOracle]] encode CTEs
+    * with the doc→source join and the per-source integer-micros rollup. */
+  lazy val vocabCoverageOracle: String =
+    s"""WITH merges AS (SELECT merge_rank, a, b FROM ($bpeTrainOracle)),
+       |ml AS (SELECT
+       |    list(' ' || a || ' ' || b || ' ' ORDER BY merge_rank) AS fr,
+       |    list(' ' || a || b || ' ' ORDER BY merge_rank) AS t2
+       |  FROM merges),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents),
+       |enc AS (SELECT doc_id, length(w) AS n_chars,
+       |    length(e) - length(replace(e, ' ', '')) - 1 AS n_sym
+       |  FROM (SELECT doc_id, w,
+       |      list_reduce(list_prepend(regexp_replace(w, '(.)', ' \\1', 'g') || ' ',
+       |        list_transform(range(1, len(fr) + 1), i -> CAST(i AS VARCHAR))),
+       |        (acc, x) -> replace(acc, fr[CAST(x AS INT)], t2[CAST(x AS INT)])) AS e
+       |    FROM tok CROSS JOIN ml)),
+       |agg AS (SELECT d.source,
+       |    count(DISTINCT e.doc_id) AS n_docs_tokenized,
+       |    count(*) AS n_words,
+       |    CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+       |    CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN e.n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_words
+       |  FROM enc e JOIN documents d USING (doc_id)
+       |  GROUP BY d.source)
+       |SELECT source, CAST(n_docs_tokenized AS BIGINT) AS n_docs_tokenized,
+       |  CAST(n_words AS BIGINT) AS n_words, n_tokens, n_chars,
+       |  CAST(n_tokens * 1000000 // n_words AS BIGINT) AS fertility_micros,
+       |  CAST(n_chars * 1000000 // n_tokens AS BIGINT) AS chars_per_token_micros,
+       |  CAST(n_whole_words * 1000000 // n_words AS BIGINT) AS whole_word_micros
+       |FROM agg ORDER BY source""".stripMargin
 
   // ------------------------------------------------------- quality scoring
   /** Document quality scoring: length / punctuation / stopword / digit

@@ -474,4 +474,42 @@ class CorpusSpec extends SparkTestBase {
     // reproduces the rule polarity it was trained on
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
   }
+
+  test("hybrid RRF: fusion arithmetic exact, legs agree with their sources, deterministic") {
+    import graft.operators.Similarity
+    val fused = Corpus.hybridRrfTopK(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Int)].collect()
+    assert(fused.nonEmpty)
+    // per query: <= HybridTopK rows, contiguous fused ranks from 1,
+    // fused scores non-increasing, no self-retrieval
+    fused.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= Corpus.HybridTopK)
+      val byRank = rows.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq === (1 to rows.length))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5, s"query $q: fused score order")
+        case _ =>
+      }
+      rows.foreach { r => assert(r._2 != q, s"query $q retrieved itself") }
+    }
+    // RRF arithmetic: score is exactly the sum of the two leg
+    // contributions computed from the recorded ranks (0 = leg absent)
+    fused.foreach { case (q, d, lr, dr, micros, _) =>
+      val want = (if (lr > 0) 1000000L / (Corpus.RrfK + lr) else 0L) +
+        (if (dr > 0) 1000000L / (Corpus.RrfK + dr) else 0L)
+      assert(micros === want, s"($q,$d): rrf micros")
+      assert(lr > 0 || dr > 0, s"($q,$d): fused doc in neither leg")
+    }
+    // the dense leg's recorded ranks must be the IVF operator's ranks
+    val ivf = Similarity.annIvfTopK(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .map { case (q, n, r) => (q, n) -> r }.toMap
+    fused.filter(_._4 > 0).foreach { case (q, d, _, dr, _, _) =>
+      assert(ivf.get((q, d)).contains(dr), s"($q,$d): dense rank mismatch")
+    }
+    val again = Corpus.hybridRrfTopK(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Int)].collect()
+    assert(again.toSet === fused.toSet)
+  }
 }

@@ -89,6 +89,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("hard-negative mining: different-label predicate holds, recall vs negated brute is useful") {
+    // exact ground truth, computed independently in the JVM: per query,
+    // cosine top-k over DIFFERENT-label corpus vectors only
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .as[(Long, Array[Double], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = rows.filter(_._1 < Similarity.NumQueries).flatMap { case (qid, qv, ql) =>
+      rows.filter(r => r._1 != qid && r._3 != ql)
+        .map(r => (r._1, BigDecimal(cos(qv, r._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(Similarity.TopK).map { case (id, _) => (qid, id) }
+    }.toSet
+    val got = Similarity.annHardNegatives(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every mined negative really is a different-label vector
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    got.foreach { case (q, n) => assert(labelOf(n) != labelOf(q) && n != q) }
+    // the engine's negated brute truth (the ann_recall_report `hardneg`
+    // leg's denominator) must equal this independent in-JVM ground truth
+    val engineTruth = Similarity.annHardNegBruteTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(engineTruth === truth,
+      "annHardNegBruteTopK must reproduce the in-JVM negated ground truth")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"hard-negative recall@10 = $recall")
+    // the negated predicate keeps ~ (L-1)/L of the corpus eligible, so the
+    // widened 8/16-cell probe ring behaves like unfiltered IVF (≥ 0.70
+    // there); bound lower for label-geometry headroom
+    assert(recall >= 0.60, s"hardneg recall@10 = $recall")
+    val again = Similarity.annHardNegatives(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("cluster profile: partitions the corpus, purity arithmetic exact, deterministic") {
     val prof = Similarity.clusterProfile(spark, sf)
       .as[(Long, Long, Int, Long, Long)].collect()

@@ -355,6 +355,32 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("vocab coverage: per-source fertility reconciles with the per-doc encode") {
+    import graft.operators.TextOps
+    val cov = TextOps.vocabCoverage(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(cov.nonEmpty)
+    cov.foreach { case (src, nd, w, t, c, fert, cpt, whole) =>
+      assert(nd > 0 && w > 0 && t > 0 && c > 0, s"$src: empty aggregates")
+      assert(t >= w, s"$src: fewer tokens than words")      // ≥ 1 tok/word
+      assert(c >= t, s"$src: fewer chars than tokens")      // merges only shrink
+      assert(fert === t * 1000000L / w, s"$src: fertility arithmetic")
+      assert(cpt === c * 1000000L / t, s"$src: chars/token arithmetic")
+      assert(whole >= 0L && whole <= 1000000L, s"$src: whole-word rate range")
+    }
+    // cross-operator reconciliation: the per-source sums must equal the
+    // per-doc bpeApply rollup aggregated through the doc→source map
+    val bySrcFromApply = TextOps.bpeApply(spark, sf)
+      .join(graft.core.Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens").as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    cov.foreach { case (src, _, w, t, _, _, _, _) =>
+      assert(bySrcFromApply(src) === ((w, t)), s"$src: diverges from bpeApply rollup")
+    }
+  }
+
   test("BPE merge candidates on the sf corpus: top-k ordered, counts positive") {
     import graft.operators.TextOps
     val got = TextOps.bpeMergeCandidates(spark, sf)
