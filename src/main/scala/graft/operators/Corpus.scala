@@ -606,6 +606,58 @@ object Corpus {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // --------------------------------------------- sequence-length histogram
+  /** Per-source sequence-length histogram on power-of-two buckets — the
+    * length-distribution table every batch-shape decision reads (context
+    * window, packing target, truncation loss): per (source, ⌊log₂
+    * tokens⌋ bucket), document count and token mass, with the bucket's
+    * inclusive [lo, hi] token range. The log₂ bucket is INTEGER-exact on
+    * both engines — `length(bin(n)) − 1` (bit length, no float log whose
+    * last-ulp could misplace an exact power of two); zero-token docs get
+    * bucket −1.
+    *
+    * Scale shape: one map-only tokenize-count pass, one map-side-
+    * combined aggregate keyed (source, bucket); output is bounded by
+    * |sources| · 64 rows whatever the corpus. */
+  def lengthHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d).select($"source",
+      expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))")
+        .cast("long").as("n_tokens"))
+    perDoc
+      .withColumn("bucket",
+        when($"n_tokens" === 0L, lit(-1))
+          .otherwise(length(bin($"n_tokens")) - 1))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .withColumn("lo_tokens",
+        when($"bucket" < 0, lit(0L)).otherwise(expr("shiftleft(1L, bucket)")))
+      .withColumn("hi_tokens",
+        when($"bucket" < 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, bucket + 1) - 1")))
+      .orderBy($"source", $"bucket")
+  }
+
+  /** DuckDB twin of [[lengthHistogram]] — same bit-length bucket, same
+    * shift-built ranges. */
+  val lengthHistogramOracle: String =
+    s"""WITH t AS (SELECT source,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT source,
+       |    CASE WHEN n_tokens = 0 THEN -1
+       |         ELSE CAST(length(bin(n_tokens)) AS INT) - 1 END AS bucket,
+       |    n_tokens FROM t)
+       |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN bucket < 0 THEN 0
+       |       ELSE (CAST(1 AS BIGINT) << bucket) END AS lo_tokens,
+       |  CASE WHEN bucket < 0 THEN 0
+       |       ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi_tokens
+       |FROM b GROUP BY source, bucket
+       |ORDER BY source, bucket""".stripMargin
+
   // ------------------------------------------------ hybrid RRF retrieval
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion (Cormack,
     * Clarke & Büttcher 2009, "Reciprocal Rank Fusion outperforms Condorcet

@@ -1329,6 +1329,53 @@ object Similarity {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------- contrastive triplet table
+  /** Contrastive-training triplet assembly — the op that turns a labeled,
+    * embedded corpus into ready-to-train rows (the FaceNet/triplet-loss
+    * and sentence-transformers supervised-batch recipe, Schroff et al.
+    * 2015 + the standard hard-negative mining practice): per anchor
+    * (query doc), ONE hardest positive — the nearest SAME-label vector,
+    * [[annFilteredTopK]] rank 1 — and the top [[ContrastiveNegatives]]
+    * hard negatives — the nearest DIFFERENT-label vectors,
+    * [[annHardNegatives]]. One flat row per (anchor, role, pair): the
+    * shape a training loader consumes directly. Anchors with NO same-
+    * label candidate in their probe ring emit nothing (a triplet without
+    * a positive is untrainable — negatives are semi-joined on the
+    * surviving anchor set).
+    *
+    * Scale shape: both legs are the volume-flat IVF candidate paths
+    * (probed cells bound the candidate stream regardless of corpus
+    * size); the semi-join runs on the |Q|-row positive set; output is
+    * ≤ |Q|·(1 + [[ContrastiveNegatives]]) rows. */
+  val ContrastiveNegatives = 4
+
+  def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pos = annFilteredTopK(s, d).filter($"rank" === 1)
+      .select($"query_id".as("anchor_id"), lit("pos").as("role"),
+        $"neighbor_id".as("pair_id"), $"rank", $"cos_sim")
+    val neg = annHardNegatives(s, d).filter($"rank" <= ContrastiveNegatives)
+      .select($"query_id".as("anchor_id"), lit("neg").as("role"),
+        $"neighbor_id".as("pair_id"), $"rank", $"cos_sim")
+    neg.join(broadcast(pos.select($"anchor_id")), Seq("anchor_id"),
+        "left_semi")
+      .unionAll(pos)
+  }
+
+  /** DuckDB twin of [[contrastiveTriplets]]: the two leg oracles as
+    * derived tables, rank-cut and semi-joined identically. */
+  lazy val contrastiveTripletsOracle: String =
+    s"""WITH pos AS (SELECT query_id AS anchor_id, 'pos' AS role,
+       |    neighbor_id AS pair_id, rank, cos_sim
+       |  FROM ($annFilteredTopKOracle) WHERE rank = 1),
+       |neg AS (SELECT query_id AS anchor_id, 'neg' AS role,
+       |    neighbor_id AS pair_id, rank, cos_sim
+       |  FROM ($annHardNegativesOracle)
+       |  WHERE rank <= $ContrastiveNegatives)
+       |SELECT n.* FROM neg n WHERE n.anchor_id IN (SELECT anchor_id FROM pos)
+       |UNION ALL
+       |SELECT * FROM pos""".stripMargin
+
   // -------------------------------------------------- k-means cluster map
   /** Per-cluster profile of the k-means cells [[lloydCentroids]] trains —
     * the corpus "data map" a curation team reads before deciding what to

@@ -475,6 +475,38 @@ class CorpusSpec extends SparkTestBase {
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
   }
 
+  test("length histogram: buckets partition the corpus, ranges are exact powers of two") {
+    val rows = Corpus.lengthHistogram(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // bucket ranges: [2^b, 2^(b+1)-1], zero bucket is [-1 -> 0,0]
+    rows.foreach { case (src, b, nd, nt, lo, hi) =>
+      assert(nd > 0, s"$src/$b: empty bucket emitted")
+      if (b < 0) { assert(lo === 0L && hi === 0L && nt === 0L) }
+      else {
+        assert(lo === (1L << b) && hi === (1L << (b + 1)) - 1, s"$src/$b range")
+        // token mass must be attainable by nd docs inside the range
+        assert(nt >= nd * lo && nt <= nd * hi, s"$src/$b: mass outside range")
+      }
+    }
+    // the histogram partitions the corpus: doc counts sum to the table size
+    assert(rows.map(_._3).sum ===
+      graft.core.Tables.documents(spark, sf).count())
+    // cross-check one source against an in-JVM recount
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.groupBy { case (_, t) =>
+        val n = t.split("\\s+").count(_.nonEmpty)
+        if (n == 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+      }.map { case (b, g) => b -> g.size }
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val got = rs.map(r => r._2 -> r._3.toInt).toMap
+      assert(got === want(src), s"$src: bucket counts diverge from recount")
+    }
+  }
+
   test("hybrid RRF: fusion arithmetic exact, legs agree with their sources, deterministic") {
     import graft.operators.Similarity
     val fused = Corpus.hybridRrfTopK(spark, sf)

@@ -128,6 +128,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("contrastive triplets: one positive + bounded negatives per anchor, roles honor labels, margins real") {
+    val rows = Similarity.contrastiveTriplets(spark, sf)
+      .as[(Long, String, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    val labelOf = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    rows.foreach { case (a, role, p, _, _) =>
+      assert(p != a, s"anchor $a paired with itself")
+      role match {
+        case "pos" => assert(labelOf(p) === labelOf(a), s"positive $p label")
+        case "neg" => assert(labelOf(p) !== labelOf(a), s"negative $p label")
+        case r     => fail(s"unknown role $r")
+      }
+    }
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val (pos, neg) = rs.partition(_._2 == "pos")
+      // every emitted anchor carries EXACTLY one positive (triplets
+      // without a positive are untrainable and must not leak through)
+      assert(pos.length === 1, s"anchor $a: ${pos.length} positives")
+      assert(neg.length <= Similarity.ContrastiveNegatives,
+        s"anchor $a: too many negatives")
+      assert(neg.map(_._4).sorted.toSeq === (1 to neg.length),
+        s"anchor $a: negative ranks not contiguous")
+      // the legs agree with their source operators
+      val wantPos = Similarity.annFilteredTopK(spark, sf)
+        .filter(s"query_id = $a AND rank = 1")
+        .select("neighbor_id").as[Long].collect()
+      assert(wantPos.toSeq === pos.map(_._3).toSeq, s"anchor $a: positive leg")
+    }
+    val again = Similarity.contrastiveTriplets(spark, sf)
+      .as[(Long, String, Long, Int, Double)].collect()
+    assert(again.toSet === rows.toSet)
+  }
+
   test("cluster profile: partitions the corpus, purity arithmetic exact, deterministic") {
     val prof = Similarity.clusterProfile(spark, sf)
       .as[(Long, Long, Int, Long, Long)].collect()
