@@ -85,6 +85,10 @@ object PlanCensus {
       "inherits lmBits' crossJoin(broadcast(single-row (N,V) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "text_bm25_topk" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "embed_drift_report" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row (t_train,t_ingest) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "embed_cluster_terms" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row n_cells aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "retrieval_hybrid_rrf" -> Map("BroadcastNestedLoopJoin" ->
       "inherits bm25's crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) in both the term-selection and BM25 legs — the scalar-subquery shape; build side is exactly 1 row"),
     "dedup_keep_best" -> Map("ExistingRDD" ->

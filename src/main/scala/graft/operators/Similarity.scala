@@ -380,10 +380,15 @@ object Similarity {
     * large k takes the k smallest-mix64 vectors directly — same split as
     * `lloydCentroids`, so the oracle stays an exact twin under a
     * `GRAFT_IVF_CELLS` override instead of silently diverging. */
-  private def seedCtes: String =
+  private def seedCtes: String = seedCtesFiltered("")
+
+  /** [[seedCtes]] with an optional WHERE on the TRAINING vector set (the
+    * drift report trains on a corpus half); "" = the byte-identical
+    * historical chain. */
+  private def seedCtesFiltered(trainWhere: String): String =
     if (IvfCells <= SeedGreedyMax)
       s"""smp AS (SELECT vec_id, v, m FROM
-         |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT ${16 * IvfCells}),
+         |  (SELECT vec_id, v, $mixSigned AS m FROM e$trainWhere) ORDER BY m LIMIT ${16 * IvfCells}),
          |-- all pairwise sample cos-dists, precomputed WITHOUT correlation:
          |-- DuckDB lambdas cannot capture correlated outer columns, so the
          |-- recursive step below only does list_contains lookups over this
@@ -408,7 +413,7 @@ object Similarity {
          |  FROM ch JOIN smp p ON p.vec_id = ch.id)""".stripMargin
     else
       s"""smp AS (SELECT vec_id, v, m FROM
-         |  (SELECT vec_id, v, $mixSigned AS m FROM e) ORDER BY m LIMIT $IvfCells),
+         |  (SELECT vec_id, v, $mixSigned AS m FROM e$trainWhere) ORDER BY m LIMIT $IvfCells),
          |-- big-k branch (engine's SeedGreedyMax): seeds are the k
          |-- smallest-mix64 vectors themselves, cells numbered by vec_id
          |c0 AS (SELECT row_number() OVER (ORDER BY p.vec_id) - 1 AS cid, p.v AS cv
@@ -418,11 +423,18 @@ object Similarity {
     * seeds → [[IvfLloydIters]] Lloyd passes → `asg` = (vec_id, cell), the
     * corpus cell assignment. Everything through `asg` is common to the
     * IVF top-k twin and the SemDeDup twin; suffix CTEs differ. */
-  private def ivfCorpusCtes: String =
+  private def ivfCorpusCtes: String = ivfCorpusCtesTrainedOn("")
+
+  /** [[ivfCorpusCtes]] with an optional WHERE restricting which vectors
+    * TRAIN the codebook (sample, seeds, Lloyd means); `asg` still assigns
+    * the WHOLE corpus under the trained centroids — exactly the engine's
+    * `lloydCentroids(filtered)` + assign-all split. "" reproduces the
+    * historical chain byte-for-byte (every existing oracle unchanged). */
+  private def ivfCorpusCtesTrainedOn(trainWhere: String): String =
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$seedCtes,
+       |${seedCtesFiltered(trainWhere)},
        |c0n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c0),
-       |u0 AS (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e),
+       |u0 AS (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e$trainWhere),
        |u AS (SELECT vec_id,
        |    list_transform(v, x -> x * (CASE WHEN n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n2) END)) AS uv
        |  FROM u0),
@@ -1426,6 +1438,132 @@ object Similarity {
        |  CAST(r.cnt AS BIGINT) AS top_label_n,
        |  CAST((r.cnt * 1000) // t.n_vectors AS BIGINT) AS purity_milli
        |FROM rk r JOIN tot t USING (cell) WHERE r.rk = 1""".stripMargin
+
+  // ------------------------------------------- embedding drift report
+  /** Embedding-distribution drift report — the index-staleness monitor a
+    * similarity deployment runs on every ingest: train the IVF codebook
+    * on the REFERENCE snapshot, assign BOTH the reference and the new
+    * batch under it, and report the per-cell population-share shift (the
+    * population-stability-index input table; a cell whose share moved is
+    * an embedding-space region the new data over/under-fills — retrain
+    * the index, or investigate the upstream shift, before recall decays
+    * silently). The gate harness stands in even vec_ids for the
+    * reference and odd for the ingest batch (the framing is synthetic,
+    * the train-on-reference/assign-both machinery is the real thing —
+    * the multimodal stub discipline); shares and deltas are exact
+    * integer micros.
+    *
+    * Scale shape: one Lloyd training over the reference half (the
+    * volume-flat [[lloydCentroids]] path), one assign-all corpus scan
+    * under the broadcast codebook, one (cell, half) count aggregate —
+    * output |cells| rows whatever the corpus. */
+  def embedDriftReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs.filter(_._1 % 2 == 0))
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("vec_id", "cell")
+    val h = assigned.groupBy($"cell").agg(
+      sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_train"),
+      sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_ingest"))
+    val t = h.agg(sum($"n_train").as("t_train"),
+      sum($"n_ingest").as("t_ingest"))
+    h.crossJoin(broadcast(t))
+      .select($"cell", $"n_train", $"n_ingest",
+        expr("n_train * 1000000L div t_train").as("train_share_micros"),
+        expr("n_ingest * 1000000L div t_ingest").as("ingest_share_micros"),
+        expr("n_ingest * 1000000L div t_ingest - n_train * 1000000L div t_train")
+          .as("delta_micros"))
+      .orderBy($"cell")
+  }
+
+  /** DuckDB twin of [[embedDriftReport]]: the [[ivfCorpusCtesTrainedOn]]
+    * chain with training restricted to even vec_ids, then the same
+    * count/share algebra. */
+  lazy val embedDriftReportOracle: String =
+    s"""${ivfCorpusCtesTrainedOn(" WHERE vec_id % 2 = 0")},
+       |h AS (SELECT cell,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ingest
+       |  FROM asg GROUP BY cell),
+       |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+       |    CAST(sum(n_ingest) AS BIGINT) AS t_ingest FROM h)
+       |SELECT cell, n_train, n_ingest,
+       |  n_train * 1000000 // t_train AS train_share_micros,
+       |  n_ingest * 1000000 // t_ingest AS ingest_share_micros,
+       |  n_ingest * 1000000 // t_ingest - n_train * 1000000 // t_train
+       |    AS delta_micros
+       |FROM h, t ORDER BY cell""".stripMargin
+
+  // ------------------------------------------- cluster labeling (c-TF-IDF)
+  /** Top characteristic terms per k-means cell — the cluster LABELING
+    * half of the data map ([[clusterProfile]] says how big/pure each
+    * cell is; this says what is IN it, the table an Atlas-style corpus
+    * map renders next to each cluster). Class-based tf·idf (the BERTopic
+    * c-TF-IDF shape, Grootendorst 2022, arXiv:2203.05794 — public): pool
+    * each cell's member documents into one pseudo-document, score terms
+    * by cell-term frequency × ln(C / cells-containing-term), keep the
+    * top [[ClusterTermsK]] per cell. A term every cell contains scores
+    * exactly 0 (ln 1) — corpus boilerplate labels nothing.
+    *
+    * Scale shape: one corpus scan assigns cells under the broadcast
+    * codebook; the token stream joins the |V|-row assignment on doc_id
+    * (the one corpus-sized equi shuffle) into a two-phase (cell, term)
+    * count; the cell-df table is vocabulary-bounded (corpus-
+    * proportional — no broadcast hint, AQE sizes the join, the
+    * [[Corpus.tfidfTopTerms]] discipline); C is one broadcast scalar.
+    * Output ≤ |cells|·[[ClusterTermsK]] rows whatever the corpus. */
+  val ClusterTermsK = 5
+
+  def clusterTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val centroids = lloydCentroids(s, vecs)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) => (id, nearestCell(bc.value, v)) }
+      .toDF("doc_id", "cell")
+    val toks = Tables.documents(s, d).select($"doc_id",
+      explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+    val tf = toks.join(assigned, "doc_id")
+      .groupBy($"cell", $"word").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy($"word").agg(count(lit(1)).as("df_cells"))
+    val nc = assigned.agg(countDistinct($"cell").cast("double").as("n_cells"))
+    val w = Window.partitionBy($"cell").orderBy($"sx".desc, $"word".asc)
+    tf.join(dfc, "word").crossJoin(broadcast(nc))
+      .withColumn("score", $"tf" * log($"n_cells" / $"df_cells"))
+      .withColumn("sx", expr("cast(round(score * 10000) as bigint)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= ClusterTermsK)
+      .select($"cell", $"word", $"tf", $"rank", round($"score", 4).as("ctfidf"))
+  }
+
+  /** DuckDB twin of [[clusterTerms]]: the [[ivfCorpusCtes]] training +
+    * assignment replay, the [[Corpus.bm25TopKOracle]] tokenizer, the same
+    * c-TF-IDF algebra and ×10⁴ integer rank. */
+  lazy val clusterTermsOracle: String =
+    s"""$ivfCorpusCtes,
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |ct AS (SELECT a.cell, t.word, count(*) AS tf
+       |  FROM tok t JOIN asg a ON a.vec_id = t.doc_id GROUP BY 1, 2),
+       |dfc AS (SELECT word, count(*) AS df_cells FROM ct GROUP BY word),
+       |nc AS (SELECT CAST(count(DISTINCT cell) AS DOUBLE) AS n_cells FROM asg),
+       |sc AS (SELECT ct.cell, ct.word, ct.tf,
+       |    ct.tf * ln(nc.n_cells / dfc.df_cells) AS score
+       |  FROM ct JOIN dfc USING (word) CROSS JOIN nc),
+       |rk AS (SELECT cell, word, tf, score,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY CAST(round(score * 10000) AS BIGINT) DESC, word ASC) AS rank
+       |  FROM sc)
+       |SELECT cell, word, CAST(tf AS BIGINT) AS tf, rank,
+       |  round(score, 4) AS ctfidf
+       |FROM rk WHERE rank <= $ClusterTermsK""".stripMargin
 
   // ---------------------------------------------- ANN index-quality report
   /** Recall report for the approximate ANN indexes (IVF, IVF+PQ, LSH,

