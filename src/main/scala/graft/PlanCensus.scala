@@ -59,6 +59,8 @@ object PlanCensus {
       "brute force BY DESIGN: broadcast side is NumQueries rows; every corpus vector scores against each"),
     "ann_hardneg_brute" -> Map("BroadcastNestedLoopJoin" ->
       "negated-label brute truth BY DESIGN: both join predicates are inequalities (label <> qlabel, vec_id <> query_id), so no hash key exists; broadcast side is NumQueries rows"),
+    "mine_bitext_margin" -> Map("BroadcastNestedLoopJoin" ->
+      "brute scoring leg BY DESIGN: broadcast side is the bounded BitextQueries batch; every target-half vector scores against each (production swaps in the IVF probe ring)"),
     "dedup_embedding_cosine" -> Map("BroadcastNestedLoopJoin" ->
       "exact all-pairs verifier, bounded-N by contract; scale paths: Similarity.semanticDedup (cell-blocked pruning) and annLshTopK candidates + rerank"),
     "curation_pipeline" -> Map("ExistingRDD" ->
@@ -89,6 +91,12 @@ object PlanCensus {
       "crossJoin(broadcast(single-row (t_train,t_ingest) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "embed_cluster_terms" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row n_cells aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "text_kn_bigram" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row b_total aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "text_kn_score" -> Map("BroadcastNestedLoopJoin" ->
+      "inherits knModelOf's crossJoin(broadcast(single-row b_total aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "retrieval_rm3_expand" -> Map("BroadcastNestedLoopJoin" ->
+      "inherits bm25's crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) in both scoring passes — the scalar-subquery shape; build side is exactly 1 row"),
     "retrieval_hybrid_rrf" -> Map("BroadcastNestedLoopJoin" ->
       "inherits bm25's crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) in both the term-selection and BM25 legs — the scalar-subquery shape; build side is exactly 1 row"),
     "dedup_keep_best" -> Map("ExistingRDD" ->

@@ -459,6 +459,136 @@ object Corpus {
       |FROM tok JOIN c USING (word) CROSS JOIN t
       |GROUP BY tok.doc_id""".stripMargin
 
+  // ------------------------------------------- Kneser-Ney bigram LM
+  /** Absolute discount for the interpolated Kneser-Ney bigram model. */
+  val KnDiscount = 0.75
+
+  /** Per-doc bigram stream: adjacent token pairs, formed map-side with
+    * `zip_with` over shifted `slice`s (total on empty/1-token docs; no
+    * element indexing under ANSI). */
+  private[graft] def knPairsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |         slice(t, 2, greatest(size(t) - 1, 0)),
+          |         (a, b) -> struct(a as w1, b as w2))""".stripMargin)).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+  }
+
+  /** Observed-bigram frame carrying every interpolated-KN component and
+    * the UNROUNDED probability `p` (both public queries derive from it):
+    * c12 = bigram count, c1 = context total, n1fw = distinct followers of
+    * w1, cont = distinct contexts of w2, b_total = distinct bigrams, and
+    * p_kn(w2|w1) = (c12 − D)/c1 + (D·n1fw/c1)·(cont/B) — Kneser & Ney
+    * 1995 / Chen & Goodman 1999, the model every KenLM-style quality
+    * filter scores with. The continuation term is THE trick: "Francisco"
+    * is frequent but follows only "San", so its unigram backoff mass is
+    * tiny — exactly what raw-count backoff gets wrong. */
+  private[graft] def knModelOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val big = knPairsOf(docs)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val cl = big.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1fw"))
+    val ct = big.groupBy($"w2").agg(count(lit(1)).as("cont"))
+    val bt = big.agg(count(lit(1)).as("b_total"))
+    big.join(cl, "w1").join(ct, "w2").crossJoin(broadcast(bt))
+      .withColumn("p",
+        ($"c12" - KnDiscount) / $"c1" +
+          lit(KnDiscount) * $"n1fw" / $"c1" * ($"cont" / $"b_total"))
+  }
+
+  /** Interpolated Kneser-Ney bigram model table: every observed bigram
+    * with its count and 6-dp smoothed probability. Over the full
+    * vocabulary Σ_w2 p_kn(w2|w1) = 1 exactly (the discount mass D·n1fw/c1
+    * re-enters through the continuation distribution, which itself sums
+    * to 1) — CorpusSpec pins that identity and a hand-computed model.
+    *
+    * Scale shape: bigram formation is map-only; the (w1,w2) count is one
+    * map-side-combined shuffle; c1/n1fw/cont are VOCABULARY-sized
+    * aggregates of the bigram table (sub-linear in corpus) joined back;
+    * b_total rides the 1-row broadcast (scalar-subquery shape). The model
+    * table itself is bounded by distinct-bigram count, not corpus mass. */
+  def knBigram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    knModelOf(Tables.documents(s, d))
+      .select($"w1", $"w2", $"c12", round($"p", 6).as("pkn"))
+      .orderBy($"w1", $"w2")
+  }
+
+  /** DuckDB twin of [[knBigram]] — parallel-unnest zip forms the bigram
+    * stream (slices are equal-length so the zip is exact), identical
+    * left-associated probability expression. */
+  val knBigramOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |pp AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+       |    unnest(t[2:len(t)]) AS w2 FROM d WHERE len(t) >= 2),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM pp GROUP BY 1, 2),
+       |cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1fw FROM big GROUP BY w1),
+       |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM big GROUP BY w2),
+       |bt AS (SELECT CAST(count(*) AS BIGINT) AS b_total FROM big)
+       |SELECT w1, w2, c12,
+       |  round((c12 - $KnDiscount) / c1
+       |    + $KnDiscount * n1fw / c1 * (cont / b_total), 6) AS pkn
+       |FROM big JOIN cl USING (w1) JOIN ct USING (w2) CROSS JOIN bt
+       |ORDER BY w1, w2""".stripMargin
+
+  /** KN-perplexity document score: mean −log₂ p_kn over each document's
+    * bigrams — the CCNet/KenLM perplexity filter with a REAL smoothed
+    * bigram model behind it (the [[lmBits]] unigram scorer's stronger
+    * sibling; low = boilerplate, high = token soup, filter both tails).
+    * Docs with <2 tokens have no bigrams and are omitted (the
+    * [[lmBits]] emptiness policy). The model is corpus-internal, so
+    * every scored bigram is observed — the backoff-only path is the
+    * model's unseen-event mass, which scoring its own training corpus
+    * never exercises (same stance as [[lmBits]]).
+    *
+    * Scale shape: the score join keys on (w1,w2) — co-partitioned with
+    * the model's own count shuffle — and the per-doc rollup is one
+    * map-side-combined aggregate. */
+  def knScore(s: SparkSession, d: String): DataFrame =
+    knScoreOf(Tables.documents(s, d))
+
+  private[graft] def knScoreOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    knPairsOf(docs)
+      .join(knModelOf(docs).select($"w1", $"w2", $"p"), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(-log(2.0, $"p")) / count(lit(1)), 4).as("bits_per_bigram"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin of [[knScore]] — same CTE chain, ln(x)/ln(2) mirroring
+    * Spark's `log(base, x)` (the [[lmBitsOracle]] precedent); per-doc sum
+    * association differences are absorbed by the shared 4-dp round. */
+  val knScoreOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |pp AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+       |    unnest(t[2:len(t)]) AS w2 FROM d WHERE len(t) >= 2),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM pp GROUP BY 1, 2),
+       |cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1fw FROM big GROUP BY w1),
+       |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM big GROUP BY w2),
+       |bt AS (SELECT CAST(count(*) AS BIGINT) AS b_total FROM big),
+       |m AS (SELECT w1, w2,
+       |    (c12 - $KnDiscount) / c1
+       |      + $KnDiscount * n1fw / c1 * (cont / b_total) AS p
+       |  FROM big JOIN cl USING (w1) JOIN ct USING (w2) CROSS JOIN bt)
+       |SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(sum(-(ln(m.p) / ln(2))) / count(*), 4) AS bits_per_bigram
+       |FROM pp JOIN m USING (w1, w2)
+       |GROUP BY pp.doc_id ORDER BY pp.doc_id""".stripMargin
+
   /** CCNet-style language-model buckets (Wenzek et al. 2020, §4.3 —
     * public arXiv:1911.00359): partition each LANGUAGE's documents into
     * head / middle / tail by their LM score ([[lmBits]] bits/token — the
@@ -658,6 +788,69 @@ object Corpus {
        |FROM b GROUP BY source, bucket
        |ORDER BY source, bucket""".stripMargin
 
+  // ---------------------------------------------- n-gram diversity report
+  /** Per-source n-gram diversity report (n = 1, 2, 3): total grams,
+    * distinct grams, and the type-token ratio in exact integer micros —
+    * the distinct-n table (Li et al. 2016's diversity metric, the
+    * standard repetitiveness check) a corpus owner reads to spot
+    * template-generated or boilerplate-heavy sources before they teach a
+    * model to loop. A source whose trigram TTR collapses relative to its
+    * unigram TTR is stamping out the same phrases.
+    *
+    * Scale shape: ONE corpus scan — bigrams and trigrams are formed
+    * map-side from the token array with `zip_with` over shifted `slice`s
+    * (no element indexing: ANSI mode is on, and slices of computed
+    * length are total on ragged/empty arrays), all three gram streams
+    * explode from one concatenated struct array. Then a map-side-combined
+    * (source, n, gram) count and a second aggregate co-partitioned on its
+    * prefix; output is |sources| · 3 rows whatever the corpus. */
+  def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("g2", expr(
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |         slice(t, 2, greatest(size(t) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("g3", expr(
+        """zip_with(slice(g2, 1, greatest(size(t) - 2, 0)),
+          |         slice(t, 3, greatest(size(t) - 2, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+    docs.select($"source", explode(expr(
+        """concat(transform(t,  g -> struct(1 as n, g as gram)),
+          |       transform(g2, g -> struct(2 as n, g as gram)),
+          |       transform(g3, g -> struct(3 as n, g as gram)))""".stripMargin))
+        .as("g"))
+      .select($"source", $"g.n".as("n"), $"g.gram".as("gram"))
+      .groupBy($"source", $"n", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"source", $"n")
+      .agg(sum($"c").as("total_grams"), count(lit(1)).as("distinct_grams"))
+      .withColumn("ttr_micros",
+        expr("distinct_grams * 1000000L div total_grams"))
+      .orderBy($"source", $"n")
+  }
+
+  /** DuckDB twin of [[ngramDiversity]] — same grams via 1-based `range`
+    * indexing (DuckDB `range` is empty-safe on short docs, its list
+    * indexing total), same integer-micros ratio. */
+  val ngramDiversityOracle: String =
+    """WITH d AS (SELECT source,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(t) AS gram FROM d
+      |  UNION ALL
+      |  SELECT source, 2, unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1])) FROM d
+      |  UNION ALL
+      |  SELECT source, 3, unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM d),
+      |c AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+      |SELECT source, n, CAST(sum(c) AS BIGINT) AS total_grams,
+      |  CAST(count(*) AS BIGINT) AS distinct_grams,
+      |  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_micros
+      |FROM c GROUP BY source, n ORDER BY source, n""".stripMargin
+
   // ------------------------------------------------ hybrid RRF retrieval
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion (Cormack,
     * Clarke & Büttcher 2009, "Reciprocal Rank Fusion outperforms Condorcet
@@ -807,6 +1000,177 @@ object Corpus {
        |FROM (SELECT f.*, row_number() OVER (PARTITION BY query_id
        |    ORDER BY rrf_micros DESC, doc_id ASC) AS fused_rank FROM f)
        |WHERE fused_rank <= $HybridTopK""".stripMargin
+  }
+
+  // ---------------------------------------- RM3 pseudo-relevance feedback
+  /** RM3-style query expansion (Abdul-Jaleel et al. 2004, UMass TREC —
+    * the public pseudo-relevance-feedback recipe; Lavrenko & Croft
+    * relevance models): run the seed query, treat the top [[RmFbDocs]]
+    * results as pseudo-relevant, estimate an expansion term model from
+    * them — term weight = Σ_fb-docs tf/dl, the uniform-doc-prior
+    * relevance model, in EXACT integer micros (per-doc integer division,
+    * then sum: both engines do the identical integer arithmetic) — and
+    * re-run BM25 with the seed terms plus the top [[RmFbTerms]]
+    * expansion terms. This is the recall-repair stage of every classical
+    * retrieval stack (and the lexical analog of HyDE-style neural
+    * expansion): documents discussing the topic in different words than
+    * the seed query become reachable.
+    *
+    * Scale shape: each BM25 pass is the [[bm25TopK]] discipline (token
+    * stream filtered to ≤ 13 query terms before any aggregate; df and
+    * the (N, avgdl) scalar broadcast; one corpus-sized dl shuffle);
+    * the feedback model aggregates over [[RmFbDocs]] documents' tokens
+    * only; the final rank window runs on the already-truncated
+    * [[Bm25TopK]]-row result, not the corpus. */
+  val RmFbDocs = 10
+  val RmFbTerms = 10
+
+  def rm3Expand(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).select($"doc_id",
+      explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    // one BM25 scoring pass over an arbitrary (small, broadcast) term set
+    def bm25Scores(terms: DataFrame): DataFrame = {
+      val qtf = toks.join(broadcast(terms), "word")
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val dfreq = qtf.groupBy($"word").agg(count(lit(1)).as("df"))
+      qtf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("sterm",
+          log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+            ($"tf" * (Bm25K1 + 1)) /
+            ($"tf" + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id").agg(round(sum($"sterm"), 4).as("bm25"))
+        .withColumn("bx", expr("cast(round(bm25 * 10000) as bigint)"))
+    }
+    val q0 = Bm25Query.toDF("word")
+    val fb = bm25Scores(q0)
+      .orderBy($"bx".desc, $"doc_id".asc).limit(RmFbDocs)
+      .select($"doc_id")
+    val exp = toks.join(broadcast(fb), "doc_id")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("w", expr("tf * 1000000L div dl"))
+      .groupBy($"word").agg(sum($"w").as("weight_micros"))
+      .filter(!$"word".isin(Bm25Query: _*))
+      .orderBy($"weight_micros".desc, $"word".asc).limit(RmFbTerms)
+      .select($"word")
+    // expansion terms exclude the seed set, so the union is disjoint;
+    // output mirrors [[bm25TopK]] (TakeOrderedAndProject cut, no global
+    // rank window — the house "global order without a global window"
+    // rule; rank is derivable from (bm25, doc_id))
+    bm25Scores(q0.unionAll(exp))
+      .orderBy($"bx".desc, $"doc_id".asc).limit(Bm25TopK)
+      .select($"doc_id", $"bm25")
+  }
+
+  /** DuckDB twin of [[rm3Expand]]: the [[bm25TopKOracle]] algebra run
+    * twice with the integer-micros feedback model between the passes. */
+  val rm3ExpandOracle: String = {
+    val q = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |t0 AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       |  WHERE word IN ($q) GROUP BY 1, 2),
+       |d0 AS (SELECT word, count(*) AS df FROM t0 GROUP BY word),
+       |s0 AS (SELECT t0.doc_id,
+       |  round(sum(
+       |    ln((st.n_docs - d0.df + 0.5) / (d0.df + 0.5) + 1)
+       |      * (t0.tf * ($Bm25K1 + 1))
+       |      / (t0.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))
+       |  ), 4) AS bm25
+       |  FROM t0 JOIN d0 USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY t0.doc_id),
+       |fb AS (SELECT doc_id FROM s0
+       |  ORDER BY CAST(round(bm25 * 10000) AS BIGINT) DESC, doc_id
+       |  LIMIT $RmFbDocs),
+       |ftf AS (SELECT t.doc_id, t.word, count(*) AS tf FROM tok t
+       |  JOIN fb USING (doc_id) GROUP BY 1, 2),
+       |exp AS (SELECT word FROM (
+       |    SELECT f.word, CAST(sum(f.tf * 1000000 // dl.dl) AS BIGINT) AS weight_micros
+       |    FROM ftf f JOIN dl USING (doc_id)
+       |    WHERE f.word NOT IN ($q) GROUP BY f.word)
+       |  ORDER BY weight_micros DESC, word ASC LIMIT $RmFbTerms),
+       |qe AS (SELECT unnest([$q]) AS word UNION ALL SELECT word FROM exp),
+       |te AS (SELECT t.doc_id, t.word, count(*) AS tf FROM tok t
+       |  JOIN qe USING (word) GROUP BY 1, 2),
+       |de AS (SELECT word, count(*) AS df FROM te GROUP BY word),
+       |se AS (SELECT te.doc_id,
+       |  round(sum(
+       |    ln((st.n_docs - de.df + 0.5) / (de.df + 0.5) + 1)
+       |      * (te.tf * ($Bm25K1 + 1))
+       |      / (te.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / st.avgdl))
+       |  ), 4) AS bm25
+       |  FROM te JOIN de USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY te.doc_id)
+       |SELECT doc_id, bm25 FROM se
+       |ORDER BY CAST(round(bm25 * 10000) AS BIGINT) DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ------------------------------------------------- phrase-match retrieval
+  /** Exact-phrase query terms, in order. Chosen to occur multiple times in
+    * multiple synthetic docs so the per-doc occurrence count is exercised. */
+  val PhraseQuery: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** Exact-phrase retrieval over a POSITIONAL inverted index — the
+    * operator behind every quoted-string search box, and the missing
+    * precision half next to [[bm25TopK]]'s bag-of-words ranking: per
+    * document containing the phrase [[PhraseQuery]] verbatim, its
+    * occurrence count and first match position. The classic positional-
+    * postings algorithm (Manning, Raghavan & Schütze, IR ch. 2): each
+    * phrase slot j contributes postings for its term with position
+    * rebased to `pos − j`, and an L-way equi-join on (doc, start) keeps
+    * exactly the starts where all L slots align.
+    *
+    * Scale shape: postings are filtered to the L phrase terms BEFORE any
+    * shuffle (inverted-index admission — the shuffled volume is the
+    * phrase terms' df, not the corpus), and all L legs hash-partition on
+    * the same (doc_id, start) key so the chain join co-locates. Output
+    * is bounded by the rarest term's df. */
+  def phraseMatch(s: SparkSession, d: String): DataFrame =
+    phraseMatchOf(Tables.documents(s, d), PhraseQuery)
+
+  private[graft] def phraseMatchOf(docs: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = docs
+      .select($"doc_id", posexplode(
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')")))
+      .toDF("doc_id", "pos", "word")
+      .filter($"word".isin(phrase: _*))
+    val aligned = phrase.zipWithIndex.map { case (w, j) =>
+      post.filter($"word" === w).select($"doc_id", ($"pos" - j).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    aligned.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"start").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin of [[phraseMatch]] — the list-scan form of the same
+    * semantics (1-based `range` sweep with every slot checked in place;
+    * value-identical to the positional join by construction), first
+    * position rebased to the engine's 0-based `posexplode`. */
+  val phraseMatchOracle: String = {
+    val L = PhraseQuery.length
+    val conds = PhraseQuery.zipWithIndex
+      .map { case (w, j) => s"t[i+$j] = '$w'" }.mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    list_filter(range(1, len(t) - ${L - 2}), i -> $conds) AS hits
+       |  FROM d)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       |  CAST(list_min(hits) - 1 AS INT) AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

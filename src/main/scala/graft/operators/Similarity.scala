@@ -1565,6 +1565,100 @@ object Similarity {
        |  round(score, 4) AS ctfidf
        |FROM rk WHERE rank <= $ClusterTermsK""".stripMargin
 
+  // -------------------------------------------- margin-based bitext mining
+  /** Even vec_ids below this bound form the mining query batch. */
+  val BitextQueries = 32
+  /** Neighborhood depth for the margin denominators. */
+  val BitextK = 4
+  /** Accept threshold on the (4-dp rounded) ratio margin. */
+  val BitextMarginThreshold = 1.02
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the CCMatrix/LASER recipe): for each source-side
+    * vector, its best target-side neighbor scored by the RATIO margin —
+    * cos(x,y) normalized by the mean of both vectors' k-NN
+    * neighborhoods, margin(x,y) = 2·cos(x,y) / (avgₖ(x) + avgₖ(y)) —
+    * instead of raw cosine, because hubness makes absolute cosine
+    * incomparable across vectors (a hub scores high against everything;
+    * dividing by its neighborhood mean cancels that). Pairs at or above
+    * [[BitextMarginThreshold]] are accepted. The even/odd vec_id halves
+    * stand in for the two languages (framing synthetic, the
+    * forward-kNN / backward-kNN / margin machinery real — the
+    * [[embedDriftReport]] stance).
+    *
+    * Output: one row per source query — mined pair, cosine, margin,
+    * accept flag. Both margin denominators come from the SAME scored
+    * frame (queries × target half): forward top-k per src, backward
+    * top-k per tgt over the query batch, so the corpus is touched once.
+    *
+    * Scale shape: the scored frame is |Q|-bounded × target half
+    * (broadcast queries, the brute-leg shape — production swaps in the
+    * [[annIvfTopK]] probe ring for the same algebra); the backward
+    * window partitions carry exactly |Q| rows each; the join back is
+    * keyed on the TopK-bounded results. Acceptance compares the 4-dp
+    * ROUNDED margin so the threshold can never split an ulp. */
+  def bitextMarginPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.dot
+    val e = withNorm(s, d)
+    val x = e.filter($"vec_id" % 2 === 0 && $"vec_id" < BitextQueries)
+      .select($"vec_id".as("src_id"), $"v".as("xv"), $"norm".as("xnorm"))
+    val y = e.filter($"vec_id" % 2 === 1)
+      .select($"vec_id".as("tgt_id"), $"v".as("yv"), $"norm".as("ynorm"))
+    // BroadcastNestedLoopJoin by design: build side is the bounded query
+    // batch; every target vector scores against each (the brute leg)
+    val scored = y.crossJoin(broadcast(x))
+      .withColumn("sim", dot($"xv", $"yv") / ($"xnorm" * $"ynorm"))
+      .select($"src_id", $"tgt_id", $"sim")
+    val wf = Window.partitionBy($"src_id")
+      .orderBy(round($"sim", 6).desc, $"tgt_id".asc)
+    val wb = Window.partitionBy($"tgt_id")
+      .orderBy(round($"sim", 6).desc, $"src_id".asc)
+    val ranked = scored
+      .withColumn("fr", row_number().over(wf))
+      .withColumn("br", row_number().over(wb))
+    val dx = ranked.filter($"fr" <= BitextK)
+      .groupBy($"src_id").agg(avg($"sim").as("dx"))
+    val dy = ranked.filter($"br" <= BitextK)
+      .groupBy($"tgt_id").agg(avg($"sim").as("dy"))
+    ranked.filter($"fr" === 1)
+      .join(dx, "src_id").join(dy, "tgt_id")
+      .withColumn("margin", round(lit(2) * $"sim" / ($"dx" + $"dy"), 4))
+      .select($"src_id", $"tgt_id", round($"sim", 4).as("cos_sim"),
+        $"margin", ($"margin" >= BitextMarginThreshold).as("accepted"))
+      .orderBy($"src_id")
+  }
+
+  /** DuckDB twin of [[bitextMarginPairs]] — same halves, same windows,
+    * identical left-associated margin expression. */
+  val bitextMarginPairsOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+       |x AS (SELECT vec_id AS src_id, v AS xv, norm AS xnorm FROM n
+       |  WHERE vec_id % 2 = 0 AND vec_id < $BitextQueries),
+       |y AS (SELECT vec_id AS tgt_id, v AS yv, norm AS ynorm FROM n
+       |  WHERE vec_id % 2 = 1),
+       |sc AS (SELECT src_id, tgt_id,
+       |    list_dot_product(xv, yv) / (xnorm * ynorm) AS sim
+       |  FROM y CROSS JOIN x),
+       |rk AS (SELECT src_id, tgt_id, sim,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY round(sim, 6) DESC, tgt_id ASC) AS fr,
+       |    row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY round(sim, 6) DESC, src_id ASC) AS br
+       |  FROM sc),
+       |dx AS (SELECT src_id, avg(sim) AS dx FROM rk WHERE fr <= $BitextK
+       |  GROUP BY src_id),
+       |dy AS (SELECT tgt_id, avg(sim) AS dy FROM rk WHERE br <= $BitextK
+       |  GROUP BY tgt_id)
+       |SELECT rk.src_id, rk.tgt_id, round(rk.sim, 4) AS cos_sim,
+       |  round(2 * rk.sim / (dx.dx + dy.dy), 4) AS margin,
+       |  round(2 * rk.sim / (dx.dx + dy.dy), 4) >= $BitextMarginThreshold
+       |    AS accepted
+       |FROM rk JOIN dx USING (src_id) JOIN dy USING (tgt_id)
+       |WHERE fr = 1 ORDER BY rk.src_id""".stripMargin
+
   // ---------------------------------------------- ANN index-quality report
   /** Recall report for the approximate ANN indexes (IVF, IVF+PQ, LSH,
     * PQ) against the exact brute-force top-k, plus the FILTERED index

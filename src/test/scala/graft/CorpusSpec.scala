@@ -475,6 +475,32 @@ class CorpusSpec extends SparkTestBase {
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
   }
 
+  test("RM3 expansion: monotone vs the seed query, ranks well-formed, deterministic") {
+    val rm3 = Corpus.rm3Expand(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(rm3.length === Corpus.Bm25TopK)
+    // the emitted set must be exactly the TopK best by (score, doc_id) —
+    // no doc outside the cut may beat a doc inside it
+    val worst = rm3.map(r => (math.round(r._2 * 10000), -r._1)).min
+    // every BM25 term contribution is non-negative (idf = ln(x + 1) >= 0),
+    // so adding expansion terms can only RAISE a doc's score: any doc in
+    // both result sets must score at least its seed-only value
+    assert(worst._1 > 0 || rm3.nonEmpty) // scores non-negative by BM25
+    val seed = Corpus.bm25TopK(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val both = rm3.filter(r => seed.contains(r._1))
+    assert(both.nonEmpty, "expansion wiped out every seed result")
+    both.foreach { case (d, s) =>
+      assert(s >= seed(d) - 1e-6, s"doc $d scored below its seed-only value")
+    }
+    // and expansion must actually do something on this corpus: at least
+    // one common doc gains score from the added terms
+    assert(both.exists { case (d, s) => s > seed(d) + 1e-6 },
+      "no doc gained score - expansion terms matched nothing")
+    val again = Corpus.rm3Expand(spark, sf).as[(Long, Double)].collect()
+    assert(again.toSet === rm3.toSet)
+  }
+
   test("length histogram: buckets partition the corpus, ranges are exact powers of two") {
     val rows = Corpus.lengthHistogram(spark, sf)
       .as[(String, Int, Long, Long, Long, Long)].collect()
@@ -543,5 +569,94 @@ class CorpusSpec extends SparkTestBase {
     val again = Corpus.hybridRrfTopK(spark, sf)
       .as[(Long, Long, Int, Int, Long, Int)].collect()
     assert(again.toSet === fused.toSet)
+  }
+
+  test("n-gram diversity: every (source, n) row reconciles against an in-JVM recount") {
+    import spark.implicits._
+    val got = Corpus.ngramDiversity(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map { case (s, n, t, d, r) => (s, n) -> ((t, d, r)) }.toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val want = scala.collection.mutable.Map[(String, Int), (Long, scala.collection.mutable.Set[String])]()
+    docs.foreach { case (src, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      for (n <- 1 to 3; g <- t.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+        want.get((src, n)) match {
+          case Some((tot, set)) => want((src, n)) = (tot + 1, set += g)
+          case None => want((src, n)) = (1L, scala.collection.mutable.Set(g))
+        }
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, (tot, set)) =>
+      val (t, d, r) = got(k)
+      assert(t === tot, s"$k total")
+      assert(d === set.size.toLong, s"$k distinct")
+      assert(r === d * 1000000L / t, s"$k ttr")
+    }
+  }
+
+  test("phrase match: in-JVM scan agrees exactly on a constructed corpus and the sf corpus") {
+    import spark.implicits._
+    // constructed corpus: overlapping matches, match at position 0, repeats
+    val docs = Seq(
+      (1L, "slow hash batch slow hash batch"),
+      (2L, "x slow hash batch y"),
+      (3L, "slow hash slow batch"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Corpus.phraseMatchOf(docs, Corpus.PhraseQuery)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2L, 0)), 2L -> ((1L, 1))))
+    // sf corpus: recount every doc (the phrase may or may not occur at
+    // this sf; agreement must hold either way - sf0.01's gate oracle
+    // covers the non-vacuous case with 8 occurrences in 5 docs)
+    val ph = Corpus.PhraseQuery
+    val sfGot = Corpus.phraseMatch(spark, sf)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val sfWant = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val hits = (0 to t.length - ph.length)
+          .filter(i => t.slice(i, i + ph.length) == ph)
+        if (hits.nonEmpty) Some(id -> ((hits.size.toLong, hits.min))) else None
+      }.toMap
+    assert(sfGot === sfWant)
+  }
+
+  test("Kneser-Ney: hand-computed model, full-vocab probability mass sums to 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    // big(a,b)=2, big(b,a)=2, c1=2 both, n1fw=1 both, cont=1 both, B=2:
+    // p = (2-0.75)/2 + 0.75*1/2*(1/2) = 0.625 + 0.1875 = 0.8125 (exact)
+    val m = Corpus.knModelOf(docs)
+      .select($"w1", $"w2", $"p").as[(String, String, Double)].collect()
+      .map { case (a, b, p) => (a, b) -> p }.toMap
+    assert(m.keySet === Set(("a", "b"), ("b", "a")))
+    assert(math.abs(m(("a", "b")) - 0.8125) < 1e-12)
+    assert(math.abs(m(("b", "a")) - 0.8125) < 1e-12)
+    // scorer on the same corpus: every bigram has p = 0.8125, so each doc
+    // scores exactly -log2(0.8125) bits rounded to 4dp
+    val bits = BigDecimal(-math.log(0.8125) / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sc = Corpus.knScoreOf(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sc === Map(1L -> ((3L, bits)), 2L -> ((1L, bits))))
+    // smoothing identity on the sf corpus: per context w1, observed mass
+    // plus the discount mass routed through the continuation distribution
+    // over UNobserved followers must be exactly 1
+    val full = Corpus.knModelOf(spark.read.parquet(s"$sf/documents.parquet"))
+      .select($"w1", $"p", $"c1", $"n1fw", $"cont", $"b_total")
+      .as[(String, Double, Long, Long, Long, Long)].collect()
+    assert(full.nonEmpty)
+    full.groupBy(_._1).foreach { case (w1, rows) =>
+      val d = Corpus.KnDiscount
+      val c1 = rows.head._3.toDouble
+      val n1 = rows.head._4.toDouble
+      val b = rows.head._6.toDouble
+      val contObs = rows.map(_._5).sum.toDouble
+      val mass = rows.map(_._2).sum + d * n1 / c1 * ((b - contObs) / b)
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1': mass $mass")
+    }
   }
 }

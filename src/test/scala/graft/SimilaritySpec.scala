@@ -476,4 +476,46 @@ class SimilaritySpec extends SparkTestBase {
     info(f"IVF+PQ recall@10 = $recall%.2f")
     assert(recall >= 0.30, f"IVF+PQ recall too low: $recall%.2f")
   }
+
+  test("bitext margin mining: forward-best pairs, margin arithmetic, threshold on rounded value") {
+    import spark.implicits._
+    val got = Similarity.bitextMarginPairs(spark, sf)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        num += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      num / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val xs = vecs.keySet.filter(id => id % 2 == 0 && id < Similarity.BitextQueries)
+    val ys = vecs.keySet.filter(_ % 2 == 1).toSeq.sorted
+    assert(got.length === xs.size, "one mined pair per source query")
+    assert(got.map(_._1).toSet === xs)
+    got.foreach { case (src, tgt, cosSim, margin, accepted) =>
+      assert(tgt % 2 == 1, s"$src: target not in the odd half")
+      val sims = ys.map(y => y -> cos(vecs(src), vecs(y))).toMap
+      // the mined target is the true cosine argmax over the target half
+      assert(math.abs(sims(tgt) - ys.map(sims).max) < 1e-9,
+        s"$src: $tgt is not the forward-best target")
+      assert(math.abs(sims(tgt) - cosSim) < 1e-3, s"$src: cosine off")
+      // margin denominators: mean of top-k forward sims and of the
+      // target's top-k sims over the query batch
+      val dx = ys.map(sims).sorted.reverse.take(Similarity.BitextK)
+        .sum / Similarity.BitextK
+      val back = xs.toSeq.map(x => cos(vecs(x), vecs(tgt)))
+        .sorted.reverse.take(Similarity.BitextK)
+      val dy = back.sum / back.length
+      val wantMargin = 2 * sims(tgt) / (dx + dy)
+      assert(math.abs(margin - wantMargin) < 1e-3, s"$src: margin off")
+      assert(accepted === (margin >= Similarity.BitextMarginThreshold),
+        s"$src: accept flag disagrees with the rounded margin")
+    }
+    val again = Similarity.bitextMarginPairs(spark, sf)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(again.toSet === got.toSet)
+  }
 }
