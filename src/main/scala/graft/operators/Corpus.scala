@@ -1496,4 +1496,78 @@ object Corpus {
        |SELECT doc_id, term, tf, CAST(rank AS INT) AS rank,
        | round(tfidf, 4) AS tfidf
        |FROM ranked WHERE rank <= $TfidfTopK""".stripMargin
+
+  // ----------------------------------------- domain distance (JS divergence)
+  /** Per-source Jensen–Shannon divergence between the source's unigram
+    * distribution and the corpus-wide distribution, in bits — the domain-
+    * distance table behind mixture decisions (how far is each source from
+    * the blend it's being mixed into; DoReMi/DSIR-adjacent diagnostics
+    * read exactly this). JS rather than KL because it is finite when a
+    * source misses corpus terms (KL(p‖q) would be fine too, but
+    * KL(q‖p) = ∞ on any missing term — JS is the symmetric, bounded
+    * member of the family, ≤ 1 bit).
+    *
+    * Vocabulary split: terms PRESENT in the source contribute the usual
+    * two-sided term 0.5·p·log₂(2p/(p+q)) + 0.5·q·log₂(2q/(p+q)); terms
+    * ABSENT contribute 0.5·q·log₂(2q/q) = 0.5·q, so their total is
+    * 0.5·(1 − Σ_present q) in closed form — the per-source sum touches
+    * only the source's own vocabulary, never the full cross product of
+    * |sources| × |vocab|.
+    *
+    * Scale shape: one corpus-scan (source, word) count (map-side
+    * combined); everything after is vocabulary-bounded — the word-global
+    * frame derives from the (source, word) frame (no second scan), the
+    * per-source and grand totals ride broadcasts. Doubles appear only in
+    * the final log expression, 4-dp rounded on both engines with the
+    * identical left-associated formula (the [[lmBits]] discipline). */
+  def domainJs(s: SparkSession, d: String): DataFrame =
+    domainJsOf(Tables.documents(s, d))
+
+  private[graft] def domainJsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sw = docs
+      .select(explode(expr(
+        "filter(split(text, '\\\\s+'), x -> x <> '')")).as("word"), $"source")
+      .groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    val bySource = sw.groupBy($"source").agg(sum($"tf").as("t_s"))
+    val byWord = sw.groupBy($"word").agg(sum($"tf").as("tf_w"))
+    val total = byWord.agg(sum($"tf_w").as("t"))
+    sw.join(broadcast(bySource), "source")
+      .join(byWord, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("p", expr("CAST(tf AS DOUBLE) / t_s"))
+      .withColumn("q", expr("CAST(tf_w AS DOUBLE) / t"))
+      .withColumn("contrib", expr(
+        """0.5 * p * log(2.0, 2.0 * p / (p + q))
+          | + 0.5 * q * log(2.0, 2.0 * q / (p + q))""".stripMargin))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"contrib").as("jsum"), sum($"q").as("cov"))
+      .select($"source", $"n_terms",
+        round(expr("jsum + 0.5 * (1.0 - cov)"), 4).as("js_bits"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB twin of [[domainJs]] — same split-vocabulary algebra,
+    * ln(x)/ln(2) mirroring Spark's log(2.0, x). */
+  val domainJsOracle: String =
+    """WITH sw AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM sw GROUP BY 1, 2),
+      |bs AS (SELECT source, CAST(sum(tf) AS BIGINT) AS t_s FROM c GROUP BY source),
+      |bw AS (SELECT word, CAST(sum(tf) AS BIGINT) AS tf_w FROM c GROUP BY word),
+      |tt AS (SELECT CAST(sum(tf_w) AS BIGINT) AS t FROM bw),
+      |e AS (SELECT c.source,
+      |    CAST(c.tf AS DOUBLE) / bs.t_s AS p,
+      |    CAST(bw.tf_w AS DOUBLE) / tt.t AS q
+      |  FROM c JOIN bs USING (source) JOIN bw USING (word) CROSS JOIN tt)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |  round(sum(0.5 * p * (ln(2.0 * p / (p + q)) / ln(2))
+      |      + 0.5 * q * (ln(2.0 * q / (p + q)) / ln(2)))
+      |    + 0.5 * (1.0 - sum(q)), 4) AS js_bits
+      |FROM e GROUP BY source
+      |ORDER BY source""".stripMargin
 }

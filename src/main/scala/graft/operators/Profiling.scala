@@ -126,6 +126,155 @@ object Profiling {
       |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
       |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
 
+  // --------------------------------------------------- RFM segmentation
+  /** RFM quartile fractions — quarter points keep Spark's interpolated
+    * `percentile` and DuckDB's `quantile_cont` exact in double (the
+    * [[Corpus.ccnetBuckets]] analysis). */
+  val RfmQuartiles = Seq(0.25, 0.5, 0.75)
+
+  /** RFM customer segmentation — the classic warehouse scoring table:
+    * per customer, Recency (days from their last order to the corpus'
+    * last order date), Frequency (order count), Monetary (lifetime
+    * total in exact integer cents), each scored into quartiles 1–4
+    * (4 = best: most recent / most frequent / highest spend) against
+    * the corpus-wide quartile cuts.
+    *
+    * Scale shape: ONE orders scan feeding a customer-keyed aggregate
+    * (map-side combined); the global last-order date and the nine
+    * quartile cuts are 1-row aggregates OF the bounded per-customer
+    * frame riding scalar-subquery broadcasts — no global window, no
+    * ntile: scores are integer comparisons against broadcast cuts (the
+    * [[Corpus.ccnetBuckets]] scoring idiom), so the whole thing is one
+    * shuffle plus bounded arithmetic at any corpus size. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, d)
+      .select($"o_custkey".as("custkey"), $"o_orderdate",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"custkey")
+      .agg(max($"o_orderdate").as("last_dt"),
+        count(lit(1)).as("f_orders"), sum($"cents").as("m_cents"))
+    val gmax = per.agg(max($"last_dt").as("gmax"))
+    val rfm = per.crossJoin(broadcast(gmax))
+      .withColumn("r_days", expr("CAST(datediff(gmax, last_dt) AS BIGINT)"))
+      .select($"custkey", $"r_days", $"f_orders", $"m_cents")
+    val cutCols = Seq("r_days" -> "rq", "f_orders" -> "fq", "m_cents" -> "mq")
+      .flatMap { case (m, pre) =>
+        RfmQuartiles.zipWithIndex.map { case (p, i) =>
+          expr(s"percentile($m, $p)").as(s"$pre$i") } }
+    val cuts = rfm.agg(cutCols.head, cutCols.tail: _*)
+    rfm.crossJoin(broadcast(cuts))
+      .select($"custkey", $"r_days", $"f_orders", $"m_cents",
+        // recency inverts: fewer days since last order = better
+        expr("4 - (CAST(r_days > rq0 AS INT) + CAST(r_days > rq1 AS INT) + CAST(r_days > rq2 AS INT))").as("r_score"),
+        expr("1 + CAST(f_orders > fq0 AS INT) + CAST(f_orders > fq1 AS INT) + CAST(f_orders > fq2 AS INT)").as("f_score"),
+        expr("1 + CAST(m_cents > mq0 AS INT) + CAST(m_cents > mq1 AS INT) + CAST(m_cents > mq2 AS INT)").as("m_score"))
+      .orderBy($"custkey")
+  }
+
+  /** DuckDB twin of [[rfmSegments]] — `quantile_cont` mirrors Spark's
+    * interpolated `percentile` exactly at quarter fractions. */
+  val rfmSegmentsOracle: String =
+    """WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_dt,
+      |    CAST(count(*) AS BIGINT) AS f_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY o_custkey),
+      |g AS (SELECT max(last_dt) AS gmax FROM per),
+      |rfm AS (SELECT custkey,
+      |    CAST(date_diff('day', last_dt, g.gmax) AS BIGINT) AS r_days,
+      |    f_orders, m_cents
+      |  FROM per CROSS JOIN g),
+      |cuts AS (SELECT
+      |    quantile_cont(r_days, 0.25) AS rq0, quantile_cont(r_days, 0.5) AS rq1,
+      |    quantile_cont(r_days, 0.75) AS rq2,
+      |    quantile_cont(f_orders, 0.25) AS fq0, quantile_cont(f_orders, 0.5) AS fq1,
+      |    quantile_cont(f_orders, 0.75) AS fq2,
+      |    quantile_cont(m_cents, 0.25) AS mq0, quantile_cont(m_cents, 0.5) AS mq1,
+      |    quantile_cont(m_cents, 0.75) AS mq2
+      |  FROM rfm)
+      |SELECT custkey, r_days, f_orders, m_cents,
+      |  4 - (CAST(r_days > rq0 AS INT) + CAST(r_days > rq1 AS INT)
+      |       + CAST(r_days > rq2 AS INT)) AS r_score,
+      |  1 + CAST(f_orders > fq0 AS INT) + CAST(f_orders > fq1 AS INT)
+      |    + CAST(f_orders > fq2 AS INT) AS f_score,
+      |  1 + CAST(m_cents > mq0 AS INT) + CAST(m_cents > mq1 AS INT)
+      |    + CAST(m_cents > mq2 AS INT) AS m_score
+      |FROM rfm CROSS JOIN cuts
+      |ORDER BY custkey""".stripMargin
+
+  // --------------------------------------- incremental view maintenance
+  /** Incremental aggregate maintenance — the only affordable way to keep
+    * a 100 TB warehouse's rollups current: given the BASE snapshot's
+    * per-customer aggregate and a signed DELTA (inserts +1, deletes −1,
+    * updates as a −old/+new pair — the classic IVM delta encoding), merge
+    * them and emit the maintained aggregate. The engine path NEVER
+    * touches the new snapshot's full fact table; the DuckDB twin
+    * recomputes from scratch over the new snapshot, so a hash match is a
+    * proof the delta algebra is exact, not a re-run of the same plan.
+    *
+    * Snapshots are synthesized deterministically from orders (the
+    * [[snapshotDiff]] convention): BASE = o_orderkey % 10 &lt; 9;
+    * deletes ≡ 3 (mod 41); surviving keys ≡ 0 (mod 7) get a +1000.00
+    * price update; inserts are the % 10 = 9 keys. Money rides integer
+    * CENTS end-to-end (`round(price·100)` at the scan), so deletion
+    * subtraction is exact — a double-sum IVM path would accumulate the
+    * subtraction error the batch recompute never sees.
+    *
+    * Scale shape: base agg is one map-side-combined shuffle of the BASE
+    * (in production: already materialized); the delta agg shuffles only
+    * the churn; the merge is a full-outer equi-join of two
+    * customer-keyed aggregates. Groups whose rows all vanish leave with
+    * n_orders = 0 (filtered, matching the recompute). */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    incrementalAggOf(Tables.orders(s, d).select($"o_orderkey".as("k"),
+      $"o_custkey".as("custkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+  }
+
+  private[graft] def incrementalAggOf(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    import s.implicits._
+    val base = o.filter($"k" % 10 < 9)
+    val baseAgg = base.groupBy($"custkey")
+      .agg(count(lit(1)).as("n0"), sum($"cents").as("s0"))
+    val del = base.filter($"k" % 41 === 3)
+      .select($"custkey", lit(-1L).as("dn"), (-$"cents").as("ds"))
+    val updatedKeys = base.filter($"k" % 41 =!= 3 && $"k" % 7 === 0)
+    val updOld = updatedKeys
+      .select($"custkey", lit(-1L).as("dn"), (-$"cents").as("ds"))
+    val updNew = updatedKeys
+      .select($"custkey", lit(1L).as("dn"), ($"cents" + 100000L).as("ds"))
+    val ins = o.filter($"k" % 10 === 9)
+      .select($"custkey", lit(1L).as("dn"), $"cents".as("ds"))
+    val deltaAgg = del.union(updOld).union(updNew).union(ins)
+      .groupBy($"custkey")
+      .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
+    baseAgg.join(deltaAgg, Seq("custkey"), "full_outer")
+      .select($"custkey",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"s0", lit(0L)) + coalesce($"ds", lit(0L))).as("total_cents"))
+      .filter($"n_orders" > 0)
+      .orderBy($"custkey")
+  }
+
+  /** DuckDB twin of [[incrementalAgg]] — the full recompute over the NEW
+    * snapshot the incremental path must agree with. */
+  val incrementalAggOracle: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |new_snap AS (
+      |  SELECT custkey,
+      |    CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END AS cents
+      |  FROM o WHERE k % 10 < 9 AND k % 41 <> 3
+      |  UNION ALL
+      |  SELECT custkey, cents FROM o WHERE k % 10 = 9)
+      |SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM new_snap GROUP BY custkey
+      |ORDER BY custkey""".stripMargin
+
   // -------------------------------------------------------- snapshot diff
   /** Diff two corpus snapshots by content digest — the "what changed in
     * this drop" report run before re-training on a refreshed corpus:
@@ -378,4 +527,109 @@ object Profiling {
       |  lead(o_orderdate) OVER w IS NULL AS is_current
       |FROM ch
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // --------------------------------------------------- hot-key diagnostic
+  /** Misra–Gries capacity per audited column. The φ-heavy-hitter
+    * guarantee needs capacity + 1 &gt; 1/φ: a partition-local sketch
+    * undercounts by at most N_p/(capacity+1), so any key with local
+    * frequency above that survives the partition, and a key with GLOBAL
+    * frequency &gt; N/(capacity+1) must exceed the local bound in at
+    * least one partition (averaging argument: the per-partition bounds
+    * sum to N/(capacity+1)). 127 &gt; 125 − 1, so φ = 1/125 is safe. */
+  val MgCapacity = 127
+  /** Hotness threshold denominator: a key is hot iff cnt · 125 > N,
+    * i.e. it carries more than 0.8 % of the column's mass. */
+  val HotPhiInv = 125
+
+  /** Partition-local Misra–Gries pass over the melted (key_col, key)
+    * stream, one sketch per audited column. Emits each column's
+    * candidate keys as (col, key, 0) rows plus one (col, null, n_p)
+    * summary row carrying the partition's row count — no collect, no
+    * driver traffic beyond the bounded candidate union. */
+  private[graft] def mgSketch(it: Iterator[(String, String)], cap: Int)
+      : Iterator[(String, String, Long)] = {
+    val state = collection.mutable.Map[String, collection.mutable.Map[String, Long]]()
+    val totals = collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val (col, key) = it.next()
+      totals.update(col, totals.getOrElse(col, 0L) + 1L)
+      val m = state.getOrElseUpdate(col, collection.mutable.Map.empty)
+      m.get(key) match {
+        case Some(c)               => m.update(key, c + 1)
+        case None if m.size < cap  => m.update(key, 1L)
+        case None =>
+          // the decrement step: every counter drops by 1, zeros evicted
+          val dead = m.collect { case (k, 1L) => k }.toList
+          m.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(m.remove)
+      }
+    }
+    state.iterator.flatMap { case (col, m) =>
+      m.keysIterator.map(k => (col, k, 0L))
+    } ++ totals.iterator.map { case (col, n) => (col, null: String, n) }
+  }
+
+  /** Hot-key diagnostic over events — the audit a pipeline owner runs on
+    * a join/groupBy key BEFORE choosing a salting strategy: every key of
+    * `event_type` and `user_id` carrying more than 1/[[HotPhiInv]] of its
+    * column's row mass, with its exact count and integer-micros share.
+    * Two-pass sketch-then-verify (the production bounded-memory shape,
+    * Misra & Gries 1982 / Agarwal et al. 2012 mergeable summaries):
+    * pass 1 runs a partition-local [[MgCapacity]]-counter sketch per
+    * column whose candidate union is GUARANTEED to contain every
+    * φ-heavy key (see [[MgCapacity]]), pass 2 exact-counts ONLY the
+    * candidates (broadcast admission semi-join) and keeps keys over the
+    * threshold — so the final output is exact and deterministic even
+    * though the sketch's candidate set is partition-order-dependent.
+    * The empty answer is meaningful: a uniform high-cardinality column
+    * (user_id at large scale) genuinely has no φ-heavy keys.
+    *
+    * Scale shape: pass 1 is map-only with ≤ (partitions · capacity)
+    * candidate rows shuffled; pass 2's aggregate is bounded by the
+    * candidate set, NOT the column's cardinality — at 100 TB the full
+    * per-key groupBy this replaces is itself a shuffle of the key space,
+    * which is exactly what a skew audit must not assume is feasible.
+    * N per column rides a |columns|-row broadcast. */
+  def hotKeys(s: SparkSession, d: String): DataFrame =
+    hotKeysOf(Tables.events(s, d).selectExpr(
+        """explode(array(
+          |  struct('event_type' AS key_col, event_type AS key),
+          |  struct('user_id' AS key_col, CAST(user_id AS STRING) AS key))) AS kv"""
+          .stripMargin)
+      .selectExpr("kv.key_col AS key_col", "kv.key AS key"))
+
+  private[graft] def hotKeysOf(melted: DataFrame): DataFrame = {
+    val s = melted.sparkSession
+    import s.implicits._
+    val sketch = melted.as[(String, String)]
+      .mapPartitions(it => mgSketch(it, MgCapacity))
+      .toDF("key_col", "key", "n_part")
+    val cands = sketch.filter($"key".isNotNull)
+      .select($"key_col", $"key").distinct()
+    val totals = sketch.filter($"key".isNull)
+      .groupBy($"key_col").agg(sum($"n_part").as("n"))
+    melted
+      .join(broadcast(cands), Seq("key_col", "key"))
+      .groupBy($"key_col", $"key").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "key_col")
+      .filter($"cnt" * HotPhiInv > $"n")
+      .select($"key_col", $"key", $"cnt",
+        expr("cnt * 1000000L div n").as("share_micros"))
+      .orderBy($"key_col", $"cnt".desc, $"key")
+  }
+
+  /** DuckDB twin of [[hotKeys]] — the one-pass exact form (the oracle
+    * can afford the full per-key groupBy the sketch exists to avoid). */
+  val hotKeysOracle: String =
+    s"""WITH m AS (
+       |  SELECT 'event_type' AS key_col, event_type AS key FROM events
+       |  UNION ALL
+       |  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS key FROM events),
+       |c AS (SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM m GROUP BY 1, 2),
+       |t AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY key_col)
+       |SELECT c.key_col, c.key, c.cnt, c.cnt * 1000000 // t.n AS share_micros
+       |FROM c JOIN t USING (key_col)
+       |WHERE c.cnt * $HotPhiInv > t.n
+       |ORDER BY key_col, cnt DESC, key""".stripMargin
 }

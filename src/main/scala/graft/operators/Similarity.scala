@@ -1765,4 +1765,99 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id AS neighbor_id, rank, round(sim, 4) AS cos_sim
        |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  // ------------------------------------------- power iteration (top PC)
+  /** Power-iteration rounds. Fixed (not convergence-tested) so the
+    * output is a pure function of the input — the CcIters discipline. */
+  val PowerIters = 8
+  /** Weight-vector scale: w components live in [−1000, 1000]. */
+  val PowerScale = 1000L
+  /** Embedding quantization scale for the integer Gram products. */
+  val PowerQuant = 1000L
+
+  /** Dominant principal direction of the embedding corpus by power
+    * iteration on the Gram matrix — w ← (XᵀX)·w, renormalized each
+    * round — in EXACT integer arithmetic end to end: embeddings quantize
+    * to round(x·1000) once, each round computes per-row scores
+    * s = qᵀw and component sums c = Σ q·s in BIGINT, and the
+    * renormalization is c·1000 div max|c| (truncating division —
+    * identical in Spark `div`, Scala `/`, and DuckDB `//`). No float
+    * ever enters, so the result is bit-identical on any engine and any
+    * partitioning — the property a 1000-executor run cannot otherwise
+    * promise for an iterative numeric. XᵀX is PSD, so the dominant
+    * eigenvalue is positive and the iterate never sign-flips; the
+    * all-ones start has nonzero overlap with the top eigenvector almost
+    * surely. This is the spectral half of the embedding diagnostics
+    * (next to [[clusterProfile]]'s k-means view): the direction the
+    * corpus is most stretched along, e.g. the axis a PCA-whitening or
+    * an ANN rotation would remove first. What K rounds promise is the
+    * fixed-K ITERATE, contracted toward the top eigenvector by
+    * (λ₂/λ₁)^K — on a near-degenerate spectrum that is not yet the
+    * eigenvector itself (SimilaritySpec pins the iterate against its
+    * double twin and the Rayleigh quotient's monotone climb; a
+    * production caller with a flat spectrum raises K, which costs one
+    * bounded aggregate per extra round).
+    *
+    * Scale shape: per round, one map-only score projection (the w vector
+    * rides the expression as a 64-literal array) and one
+    * 64-key map-side-combined component aggregate; rounds 1..K−1 bring
+    * exactly 64 longs each to the driver (the BPE-merge-table class of
+    * bounded driver traffic, documented there), and the FINAL round
+    * stays entirely in-plan (max-abs rides a 1-row broadcast). BIGINT
+    * headroom: |c| ≤ N·64·quant²·scale ≈ 6.4e13 per 1e6 rows — at
+    * extreme corpus sizes the component sum moves to DECIMAL(38,0)
+    * (the [[Corpus.epochPlan]] precedent). */
+  def powerIteration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, d).select($"vec_id",
+      expr(s"""transform(CAST(embedding AS ARRAY<DOUBLE>),
+               |x -> CAST(round(x * $PowerQuant) AS BIGINT))""".stripMargin)
+        .as("q"))
+    def compFrame(w: String): DataFrame =
+      q.withColumn("s",
+          expr(s"aggregate(zip_with(q, $w, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select($"s", posexplode($"q").as(Seq("pos", "qi")))
+        .groupBy($"pos").agg(sum($"qi" * $"s").as("c"))
+    var w = Array.fill(64)(PowerScale)
+    for (_ <- 1 until PowerIters) {
+      val c = compFrame(w.mkString("array(", "L, ", "L)"))
+        .orderBy($"pos").collect().map(_.getLong(1)) // 64 longs / round
+      val m = math.max(c.map(math.abs).max, 1L)
+      w = c.map(x => x * PowerScale / m)
+    }
+    val last = compFrame(w.mkString("array(", "L, ", "L)"))
+    val m = last.agg(greatest(max(abs($"c")), lit(1L)).as("m"))
+    last.crossJoin(broadcast(m))
+      .select($"pos", expr(s"(c * $PowerScale) div m").as("w"))
+      .orderBy($"pos")
+  }
+
+  /** DuckDB twin of [[powerIteration]] — the same quantization and the
+    * [[PowerIters]] rounds unrolled as materialized CTEs (the
+    * componentsOracle discipline); `//` matches Spark's truncating
+    * `div` on negatives (both round toward zero). */
+  val powerIterationOracle: String = {
+    val rounds = (1 to PowerIters).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""s$r AS MATERIALIZED (SELECT ex.vec_id,
+         |    CAST(sum(ex.qi * w.w) AS BIGINT) AS s
+         |  FROM ex JOIN $prev w ON w.pos = ex.pos GROUP BY ex.vec_id),
+         |c$r AS MATERIALIZED (SELECT ex.pos,
+         |    CAST(sum(ex.qi * s.s) AS BIGINT) AS c
+         |  FROM ex JOIN s$r s ON s.vec_id = ex.vec_id GROUP BY ex.pos),
+         |w$r AS MATERIALIZED (SELECT pos,
+         |    (c * $PowerScale) // greatest(m.m, 1) AS w
+         |  FROM c$r, (SELECT max(abs(c)) AS m FROM c$r) m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * $PowerQuant) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (SELECT vec_id, t.j AS pos, q[t.j + 1] AS qi
+       |  FROM e, unnest(range(64)) AS t(j)),
+       |w0 AS (SELECT t.j AS pos, CAST($PowerScale AS BIGINT) AS w
+       |  FROM unnest(range(64)) AS t(j)),
+       |$rounds
+       |SELECT pos, w FROM w$PowerIters ORDER BY pos""".stripMargin
+  }
 }

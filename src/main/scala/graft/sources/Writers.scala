@@ -79,7 +79,7 @@ object Writers {
     * that makes one sort order serve range predicates on BOTH columns.
     * Emitted per dialect from the same unrolled integer expression, so
     * Spark and DuckDB compute identical values. */
-  private def zExpr(a: String, b: String, spark: Boolean): String =
+  private[graft] def zExpr(a: String, b: String, spark: Boolean): String =
     (0 until ZBits).flatMap { i =>
       if (spark) Seq(
         s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
@@ -254,5 +254,140 @@ object Writers {
       i += 1
     }
     z
+  }
+
+  // ------------------------------------------- layout skipping audit
+  /** Simulated row groups per layout for the skipping report. */
+  val SkipBuckets = 64
+  /** Probe predicate window, in integer percent of each dimension's
+    * span: [45 %, 50 %) — a 5 % slice, all boundaries computed with
+    * integer `div` so both engines place every row identically. */
+  val SkipProbeLoPct = 45L
+  val SkipProbeHiPct = 50L
+
+  /** Data-layout effectiveness audit — the question OPTIMIZE ZORDER's
+    * before/after report answers: if orders were written in B =
+    * [[SkipBuckets]] row groups under each candidate layout (natural
+    * insert order ≈ orderkey, single-column custkey sort, z-order), what
+    * fraction of groups/rows does each probe predicate actually scan,
+    * given min/max footer pruning? One row per (layout, predicate):
+    * buckets scanned, rows scanned, total, scan share in integer micros.
+    * The expected story this quantifies: the custkey sort serves the
+    * custkey probe (~5 % scan) and abandons the date probe (~100 %);
+    * z-order pays a moderate factor on BOTH — the reason a table with
+    * two hot predicates z-orders instead of sorting.
+    *
+    * Buckets are VALUE-equal-width over each layout key's observed range
+    * (the [[zorderIndex]] cb/db normalization) — map-only with a 1-row
+    * bounds broadcast, deliberately NOT rank-based equal-count buckets,
+    * which would need a global sort/window. Probe windows are span
+    * percentiles of the SAME bounds row, so the whole report is two
+    * scans (bounds + stats) followed by arithmetic on a ≤ 3·B-row frame.
+    * A bucket is scanned iff its [min,max] of the probe column overlaps
+    * the probe window — exactly the parquet footer test. */
+  def layoutSkippingReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val n = 1 << ZBits
+    val b = SkipBuckets
+    val o = graft.core.Tables.orders(s, d)
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS day_no")
+    val bounds = o.selectExpr(
+      "min(o_orderkey) AS okmin", "max(o_orderkey) AS okmax",
+      "min(o_custkey) AS cmin", "max(o_custkey) AS cmax",
+      "min(day_no) AS dmin", "max(day_no) AS dmax")
+    val stats = o.crossJoin(broadcast(bounds))
+      .withColumn("cb", expr(s"((o_custkey - cmin) * $n) div (cmax - cmin + 1)"))
+      .withColumn("db", expr(s"((day_no - dmin) * $n) div (dmax - dmin + 1)"))
+      .withColumn("zv", expr(s"CAST(${zExpr("cb", "db", spark = true)} AS BIGINT)"))
+      .selectExpr("o_custkey", "day_no",
+        s"""explode(array(
+           |  struct('natural' AS layout,
+           |    ((o_orderkey - okmin) * $b) div (okmax - okmin + 1) AS bucket),
+           |  struct('custkey_sorted' AS layout,
+           |    ((o_custkey - cmin) * $b) div (cmax - cmin + 1) AS bucket),
+           |  struct('zorder' AS layout, (zv * $b) div ${n.toLong * n} AS bucket)
+           |)) AS lb""".stripMargin)
+      .selectExpr("lb.layout AS layout", "lb.bucket AS bucket",
+        "o_custkey", "day_no")
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("min(o_custkey)").as("mnc"), expr("max(o_custkey)").as("mxc"),
+        expr("min(day_no)").as("mnd"), expr("max(day_no)").as("mxd"))
+    stats.crossJoin(broadcast(bounds))
+      .selectExpr("layout", "bucket", "cnt", "mnc", "mxc", "mnd", "mxd",
+        s"""explode(array(
+           |  struct('custkey_range' AS predicate,
+           |    cmin + ((cmax - cmin + 1) * $SkipProbeLoPct) div 100 AS lo,
+           |    cmin + ((cmax - cmin + 1) * $SkipProbeHiPct) div 100 AS hi),
+           |  struct('date_range' AS predicate,
+           |    dmin + ((dmax - dmin + 1) * $SkipProbeLoPct) div 100 AS lo,
+           |    dmin + ((dmax - dmin + 1) * $SkipProbeHiPct) div 100 AS hi)
+           |)) AS p""".stripMargin)
+      .withColumn("scanned", expr(
+        """CASE WHEN p.predicate = 'custkey_range'
+          |  THEN mxc >= p.lo AND mnc < p.hi
+          |  ELSE mxd >= p.lo AND mnd < p.hi END""".stripMargin))
+      .groupBy(col("layout"), col("p.predicate").as("predicate"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("buckets_scanned"),
+        sum(when(col("scanned"), col("cnt")).otherwise(0L)).as("rows_scanned"),
+        sum(col("cnt")).as("rows_total"))
+      .withColumn("scan_micros",
+        expr("rows_scanned * 1000000L div rows_total"))
+      .orderBy(col("predicate"), col("layout"))
+  }
+
+  /** DuckDB twin of [[layoutSkippingReport]] — same bounds, bucket, and
+    * overlap algebra; the z interleave via [[zExpr]]'s DuckDB emission. */
+  val layoutSkippingReportOracle: String = {
+    val n = 1 << ZBits
+    val b = SkipBuckets
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no
+       |  FROM orders),
+       |bd AS (SELECT min(o_orderkey) AS okmin, max(o_orderkey) AS okmax,
+       |    min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+       |    min(day_no) AS dmin, max(day_no) AS dmax FROM o),
+       |e AS (SELECT o.*, bd.*,
+       |    ((o_custkey - cmin) * $n) // (cmax - cmin + 1) AS cb,
+       |    ((day_no - dmin) * $n) // (dmax - dmin + 1) AS db
+       |  FROM o CROSS JOIN bd),
+       |z AS (SELECT e.*, CAST(${zExpr("cb", "db", spark = false)} AS BIGINT) AS zv
+       |  FROM e),
+       |m AS (
+       |  SELECT 'natural' AS layout,
+       |    ((o_orderkey - okmin) * $b) // (okmax - okmin + 1) AS bucket,
+       |    o_custkey, day_no FROM z
+       |  UNION ALL
+       |  SELECT 'custkey_sorted',
+       |    ((o_custkey - cmin) * $b) // (cmax - cmin + 1), o_custkey, day_no FROM z
+       |  UNION ALL
+       |  SELECT 'zorder', (zv * $b) // ${n.toLong * n}, o_custkey, day_no FROM z),
+       |st AS (SELECT layout, bucket, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+       |    min(day_no) AS mnd, max(day_no) AS mxd
+       |  FROM m GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT 'custkey_range' AS predicate,
+       |    cmin + ((cmax - cmin + 1) * $SkipProbeLoPct) // 100 AS lo,
+       |    cmin + ((cmax - cmin + 1) * $SkipProbeHiPct) // 100 AS hi FROM bd
+       |  UNION ALL
+       |  SELECT 'date_range',
+       |    dmin + ((dmax - dmin + 1) * $SkipProbeLoPct) // 100,
+       |    dmin + ((dmax - dmin + 1) * $SkipProbeHiPct) // 100 FROM bd),
+       |sel AS (SELECT st.layout, pr.predicate, st.cnt,
+       |    CASE WHEN pr.predicate = 'custkey_range'
+       |      THEN st.mxc >= pr.lo AND st.mnc < pr.hi
+       |      ELSE st.mxd >= pr.lo AND st.mnd < pr.hi END AS scanned
+       |  FROM st CROSS JOIN pr)
+       |SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+       |  CAST(sum(CASE WHEN scanned THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(cnt) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN scanned THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(cnt) AS BIGINT) AS scan_micros
+       |FROM sel GROUP BY 1, 2
+       |ORDER BY predicate, layout""".stripMargin
   }
 }

@@ -659,4 +659,35 @@ class CorpusSpec extends SparkTestBase {
       assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1': mass $mass")
     }
   }
+
+  test("domain JS: zero for an on-blend source, 1 bit for a disjoint one, hand value between") {
+    import spark.implicits._
+    def docs(rows: (String, String)*) = rows.zipWithIndex
+      .map { case ((src, text), i) => (i.toLong, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def js(df: org.apache.spark.sql.DataFrame) = Corpus.domainJsOf(df)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // two sources with IDENTICAL unigram distributions: each is also
+    // identical to the blend, so JS = 0 for both
+    val same = js(docs("a" -> "x y", "b" -> "x y"))
+    assert(same("a") === 0.0 && same("b") === 0.0)
+    // fully disjoint vocabularies at equal mass: each source sits at the
+    // two-source maximum vs the 50/50 BLEND (not 1 bit — the blend still
+    // contains the source at half mass): per source, present term
+    // 0.5*1*log2(2/1.5) + 0.5*0.5*log2(1/1.5), absent mass 0.25
+    val dExp = 0.5 * math.log(2.0 / 1.5) / math.log(2) +
+      0.25 * math.log(1.0 / 1.5) / math.log(2) + 0.25
+    val disjoint = js(docs("a" -> "x x", "b" -> "y y"))
+    Seq("a", "b").foreach { src =>
+      assert(math.abs(disjoint(src) - math.rint(dExp * 10000) / 10000) <= 1e-9,
+        s"$src: ${disjoint(src)} vs $dExp")
+    }
+    // hand case: a = {x}, b = {x y}; blend q = {x: 3/4... } computed by hand:
+    // source a: p(x)=1; q(x)=0.75 -> present term 0.5*1*log2(2/1.75)
+    //   + 0.5*0.75*log2(1.5/1.75); absent mass 0.5*(1-0.75)
+    val a = 0.5 * math.log(2.0 / 1.75) / math.log(2) +
+      0.5 * 0.75 * math.log(1.5 / 1.75) / math.log(2) + 0.5 * 0.25
+    val mixed = js(docs("a" -> "x x", "b" -> "x y"))
+    assert(math.abs(mixed("a") - math.rint(a * 10000) / 10000) <= 1e-9, mixed("a"))
+  }
 }

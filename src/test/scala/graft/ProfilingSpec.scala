@@ -158,4 +158,75 @@ class ProfilingSpec extends SparkTestBase {
     assert(out === expected)
     assert(out.values.toSet === Set("added", "removed", "changed"))
   }
+
+  test("hot keys: MG candidate set keeps every φ-heavy key while decrements fire") {
+    // 400 distinct cold keys (one hit each) force constant decrements at
+    // capacity 127; the planted key carries 30% of the stream and MUST
+    // survive the sketch (undercount ≤ N/(cap+1) < its count).
+    val cold = (1 to 400).map(i => ("k", s"cold_$i"))
+    val hot = Seq.fill(172)(("k", "HOT"))
+    // interleave so the hot mass isn't front-loaded
+    val stream = (hot ++ cold).zipWithIndex.sortBy(_._2 % 7).map(_._1)
+    val cands = Profiling.mgSketch(stream.iterator, Profiling.MgCapacity)
+      .filter(_._2 != null).map(_._2).toSet
+    assert(cands.contains("HOT"))
+    assert(cands.size <= Profiling.MgCapacity)
+    // summary row carries the exact partition count
+    val n = Profiling.mgSketch(stream.iterator, Profiling.MgCapacity)
+      .collectFirst { case ("k", null, c) => c }.get
+    assert(n === 572L)
+  }
+
+  test("hot keys: output is exact and partition-invariant; uniform column is empty") {
+    import spark.implicits._
+    // skewed column: one key at ~33%, 200 cold keys; uniform column: 300
+    // keys, one row each (no key can reach 1/125 of the mass)
+    val rows =
+      Seq.fill(100)(("skewed", "HOT")) ++
+        (1 to 200).map(i => ("skewed", s"c$i")) ++
+        (1 to 300).map(i => ("uniform", s"u$i"))
+    def run(parts: Int) =
+      Profiling.hotKeysOf(rows.toDF("key_col", "key").repartition(parts))
+        .as[(String, String, Long, Long)].collect().toSeq
+    val one = run(1)
+    assert(one === Seq(("skewed", "HOT", 100L, 333333L)))
+    // candidate sets differ across partitionings; the verified output may not
+    assert(run(7) === one && run(32) === one)
+  }
+
+  test("incremental agg: delta algebra equals recompute; emptied groups vanish") {
+    import spark.implicits._
+    // hand frame (k, custkey, cents): customer 1 keeps base rows, customer 2's
+    // only base row is deleted (k=44 ≡ 3 mod 41 — group must vanish), customer
+    // 3 arrives only via the insert leg (k=9), k=70 gets the +1000.00 update
+    val o = Seq(
+      (1L, 1L, 500L), (70L, 1L, 1000L), (44L, 2L, 700L), (9L, 3L, 900L))
+      .toDF("k", "custkey", "cents")
+    val got = Profiling.incrementalAggOf(o)
+      .as[(Long, Long, Long)].collect().toSeq
+    // new snapshot: cust1 = {500, 1000+100000}, cust2 = {}, cust3 = {900}
+    assert(got === Seq((1L, 2L, 101500L), (3L, 1L, 900L)))
+  }
+
+  test("RFM: scores in 1..4, quartiles balanced, extremes score 4") {
+    import spark.implicits._
+    val rows = Profiling.rfmSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, _, _, _, r, f, m) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4, s"cust $c")
+    }
+    // quartile cuts: each m-score class holds 10-40% of customers (exact
+    // quarters up to ties on the cut values)
+    val n = rows.length.toDouble
+    (1 to 4).foreach { sc =>
+      val frac = rows.count(_._7 == sc) / n
+      assert(frac > 0.10 && frac < 0.40, s"m_score $sc holds $frac")
+    }
+    // the biggest spender and the most recent customer sit in the top bucket
+    assert(rows.maxBy(_._4)._7 === 4)
+    assert(rows.minBy(_._2)._5 === 4)
+    // recency inverts: the stalest customer scores 1
+    assert(rows.maxBy(_._2)._5 === 1)
+  }
 }

@@ -518,4 +518,51 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Double, Double, Boolean)].collect()
     assert(again.toSet === got.toSet)
   }
+
+  test("power iteration: integer iterate tracks its double twin; Rayleigh quotient climbs") {
+    import spark.implicits._
+    val got = Similarity.powerIteration(spark, sf)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2.toDouble)
+    assert(got.length === 64)
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.rint(x.toDouble * 1000)))
+    def gram(w: Array[Double]): Array[Double] = {
+      val c = Array.fill(64)(0.0)
+      q.foreach { row =>
+        val s = row.indices.map(j => row(j) * w(j)).sum
+        row.indices.foreach(j => c(j) += row(j) * s)
+      }
+      c
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // double twin: SAME K rounds and the same max-abs renormalization, no
+    // integer truncation — the engine promises the fixed-K iterate, and
+    // must sit within the accumulated <=1e-3/round truncation noise of it
+    var w = Array.fill(64)(1000.0)
+    val rayleigh = collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to Similarity.PowerIters) {
+      val c = gram(w)
+      // Rayleigh quotient wᵀ(XᵀX)w / wᵀw for the PRE-update iterate
+      rayleigh += w.indices.map(i => w(i) * c(i)).sum /
+        w.indices.map(i => w(i) * w(i)).sum
+      val m = c.map(math.abs).max
+      w = c.map(_ * 1000.0 / m)
+    }
+    assert(cos(got, w) > 0.999, s"cos vs double twin = ${cos(got, w)}")
+    // power iteration on a PSD matrix: the Rayleigh quotient is monotone
+    // nondecreasing round over round (convergence toward lambda_1)
+    rayleigh.toSeq.sliding(2).foreach { pair =>
+      val (a, b) = (pair.head, pair.last)
+      assert(b >= a * (1 - 1e-12), s"Rayleigh dropped: $a -> $b")
+    }
+    // exact integer arithmetic: the result is a constant of the input,
+    // whatever the partitioning of the shuffles that produced it
+    val again = Similarity.powerIteration(spark, sf)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(again.toSeq === got.map(_.toLong).toSeq)
+  }
 }

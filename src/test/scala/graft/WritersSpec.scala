@@ -140,4 +140,28 @@ class WritersSpec extends SparkTestBase {
     val want = nasty.as[(Long, String, String, String, Long)].collect().toSet
     assert(back === want)
   }
+
+  test("layout skipping report: totals agree, pruning dominance, micros arithmetic") {
+    val rows = graft.sources.Writers.layoutSkippingReport(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 6)
+    val total = rows.head._6
+    rows.foreach { case (layout, pred, nb, bs, rs, rt, micros) =>
+      assert(rt === total, s"$layout/$pred rows_total")
+      assert(nb <= graft.sources.Writers.SkipBuckets)
+      assert(bs <= nb && rs <= rt)
+      assert(micros === rs * 1000000L / rt, s"$layout/$pred micros")
+    }
+    val scan = rows.map { case (l, p, _, _, rs, _, _) => (l, p) -> rs }.toMap
+    // the single-column sort serves its own predicate and abandons the other
+    assert(scan(("custkey_sorted", "custkey_range")) < total / 4)
+    assert(scan(("custkey_sorted", "date_range")) === total)
+    // z-order prunes meaningfully on BOTH dimensions — the reason it exists
+    assert(scan(("zorder", "custkey_range")) < total / 2)
+    assert(scan(("zorder", "date_range")) < total / 2)
+    // and never scans more than the unclustered layout
+    Seq("custkey_range", "date_range").foreach { p =>
+      assert(scan(("zorder", p)) <= scan(("natural", p)), p)
+    }
+  }
 }
