@@ -350,20 +350,26 @@ object EventStream {
     // for floor measurement only
     conf.getOption("spark.graft.stream.statePartitions")
       .foreach(conf.set(partsKey, _))
-    val q =
-      try df.writeStream.outputMode(OutputMode.Append())
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      finally {
-        prevProvider.fold(conf.unset(providerKey))(conf.set(providerKey, _))
-        prevParts.foreach(conf.set(partsKey, _))
-      }
+    // the overrides must survive until the stream thread has captured its
+    // session: StreamExecution clones the session LAZILY on the query
+    // thread, so restoring right after start() RACES that capture and the
+    // stream intermittently plans its state stores with the session's
+    // batch partition count (measured: the r9 floor fix silently reverted
+    // to 32-partition state under today's thread timing). The gate drain
+    // is synchronous, so restoring after processAllAvailable() keeps the
+    // original contract: no batch query of this session ever runs under
+    // the streaming-only override.
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally {
       q.stop()
       opNanos.addAndGet(System.nanoTime() - t0)
       Option(q.lastProgress).foreach(p => opBatches.addAndGet(p.batchId + 1))
+      prevProvider.fold(conf.unset(providerKey))(conf.set(providerKey, _))
+      prevParts.foreach(conf.set(partsKey, _))
     }
     // a stream that emitted nothing (empty source, or every window still
     // inside the watermark) writes no parquet files — read.parquet would
