@@ -91,6 +91,8 @@ object PlanCensus {
       "crossJoin(broadcast(single-row (t_train,t_ingest) aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "embed_cluster_terms" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row n_cells aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "dedup_sketch_recall" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(6-row threshold-sweep frame)) onto the pair frame — constant bounded build side, the scalar-subquery class"),
     "orders_rfm_segments" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row aggregates)) twice: global last-order date, then the nine quartile cuts — the scalar-subquery shape; build sides are exactly 1 row"),
     "corpus_domain_js" -> Map("BroadcastNestedLoopJoin" ->

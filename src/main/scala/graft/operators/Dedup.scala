@@ -1681,4 +1681,81 @@ object Dedup {
        |FULL JOIN ${leg(fuzzyContaminationOracle, "train_doc", "f_fuzzy")} fz USING (doc_id)
        |FULL JOIN ${leg(semanticContaminationOracle, "train_vec", "f_semantic")} sm USING (doc_id)""".stripMargin
   }
+
+  // ------------------------------------------- sketch-vs-exact recall report
+  /** Jaccard thresholds for the recall sweep, in ×10⁴ integer micros of
+    * the 4-dp rounded pair jaccard (threshold comparison can never split
+    * an ulp). 5000 = both operators' own emission floor. */
+  val SketchRecallThresholds: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000, 10000)
+
+  /** The dedup-quality monitor — [[Similarity.annRecallReport]]'s sibling
+    * for the near-dup family: per jaccard threshold, how many true pairs
+    * the exact df-pruned n-gram path ([[ngramJaccardPairs]]) and the
+    * banded MinHash-LSH path ([[minhashLshPairs]]) each emit, their
+    * overlap, and each side's exclusive find. Both paths verify
+    * candidates with the EXACT jaccard, so disagreement is purely
+    * CANDIDATE GENERATION — each side's documented blind spot made
+    * measurable: LSH's s-curve misses borderline-jaccard pairs
+    * (recall ≈ 0.87 at j = 0.5, → 1 as j → 1), while the MOSS df-prune
+    * misses pairs inside large near-identical clusters whose shared
+    * grams went hot. The table an operator reads before trusting either
+    * path alone at a new corpus shape.
+    *
+    * Scale shape: both legs are the already-shipped operators (their
+    * scale stories apply verbatim); the report adds one full-outer join
+    * on the pair key and a |thresholds|-bounded aggregate over the
+    * exploded flags. Deterministic: both legs are md5/FNV-seeded. */
+  def sketchRecallReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def micros(df: DataFrame, flag: String) = df.select($"doc_a", $"doc_b",
+      expr("CAST(round(jac * 10000) AS BIGINT)").as(flag))
+    val joined = micros(ngramJaccardPairsOf(docs), "jx_exact")
+      .join(micros(minhashLshPairsOf(docs), "jx_lsh"),
+        Seq("doc_a", "doc_b"), "full_outer")
+    joined.crossJoin(broadcast(SketchRecallThresholds.toDF("t_micros")))
+      .groupBy($"t_micros")
+      .agg(
+        sum(when($"jx_exact" >= $"t_micros", 1L).otherwise(0L)).as("n_exact"),
+        sum(when($"jx_lsh" >= $"t_micros", 1L).otherwise(0L)).as("n_lsh"),
+        sum(when($"jx_exact" >= $"t_micros" && $"jx_lsh" >= $"t_micros", 1L)
+          .otherwise(0L)).as("n_common"))
+      .select($"t_micros", $"n_exact", $"n_lsh", $"n_common",
+        ($"n_exact" - $"n_common").as("only_exact"),
+        ($"n_lsh" - $"n_common").as("only_lsh"),
+        expr("CASE WHEN n_exact = 0 THEN 1000000L " +
+          "ELSE n_common * 1000000L div n_exact END").as("lsh_recall_micros"))
+      .orderBy($"t_micros")
+  }
+
+  /** DuckDB twin of [[sketchRecallReport]] — both shipped oracles as
+    * derived tables (the [[contaminationReportOracle]] nesting idiom),
+    * same integer-micros sweep. */
+  val sketchRecallReportOracle: String = {
+    val ts = SketchRecallThresholds.mkString("[", ", ", "]")
+    s"""WITH exact_p AS (SELECT doc_a, doc_b,
+       |    CAST(round(jac * 10000) AS BIGINT) AS jx_exact
+       |  FROM ($ngramJaccardOracle)),
+       |lsh_p AS (SELECT doc_a, doc_b,
+       |    CAST(round(jac * 10000) AS BIGINT) AS jx_lsh
+       |  FROM ($minhashLshOracle)),
+       |j AS (SELECT coalesce(e.doc_a, l.doc_a) AS doc_a,
+       |    coalesce(e.doc_b, l.doc_b) AS doc_b, e.jx_exact, l.jx_lsh
+       |  FROM exact_p e FULL JOIN lsh_p l
+       |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+       |sweep AS (SELECT j.*, t.t_micros
+       |  FROM j CROSS JOIN (SELECT unnest($ts) AS t_micros) t),
+       |agg AS (SELECT t_micros,
+       |    CAST(sum(CASE WHEN jx_exact >= t_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |    CAST(sum(CASE WHEN jx_lsh >= t_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       |    CAST(sum(CASE WHEN jx_exact >= t_micros AND jx_lsh >= t_micros
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM sweep GROUP BY t_micros)
+       |SELECT t_micros, n_exact, n_lsh, n_common,
+       |  n_exact - n_common AS only_exact,
+       |  n_lsh - n_common AS only_lsh,
+       |  CASE WHEN n_exact = 0 THEN 1000000
+       |       ELSE n_common * 1000000 // n_exact END AS lsh_recall_micros
+       |FROM agg ORDER BY t_micros""".stripMargin
+  }
 }

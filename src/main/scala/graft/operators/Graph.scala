@@ -587,4 +587,55 @@ object Graph {
        |  UNION ALL SELECT v FROM e$KcoreIters)
        |GROUP BY node""".stripMargin
   }
+
+  // ---------------------------------------------- degree distribution
+  /** Log₂-bucketed degree histogram of the part–supplier graph, split by
+    * bipartite side — the diagnostic run BEFORE committing to a graph
+    * algorithm: a heavy power-law tail says the adjacency-gather and
+    * pair-expansion operators need their caps (BasketCap, the
+    * degree-oriented triangle closure), and the side split shows WHICH
+    * side carries the hubs. Buckets are the integer-exact bit-length
+    * log₂ of the distinct-neighbor degree (the
+    * [[Corpus.lengthHistogram]] idiom — no float log at power-of-two
+    * edges), with inclusive power-of-two ranges.
+    *
+    * Scale shape: one distinct over the symmetric edge list (the same
+    * first shuffle every Graph operator pays), one map-side-combined
+    * degree count, then a ≤ 2·64-row aggregate. */
+  def degreeHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val und = raw.select($"src", $"dst")
+      .union(raw.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    und.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select(
+        when($"src" % 2 === 0, "part").otherwise("supplier").as("side"),
+        $"deg",
+        (length(bin($"deg")) - 1).as("bucket"))
+      .groupBy($"side", $"bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("sum_degree"))
+      .withColumn("lo_deg", expr("shiftleft(1L, bucket)"))
+      .withColumn("hi_deg", expr("shiftleft(1L, bucket + 1) - 1"))
+      .orderBy($"side", $"bucket")
+  }
+
+  /** DuckDB twin of [[degreeHistogram]] — same symmetric distinct edge
+    * set, bit-length bucket, shift-built ranges. */
+  val degreeHistogramOracle: String =
+    """WITH raw AS (SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+      |  FROM lineitem),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |  FROM und GROUP BY src),
+      |b AS (SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+      |    deg, CAST(length(bin(deg)) AS INT) - 1 AS bucket FROM deg)
+      |SELECT side, bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(deg) AS BIGINT) AS sum_degree,
+      |  (CAST(1 AS BIGINT) << bucket) AS lo_deg,
+      |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_deg
+      |FROM b GROUP BY side, bucket
+      |ORDER BY side, bucket""".stripMargin
 }

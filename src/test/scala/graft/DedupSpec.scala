@@ -478,4 +478,29 @@ class DedupSpec extends SparkTestBase {
       ids(Dedup.semanticContamination(spark, d), "train_vec") -> rep.filter(_._5).map(_._1))
     byCol.foreach { case (want, got2) => assert(got2.toSet === want) }
   }
+
+  test("sketch recall report reconciles with the two pair frames it monitors") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("doc_a", "doc_b", "CAST(round(jac * 10000) AS BIGINT) AS jx")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val ex = pairs(Dedup.ngramJaccardPairs(spark, sf))
+    val lsh = pairs(Dedup.minhashLshPairs(spark, sf))
+    val got = Dedup.sketchRecallReport(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Dedup.SketchRecallThresholds)
+    got.foreach { case (t, nExact, nLsh, nCommon, onlyE, onlyL, recall) =>
+      val we = ex.count(_._2 >= t).toLong
+      val wl = lsh.count(_._2 >= t).toLong
+      val wc = ex.count { case (k, j) => j >= t && lsh.get(k).exists(_ >= t) }.toLong
+      assert((nExact, nLsh, nCommon) === ((we, wl, wc)), s"t=$t")
+      assert(onlyE === we - wc && onlyL === wl - wc)
+      assert(recall === (if (we == 0) 1000000L else wc * 1000000L / we))
+    }
+    // LSH precision is structural (candidates exact-verified): at every
+    // threshold, anything LSH-only would be a pair the exact path's
+    // df-prune missed — on this corpus there are none (pair-parity test)
+    assert(got.forall(_._6 == 0L))
+  }
 }

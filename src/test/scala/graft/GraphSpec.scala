@@ -200,4 +200,28 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.head === approx.head)
   }
+
+  test("degree histogram: buckets reconcile with an in-JVM recount") {
+    import spark.implicits._
+    val got = Graph.degreeHistogram(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(($"l_partkey" * 2).as[Long], ($"l_suppkey" * 2 + 1).as[Long])
+      .collect()
+    val und = edges.flatMap { case (p, s) => Seq((p, s), (s, p)) }.distinct
+    val want = und.groupBy(_._1).toSeq.map { case (node, nb) =>
+      (if (node % 2 == 0) "part" else "supplier", nb.length.toLong)
+    }.groupBy { case (side, deg) =>
+      (side, (63 - java.lang.Long.numberOfLeadingZeros(deg)).toInt)
+    }.map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    assert(got === want)
+    // buckets respect their own ranges
+    Graph.degreeHistogram(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .foreach { case (_, b, _, sumDeg, lo, hi) =>
+        assert(lo === (1L << b) && hi === (1L << (b + 1)) - 1)
+        assert(sumDeg >= lo, "sum of degrees can't be below one node at lo")
+      }
+  }
 }
