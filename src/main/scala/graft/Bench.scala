@@ -245,6 +245,23 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"still_dispersed":$stillJson,"prev":$prevName,"vs_prev":$vsPrev,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
+    // The driver's BENCH_r*.json wrapper keeps only the LAST 2000 chars of
+    // stdout as "tail" and parses the metric line out of that window. The
+    // full line above is ~19 KB at 160+ queries, so its head — the part
+    // with "metric"/"value" — scrolls out and every round's wrapper ends
+    // up with parsed:null (r1–r9, verified). Emit a COMPACT headline line
+    // LAST, sized well under the window: suite total + the
+    // baseline-comparable headline queries (numbered q*, wc_*, rwlg_*).
+    // The untruncated per-query detail still ships via target/bench.json
+    // and BENCH_LOCAL_<sf>.json above.
+    val headline = results.collect {
+      case (k, rs, _, _)
+          if rs.nonEmpty &&
+            (k.matches("q\\d+_.*") || k.startsWith("wc_") || k.startsWith("rwlg_")) =>
+        s"\"" + k + "\":" + math.round(rs.map(_.total).min * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":$n,"n_queries":${results.size},"queries":$headline,"max_dispersion":$maxDisp,"failed":$failed,"sf":"$sfDir"}""")
     // bare copy without sbt's [info] log prefix, for log-scrape-free parsing
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     catch { case _: Throwable => }

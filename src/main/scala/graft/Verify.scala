@@ -17,17 +17,6 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // cache hygiene: operators may cache shared subtrees (grams,
-      // fingerprints) for intra-query reuse — release between queries so
-      // no query's storage lingers under the rest of the run
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,7 +31,34 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // write the oracle map BEFORE the dumps, not after: if the driver's
+    // gate budget expires mid-run and kills this JVM, a trailing write
+    // would leave NO oracle_sql.json and the round's correctness artifact
+    // silently collapses to {} (r9's gate) — with the map on disk first,
+    // every query dumped before the kill still gets compared
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // optional comma-separated subset (iterating one oracle without
+    // re-dumping 160 queries); unset/empty = full suite
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // cache hygiene: operators may cache shared subtrees (grams,
+        // fingerprints) for intra-query reuse — release between queries so
+        // no query's storage lingers under the rest of the run
+        spark.catalog.clearCache()
+      }
     writeSketchBounds(spark, outDir)
     spark.stop()
   }

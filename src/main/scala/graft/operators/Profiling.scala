@@ -589,7 +589,16 @@ object Profiling {
     * candidate set, NOT the column's cardinality — at 100 TB the full
     * per-key groupBy this replaces is itself a shuffle of the key space,
     * which is exactly what a skew audit must not assume is feasible.
-    * N per column rides a |columns|-row broadcast. */
+    * N per column rides a |columns|-row broadcast.
+    *
+    * NULL keys are excluded BY CONTRACT on both engines (filtered from
+    * the melted stream before the sketch, `IS NOT NULL` in the twin):
+    * the sketch's summary row uses a null key as its marker, and pass
+    * 2's equi-join could never count a null candidate anyway (null
+    * matches nothing under SQL join equality). A pipeline owner who
+    * needs the null share of a column audits it with a plain
+    * count-where-null — nulls are one known key, not a discovery
+    * problem, so they don't need a sketch. */
   def hotKeys(s: SparkSession, d: String): DataFrame =
     hotKeysOf(Tables.events(s, d).selectExpr(
         """explode(array(
@@ -598,9 +607,10 @@ object Profiling {
           .stripMargin)
       .selectExpr("kv.key_col AS key_col", "kv.key AS key"))
 
-  private[graft] def hotKeysOf(melted: DataFrame): DataFrame = {
-    val s = melted.sparkSession
+  private[graft] def hotKeysOf(meltedRaw: DataFrame): DataFrame = {
+    val s = meltedRaw.sparkSession
     import s.implicits._
+    val melted = meltedRaw.filter($"key".isNotNull)
     val sketch = melted.as[(String, String)]
       .mapPartitions(it => mgSketch(it, MgCapacity))
       .toDF("key_col", "key", "n_part")
@@ -626,7 +636,7 @@ object Profiling {
        |  UNION ALL
        |  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS key FROM events),
        |c AS (SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM m GROUP BY 1, 2),
+       |  FROM m WHERE key IS NOT NULL GROUP BY 1, 2),
        |t AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY key_col)
        |SELECT c.key_col, c.key, c.cnt, c.cnt * 1000000 // t.n AS share_micros
        |FROM c JOIN t USING (key_col)

@@ -1618,10 +1618,19 @@ object Similarity {
     val ranked = scored
       .withColumn("fr", row_number().over(wf))
       .withColumn("br", row_number().over(wb))
+    // neighborhood means over INTEGER micros, not avg() over doubles:
+    // a double sum's association order is partition-dependent in Spark
+    // and differs from DuckDB's, and exactly at a 4-dp rounding boundary
+    // that ulp could flip both the hash and the accept flag (the knScore
+    // risk class). Summing round(sim·10⁶) as BIGINT is associative and
+    // exact on both engines; the one division per group is a fixed
+    // per-row double op.
+    def microMean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(round(c * 1000000).cast("long")) / (count(lit(1)) * 1000000.0)
     val dx = ranked.filter($"fr" <= BitextK)
-      .groupBy($"src_id").agg(avg($"sim").as("dx"))
+      .groupBy($"src_id").agg(microMean($"sim").as("dx"))
     val dy = ranked.filter($"br" <= BitextK)
-      .groupBy($"tgt_id").agg(avg($"sim").as("dy"))
+      .groupBy($"tgt_id").agg(microMean($"sim").as("dy"))
     ranked.filter($"fr" === 1)
       .join(dx, "src_id").join(dy, "tgt_id")
       .withColumn("margin", round(lit(2) * $"sim" / ($"dx" + $"dy"), 4))
@@ -1648,10 +1657,14 @@ object Similarity {
        |    row_number() OVER (PARTITION BY tgt_id
        |      ORDER BY round(sim, 6) DESC, src_id ASC) AS br
        |  FROM sc),
-       |dx AS (SELECT src_id, avg(sim) AS dx FROM rk WHERE fr <= $BitextK
-       |  GROUP BY src_id),
-       |dy AS (SELECT tgt_id, avg(sim) AS dy FROM rk WHERE br <= $BitextK
-       |  GROUP BY tgt_id)
+       |dx AS (SELECT src_id,
+       |    sum(CAST(round(sim * 1000000) AS BIGINT)) / (count(*) * 1000000.0)
+       |      AS dx
+       |  FROM rk WHERE fr <= $BitextK GROUP BY src_id),
+       |dy AS (SELECT tgt_id,
+       |    sum(CAST(round(sim * 1000000) AS BIGINT)) / (count(*) * 1000000.0)
+       |      AS dy
+       |  FROM rk WHERE br <= $BitextK GROUP BY tgt_id)
        |SELECT rk.src_id, rk.tgt_id, round(rk.sim, 4) AS cos_sim,
        |  round(2 * rk.sim / (dx.dx + dy.dy), 4) AS margin,
        |  round(2 * rk.sim / (dx.dx + dy.dy), 4) >= $BitextMarginThreshold

@@ -358,16 +358,22 @@ object EventStream {
     // to 32-partition state under today's thread timing). The gate drain
     // is synchronous, so restoring after processAllAvailable() keeps the
     // original contract: no batch query of this session ever runs under
-    // the streaming-only override.
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
-    val t0 = System.nanoTime()
-    try q.processAllAvailable() finally {
-      q.stop()
-      opNanos.addAndGet(System.nanoTime() - t0)
-      Option(q.lastProgress).foreach(p => opBatches.addAndGet(p.batchId + 1))
+    // the streaming-only override. The restore lives in an OUTER finally
+    // that also covers start() itself — an analysis error there would
+    // otherwise leak the overrides into every later batch query of the
+    // session (Bench's per-query catch keeps running after a failure).
+    try {
+      val q = df.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally {
+        q.stop()
+        opNanos.addAndGet(System.nanoTime() - t0)
+        Option(q.lastProgress).foreach(p => opBatches.addAndGet(p.batchId + 1))
+      }
+    } finally {
       prevProvider.fold(conf.unset(providerKey))(conf.set(providerKey, _))
       prevParts.foreach(conf.set(partsKey, _))
     }

@@ -181,9 +181,14 @@ class ProfilingSpec extends SparkTestBase {
     import spark.implicits._
     // skewed column: one key at ~33%, 200 cold keys; uniform column: 300
     // keys, one row each (no key can reach 1/125 of the mass)
+    // null keys are excluded BY CONTRACT (the ADVICE null-marker fix):
+    // they must neither appear as hot keys nor inflate the column's N —
+    // with them counted, HOT's share would be 100/450 and the ×10⁶ share
+    // below would change
     val rows =
       Seq.fill(100)(("skewed", "HOT")) ++
         (1 to 200).map(i => ("skewed", s"c$i")) ++
+        Seq.fill(150)(("skewed", null: String)) ++
         (1 to 300).map(i => ("uniform", s"u$i"))
     def run(parts: Int) =
       Profiling.hotKeysOf(rows.toDF("key_col", "key").repartition(parts))
