@@ -229,12 +229,24 @@ object Multimodal {
        |      (x, c) -> ((x - (x % 256) + xor(CAST(x % 256 AS BIGINT), CAST(c AS BIGINT)))
        |                 * 1099511628211) % $U)) AS hs
        |  FROM rz WHERE len(bs) >= $PhashShingle),
-       |sigs AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
-       |    CASE WHEN 2 * len(list_filter(hs,
-       |           x -> (x // (1::HUGEINT << CAST(j AS INT))) % 2 = 1)) > len(hs)
-       |         THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END)) AS HUGEINT) AS sig
-       |  FROM gh),
-       |sh AS (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |-- majority vote per bit via native BIGINT shifts over the
+       |-- unnested shingle hashes, not a per-bit list_filter lambda
+       |-- (64 interpreted list scans per doc cost ~13 s at sf0.01; the
+       |-- unnest+group form is sub-second). Bit j of the signed
+       |-- two's-complement form equals bit j of the unsigned value.
+       |hx AS MATERIALIZED (SELECT doc_id, CAST(CASE
+       |    WHEN x >= CAST(9223372036854775808 AS HUGEINT) THEN x - $U
+       |    ELSE x END AS BIGINT) AS xs
+       |  FROM (SELECT doc_id, unnest(hs) AS x FROM gh)),
+       |hn AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+       |bc AS (SELECT doc_id, t.j, sum((xs >> CAST(t.j AS INT)) & 1) AS c
+       |  FROM hx, unnest(range(64)) AS t(j) GROUP BY doc_id, t.j),
+       |sigs AS (SELECT bc.doc_id,
+       |    CAST(sum(CASE WHEN 2 * bc.c > hn.n
+       |      THEN (1::HUGEINT << CAST(bc.j AS INT)) ELSE 0::HUGEINT END)
+       |      AS HUGEINT) AS sig
+       |  FROM bc JOIN hn USING (doc_id) GROUP BY bc.doc_id),
+       |sh AS MATERIALIZED (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
        |       FROM documents d LEFT JOIN sigs s USING (doc_id)),
        |""".stripMargin + graft.operators.Dedup.simhashBandTailSql
   }

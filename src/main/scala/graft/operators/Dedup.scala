@@ -398,18 +398,31 @@ object Dedup {
       * unsigned-64 `h` by fnv1a64 over UTF-8 bytes (via hex expansion) —
       * twin of [[graft.functions.Hashing.fnv1a64]]. Emits CTEs `vocab`,
       * `vb`, `vbytes`, `fnv(gram, h)`. */
-    def fnvCtes(src: String): String =
-      s"""vocab AS (SELECT DISTINCT gram FROM $src),
-         |vb AS (SELECT gram, hex(encode(gram)) AS hx FROM vocab),
-         |vbytes AS (SELECT gram, list_transform(range(length(hx) // 2),
+    def fnvCtes(src: String): String = fnvCtesPrefixed(src, "")
+
+    /** [[fnvCtes]] with every CTE name prefixed — lets a composed oracle
+      * hoist two hash chains into ONE top-level WITH list (DuckDB 1.0
+      * drops MATERIALIZED hints on CTEs nested inside a derived table,
+      * so composition must hoist, not nest). */
+    def fnvCtesPrefixed(src: String, p: String): String =
+      s"""${p}vocab AS (SELECT DISTINCT gram FROM $src),
+         |${p}vb AS (SELECT gram, hex(encode(gram)) AS hx FROM ${p}vocab),
+         |${p}vbytes AS (SELECT gram, list_transform(range(length(hx) // 2),
          |    i -> CAST(16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
-         |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM vb),
-         |fnv AS (SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+         |         + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1) AS HUGEINT)) AS bs FROM ${p}vb),
+         |${p}fnv AS (SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
          |    (h, c) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
-         |               * 1099511628211) % $U) AS h FROM vbytes)""".stripMargin
+         |               * 1099511628211) % $U) AS h FROM ${p}vbytes)""".stripMargin
   }
 
-  val minhashLshOracle: String = {
+  /** CTE body of [[minhashLshOracle]] with every CTE name prefixed by
+    * `p`, ending in `${p}pairs(doc_a, doc_b, jac)`. Composed oracles
+    * (the sketch-recall report) HOIST this into their own top-level WITH
+    * instead of nesting it as a derived table: DuckDB 1.0 silently drops
+    * the MATERIALIZED hints on CTEs inside a nested subquery, which
+    * re-inlines the signature chain ~6× (measured 30 s vs 6 s at
+    * sf0.01). Returns the CTE list WITHOUT the leading WITH. */
+  private def minhashLshCtes(p: String): String = {
     import SqlU64.{U, mix, uns}
     val seedList = graft.functions.Hashing.seeds(MinHashPerms)
       .map(uns).mkString("[", ", ", "]")
@@ -417,39 +430,71 @@ object Dedup {
       .map(b => graft.functions.Hashing.mix64(0x9E3779B97F4A7C15L + b))
       .map(uns).mkString("[", ", ", "]")
     val r = MinHashRowsPerBand
-    s"""WITH t AS (SELECT doc_id,
+    /** Unrolled band fold: h_i = mix64(h_{i-1} XOR sig[r·b+i]) over the
+      * band's r signature slots, one chained CTE per step so every mix
+      * is a plain (CSE-friendly) column expression — bit-identical to
+      * the list_reduce it replaces (per-element lambda dispatch cost
+      * ~100 µs around each splitmix64: ~6 s at sf0.01 for 64k mixes,
+      * ~1 s unrolled); the last step (`${p}buckets`) is MATERIALIZED so
+      * the candidate self-join evaluates the chain once, not twice. */
+    def bandChain(r: Int, initList: String): String = {
+      def u(e: String) =
+        s"CASE WHEN $e < 0 THEN CAST($e AS HUGEINT) + $U ELSE CAST($e AS HUGEINT) END"
+      val exp = (1 to r).map(i => s"${u(s"sig[$r*t.b+$i]")} AS e$i").mkString(",\n|    ")
+      val b0 =
+        s"""${p}bx0 AS (SELECT doc_id, t.b AS b, ($initList)[t.b+1] AS h0,
+           |    $exp
+           |  FROM ${p}siglist, unnest(range($MinHashBands)) AS t(b))""".stripMargin
+      val steps = (1 to r).map { i =>
+        val carry = (i + 1 to r).map(j => s"e$j").mkString(", ")
+        val sel = if (carry.isEmpty) "" else s", $carry"
+        val name = if (i == r) s"${p}buckets AS MATERIALIZED" else s"${p}bx$i AS"
+        val out = if (i == r) "bucket" else s"h$i"
+        s"""$name (SELECT doc_id${if (i == r) "" else ", b"},
+           |    ${mix(s"xor(h${i - 1}, e$i)")} AS $out$sel
+           |  FROM ${p}bx${i - 1})""".stripMargin
+      }
+      (b0 +: steps).mkString(",\n")
+    }
+    s"""${p}t AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
        |  FROM documents),
-       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |${p}g AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(len(toks) - 2),
        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
-       |  FROM t WHERE len(toks) >= 3),
-       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-       |${SqlU64.fnvCtes("g")},
-       |gh AS (SELECT g.doc_id, f.h FROM g JOIN fnv f USING (gram)),
-       |seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
+       |  FROM ${p}t WHERE len(toks) >= 3),
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}g GROUP BY doc_id),
+       |${SqlU64.fnvCtesPrefixed(s"${p}g", p)},
+       |${p}gh AS (SELECT g.doc_id, f.h FROM ${p}g g JOIN ${p}fnv f USING (gram)),
+       |${p}seeds AS (SELECT i AS k, ($seedList)[i+1] AS s
        |          FROM unnest(range($MinHashPerms)) AS t(i)),
-       |mixed AS (SELECT gh.doc_id, seeds.k, ${mix("xor(gh.h, seeds.s)")} AS mx
-       |  FROM gh CROSS JOIN seeds),
-       |sigs AS (SELECT doc_id, k, min(CAST(CASE
+       |-- mix cost is per (DISTINCT gram hash x seed), not per (doc, gram)
+       |-- occurrence: splitmix64 over HUGEINT limbs costs ~10 us per call
+       |-- in DuckDB, so the oracle collapses to the vocabulary before
+       |-- mixing (identical minima: min over duplicated values) and the
+       |-- doc join pays only cheap join rows
+       |${p}vm AS MATERIALIZED (SELECT vh.h, seeds.k, ${mix("xor(vh.h, seeds.s)")} AS mx
+       |  FROM (SELECT DISTINCT h FROM ${p}fnv) vh CROSS JOIN ${p}seeds seeds),
+       |${p}sigs AS (SELECT gh.doc_id, vm.k, min(CAST(CASE
        |    WHEN mx >= CAST(9223372036854775808 AS HUGEINT) THEN mx - $U
        |    ELSE mx END AS BIGINT)) AS m
-       |  FROM mixed GROUP BY doc_id, k),
-       |siglist AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM sigs GROUP BY doc_id),
-       |buckets AS (SELECT doc_id,
-       |    list_reduce(list_prepend(($initList)[b+1], sig[$r*b+1:$r*b+$r]),
-       |      (h, s) -> ${mix("xor(h, CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT) ELSE CAST(s AS HUGEINT) END)")}) AS bucket
-       |  FROM siglist, unnest(range($MinHashBands)) AS t(b)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
-       |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
-       |              JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, ${ratio4Sql("c", "sa.n + sb.n - c")} AS jac
-       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-       |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+       |  FROM ${p}gh gh JOIN ${p}vm vm USING (h) GROUP BY gh.doc_id, vm.k),
+       |${p}siglist AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM ${p}sigs GROUP BY doc_id),
+       |${bandChain(r, initList)},
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${p}buckets a JOIN ${p}buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |${p}inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+       |  FROM ${p}cand c JOIN ${p}g a ON a.doc_id = c.doc_a
+       |              JOIN ${p}g b ON b.doc_id = c.doc_b AND a.gram = b.gram
+       |  GROUP BY 1, 2),
+       |${p}pairs AS (SELECT doc_a, doc_b, ${ratio4Sql("c", "sa.n + sb.n - c")} AS jac
+       |  FROM ${p}inter JOIN ${p}sz sa ON sa.doc_id = doc_a JOIN ${p}sz sb ON sb.doc_id = doc_b
+       |  WHERE c / (sa.n + sb.n - c) >= 0.5)""".stripMargin
   }
+
+  val minhashLshOracle: String =
+    s"""WITH ${minhashLshCtes("")}
+       |SELECT doc_a, doc_b, jac FROM pairs""".stripMargin
 
   // -------------------------------------------------- near-dup clustering
   /** Connected components over the near-dup pair graph: every document in
@@ -951,7 +996,7 @@ object Dedup {
        |           h -> (h // (1::HUGEINT << CAST(j AS INT))) % 2 = 1)) > len(hs)
        |         THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END)) AS HUGEINT) AS sig
        |  FROM dh),
-       |sh AS (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+       |sh AS MATERIALIZED (SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
        |       FROM documents d LEFT JOIN sigs s USING (doc_id)),
        |""".stripMargin + simhashBandTailSql
   }
@@ -964,12 +1009,12 @@ object Dedup {
   // lazy: referenced by simhashPairsOracle above during object init
   private[graft] lazy val simhashBandTailSql: String = {
     val U = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
-    s"""vals AS (SELECT DISTINCT sig FROM sh),
+    s"""vals AS MATERIALIZED (SELECT DISTINCT sig FROM sh),
        |bands AS (SELECT sig, b, (sig // (1::HUGEINT << (16 * b))) % 65536 AS chunk
        |          FROM vals, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |cold AS (SELECT b, chunk FROM bands GROUP BY b, chunk
        |         HAVING count(*) <= $SimhashBucketCap),
-       |cool AS (SELECT bands.* FROM bands SEMI JOIN cold
+       |cool AS MATERIALIZED (SELECT bands.* FROM bands SEMI JOIN cold
        |         ON bands.b = cold.b AND bands.chunk = cold.chunk),
        |cand AS (SELECT DISTINCT a.sig AS ua, b.sig AS ub
        |         FROM cool a JOIN cool b
@@ -1733,12 +1778,16 @@ object Dedup {
     * same integer-micros sweep. */
   val sketchRecallReportOracle: String = {
     val ts = SketchRecallThresholds.mkString("[", ", ", "]")
-    s"""WITH exact_p AS (SELECT doc_a, doc_b,
+    s"""WITH exact_p AS MATERIALIZED (SELECT doc_a, doc_b,
        |    CAST(round(jac * 10000) AS BIGINT) AS jx_exact
        |  FROM ($ngramJaccardOracle)),
-       |lsh_p AS (SELECT doc_a, doc_b,
+       |-- the LSH leg is HOISTED (prefixed CTEs), not nested: DuckDB 1.0
+       |-- drops MATERIALIZED hints inside a derived table, re-inlining
+       |-- the signature chain ~6x (30 s vs 6 s measured at sf0.01)
+       |${minhashLshCtes("mh_")},
+       |lsh_p AS MATERIALIZED (SELECT doc_a, doc_b,
        |    CAST(round(jac * 10000) AS BIGINT) AS jx_lsh
-       |  FROM ($minhashLshOracle)),
+       |  FROM mh_pairs),
        |j AS (SELECT coalesce(e.doc_a, l.doc_a) AS doc_a,
        |    coalesce(e.doc_b, l.doc_b) AS doc_b, e.jx_exact, l.jx_lsh
        |  FROM exact_p e FULL JOIN lsh_p l

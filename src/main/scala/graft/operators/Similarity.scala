@@ -357,22 +357,22 @@ object Similarity {
     // one Lloyd pass: assign to nearest centroid (unit vectors), fixed-
     // point per-cell mean, empty cells keep the previous centroid
     private def lloydPass(k: Int): String =
-      s"""a$k AS (SELECT vec_id, cell FROM (
+      s"""a$k AS MATERIALIZED (SELECT vec_id, cell FROM (
          |    SELECT un.vec_id, cc.cid AS cell,
          |      row_number() OVER (PARTITION BY un.vec_id
          |        ORDER BY ${dotf("cc.cv", "un.uv")} / (cc.cn * un.un) DESC, cc.cid ASC) AS rk
          |    FROM un CROSS JOIN c${k - 1}n cc) WHERE rk = 1),
-         |m$k AS (SELECT a.cell, t.j,
+         |m$k AS MATERIALIZED (SELECT a.cell, t.j,
          |    CAST(sum(CAST(floor(un.uv[t.j + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS sq,
          |    count(*) AS cnt
          |  FROM a$k a JOIN un USING (vec_id), unnest(range(64)) AS t(j)
          |  GROUP BY a.cell, t.j),
-         |g$k AS (SELECT cell AS cid,
+         |g$k AS MATERIALIZED (SELECT cell AS cid,
          |    list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / $S ORDER BY j) AS mv
          |  FROM m$k GROUP BY cell),
-         |c$k AS (SELECT c.cid, coalesce(g.mv, c.cv) AS cv
+         |c$k AS MATERIALIZED (SELECT c.cid, coalesce(g.mv, c.cv) AS cv
          |  FROM c${k - 1} c LEFT JOIN g$k g USING (cid)),
-         |c${k}n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c$k)""".stripMargin
+         |c${k}n AS MATERIALIZED (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c$k)""".stripMargin
     private val passes = (1 to IvfLloydIters).map(lloydPass).mkString(",\n")
 
   /** Seeding CTEs, mirroring the engine's [[SeedGreedyMax]] branch: gate k
@@ -387,11 +387,17 @@ object Similarity {
     * historical chain. */
   private def seedCtesFiltered(trainWhere: String): String =
     if (IvfCells <= SeedGreedyMax)
-      s"""smp AS (SELECT vec_id, v, m FROM
+      s"""smp AS MATERIALIZED (SELECT vec_id, v, m FROM
          |  (SELECT vec_id, v, $mixSigned AS m FROM e$trainWhere) ORDER BY m LIMIT ${16 * IvfCells}),
          |-- all pairwise sample cos-dists, precomputed WITHOUT correlation:
          |-- DuckDB lambdas cannot capture correlated outer columns, so the
          |-- recursive step below only does list_contains lookups over this
+         |-- sd must stay NON-materialized: DuckDB 1.0 returns NULL from a
+         |-- correlated subquery inside a recursive CTE when the scanned
+         |-- CTE is MATERIALIZED (seeds collapse after step 1 — measured;
+         |-- an alias over a materialized twin inherits the bug). Every
+         |-- other member of this chain is materialized, which is what
+         |-- collapsed the 34 s inlining blowup to ~3 s.
          |sd AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
          |    1.0 - ${dotf("a.v", "b.v")} / (sqrt(${n2f("a.v")}) * sqrt(${n2f("b.v")})) AS dist
          |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
@@ -407,16 +413,16 @@ object Similarity {
          |  FROM sel s
          |  WHERE s.step < least($IvfCells, (SELECT count(*) FROM smp))
          |),
-         |ch AS (SELECT unnest(ids) AS id
+         |ch AS MATERIALIZED (SELECT unnest(ids) AS id
          |  FROM (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)),
-         |c0 AS (SELECT row_number() OVER (ORDER BY ch.id) - 1 AS cid, p.v AS cv
+         |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY ch.id) - 1 AS cid, p.v AS cv
          |  FROM ch JOIN smp p ON p.vec_id = ch.id)""".stripMargin
     else
-      s"""smp AS (SELECT vec_id, v, m FROM
+      s"""smp AS MATERIALIZED (SELECT vec_id, v, m FROM
          |  (SELECT vec_id, v, $mixSigned AS m FROM e$trainWhere) ORDER BY m LIMIT $IvfCells),
          |-- big-k branch (engine's SeedGreedyMax): seeds are the k
          |-- smallest-mix64 vectors themselves, cells numbered by vec_id
-         |c0 AS (SELECT row_number() OVER (ORDER BY p.vec_id) - 1 AS cid, p.v AS cv
+         |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY p.vec_id) - 1 AS cid, p.v AS cv
          |  FROM smp p)""".stripMargin
 
   /** Shared CTE chain: raw embeddings → deterministic sample → k-means++
@@ -431,17 +437,17 @@ object Similarity {
     * `lloydCentroids(filtered)` + assign-all split. "" reproduces the
     * historical chain byte-for-byte (every existing oracle unchanged). */
   private def ivfCorpusCtesTrainedOn(trainWhere: String): String =
-    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${seedCtesFiltered(trainWhere)},
-       |c0n AS (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c0),
-       |u0 AS (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e$trainWhere),
+       |c0n AS MATERIALIZED (SELECT cid, cv, sqrt(${n2f("cv")}) AS cn FROM c0),
+       |u0 AS MATERIALIZED (SELECT vec_id, v, ${n2f("v")} AS n2 FROM e$trainWhere),
        |u AS (SELECT vec_id,
        |    list_transform(v, x -> x * (CASE WHEN n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n2) END)) AS uv
        |  FROM u0),
-       |un AS (SELECT vec_id, uv, sqrt(${n2f("uv")}) AS un FROM u),
+       |un AS MATERIALIZED (SELECT vec_id, uv, sqrt(${n2f("uv")}) AS un FROM u),
        |$passes,
-       |vv AS (SELECT vec_id, v, sqrt(${n2f("v")}) AS vn FROM e),
-       |asg AS (SELECT vec_id, cell FROM (
+       |vv AS MATERIALIZED (SELECT vec_id, v, sqrt(${n2f("v")}) AS vn FROM e),
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT vv.vec_id, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY vv.vec_id
        |        ORDER BY ${dotf("cc.cv", "vv.v")} / (cc.cn * vv.vn) DESC, cc.cid ASC) AS rk
@@ -867,35 +873,35 @@ object Similarity {
     val S = "1073741824.0" // 2^30 = IvfFixedScale, exact in double
     def l2f(a: String, b: String): String = pqL2f(a, b)
     val passes = (1 to PqIters).map { k =>
-      s"""${x}a$k AS (SELECT vec_id, sub, cell FROM (
+      s"""${x}a$k AS MATERIALIZED (SELECT vec_id, sub, cell FROM (
          |    SELECT su.vec_id, su.sub, cb.cid AS cell,
          |      row_number() OVER (PARTITION BY su.vec_id, su.sub
          |        ORDER BY ${l2f("su.sv", "cb.cv")} ASC, cb.cid ASC) AS rk
          |    FROM ${x}sub su JOIN ${x}cb${k - 1} cb ON cb.sub = su.sub) WHERE rk = 1),
-         |${x}m$k AS (SELECT a.sub, a.cell, t.j,
+         |${x}m$k AS MATERIALIZED (SELECT a.sub, a.cell, t.j,
          |    CAST(sum(CAST(floor(su.sv[t.j + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS sq,
          |    count(*) AS cnt
          |  FROM ${x}a$k a JOIN ${x}sub su ON su.vec_id = a.vec_id AND su.sub = a.sub,
          |       unnest(range($PqDim)) AS t(j)
          |  GROUP BY a.sub, a.cell, t.j),
-         |${x}g$k AS (SELECT sub, cell AS cid,
+         |${x}g$k AS MATERIALIZED (SELECT sub, cell AS cid,
          |    list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / $S ORDER BY j) AS mv
          |  FROM ${x}m$k GROUP BY sub, cell),
-         |${x}cb$k AS (SELECT c.sub, c.cid, coalesce(g.mv, c.cv) AS cv
+         |${x}cb$k AS MATERIALIZED (SELECT c.sub, c.cid, coalesce(g.mv, c.cv) AS cv
          |  FROM ${x}cb${k - 1} c LEFT JOIN ${x}g$k g ON g.sub = c.sub AND g.cid = c.cid)""".stripMargin
     }.mkString(",\n")
-    s"""${x}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${x}smp AS (SELECT vec_id, v FROM
+    s"""${x}e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${x}smp AS MATERIALIZED (SELECT vec_id, v FROM
        |  (SELECT vec_id, v, $mixSigned AS m FROM ${x}e) ORDER BY m LIMIT $PqK),
-       |${x}sub AS (SELECT vec_id, t.sub AS sub,
+       |${x}sub AS MATERIALIZED (SELECT vec_id, t.sub AS sub,
        |    v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS sv
        |  FROM ${x}e, unnest(range($PqSub)) AS t(sub)),
-       |${x}cb0 AS (SELECT t.sub AS sub, s.cid,
+       |${x}cb0 AS MATERIALIZED (SELECT t.sub AS sub, s.cid,
        |    s.v[($PqDim * t.sub + 1):($PqDim * t.sub + $PqDim)] AS cv
        |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM ${x}smp) s,
        |       unnest(range($PqSub)) AS t(sub)),
        |$passes,
-       |${x}fin AS (SELECT vec_id, sub, cell, dist FROM (
+       |${x}fin AS MATERIALIZED (SELECT vec_id, sub, cell, dist FROM (
        |    SELECT su.vec_id, su.sub, cb.cid AS cell,
        |      ${l2f("su.sv", "cb.cv")} AS dist,
        |      row_number() OVER (PARTITION BY su.vec_id, su.sub
