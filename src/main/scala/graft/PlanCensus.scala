@@ -122,6 +122,12 @@ object PlanCensus {
         "crossJoin(broadcast(single-row edge/triangle count aggregates)) assembling the one-row estimator report — the scalar-subquery shape; build sides are exactly 1 row"),
     "graph_components" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: the symmetric edge list is materialized once and HashMin labels are cut every third round (the pageRank idiom)"),
+    "graph_label_prop" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: symmetric edge list + node frame materialized once, plurality labels cut every second round (the pageRank idiom)"),
+    "graph_ppr" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: static degree-annotated edge list + seed-flagged node frame materialized once, ranks cut every third round (inherits graph_pagerank)"),
+    "graph_bfs_layers" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: symmetric edge list materialized once, frontier distance frame cut every second round (the HashMin idiom)"),
     "graph_kcore" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: the peeled edge set is cut every second round so the fixed-round loop keeps an O(1)-deep plan"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->

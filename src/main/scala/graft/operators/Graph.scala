@@ -638,4 +638,237 @@ object Graph {
       |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_deg
       |FROM b GROUP BY side, bucket
       |ORDER BY side, bucket""".stripMargin
+
+  // ------------------------------------------------- label propagation (LPA)
+  /** Fixed synchronous LPA rounds — the [[PrIters]]/[[CcIters]] contract:
+    * a pure function of the input, replayable as a finite CTE chain. */
+  val LpaIters = 6
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the part–supplier link graph ([[pageRank]]'s
+    * symmetric edge set): every node starts as its own label; each round
+    * it adopts the label carried by the PLURALITY of its neighbors, ties
+    * broken toward the smallest label — the deterministic variant
+    * (vanilla LPA breaks ties randomly and is not a function of its
+    * input; a correctness-gated engine cannot ship that).
+    *
+    * Scale shape: one map-side-combined count shuffle per round keyed on
+    * (node, label) + one argmax aggregate keyed on node, against the
+    * once-checkpointed symmetric edge list — O(diameter)-free: the round
+    * count is FIXED, communities stabilize in a handful of rounds on
+    * small-world graphs (Raghavan's observation, independent of |V|).
+    * The argmax is min(struct(-count, label)) — no window, no sort, a
+    * two-level aggregate a 1000-executor run combines map-side. Lineage
+    * cut every 2nd round (the [[pageRankOf]] idiom).
+    *
+    * Output: (node, community) for every node, community = converged
+    * plurality label. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    labelPropagationOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[labelPropagation]] over an arbitrary directed edge frame
+    * (src, dst): symmetrizes, dedups, then runs [[LpaIters]] plurality
+    * rounds. */
+  private[graft] def labelPropagationOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select($"src".as("node")).distinct().localCheckpoint()
+    var lab = nodes.select($"node", $"node".as("lab"))
+    for (k <- 1 to LpaIters) {
+      val counts = und.join(lab, und("src") === lab("node"))
+        .groupBy(und("dst").as("node"), $"lab")
+        .agg(count(lit(1)).as("cnt"))
+      // deterministic plurality: max count, then smallest label —
+      // min over the (−cnt, lab) struct is exactly that ordering
+      lab = counts
+        .groupBy($"node")
+        .agg(min(struct((-$"cnt").as("nc"), $"lab".as("lab"))).as("best"))
+        .select($"node", $"best.lab".as("lab"))
+      if (k % 2 == 0 || k == LpaIters) lab = lab.localCheckpoint()
+    }
+    lab.select($"node", $"lab".as("community"))
+  }
+
+  /** In-JVM reference of the same deterministic LPA, for specs. */
+  private[graft] def labelPropagationLocal(
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to LpaIters) {
+      lab = nbrs.map { case (n, ns) =>
+        val cnt = ns.groupBy(lab).view.mapValues(_.size.toLong)
+        n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  /** DuckDB twin of [[labelPropagation]] — [[LpaIters]] unrolled
+    * MATERIALIZED rounds (each round is referenced by the next round's
+    * count AND carried forward; un-materialized, DuckDB 1.0 re-inlines
+    * the whole history per reference), plurality by
+    * row_number ORDER BY cnt DESC, lab ASC. */
+  val labelPropagationOracle: String = {
+    val iters = (1 to LpaIters).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT node, lab FROM (
+         |    SELECT c.node, c.lab,
+         |      row_number() OVER (PARTITION BY c.node
+         |        ORDER BY c.cnt DESC, c.lab ASC) AS rk
+         |    FROM (SELECT ed.dst AS node, p.lab, count(*) AS cnt
+         |          FROM ed JOIN l${k - 1} p ON ed.src = p.node
+         |          GROUP BY ed.dst, p.lab) c) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |ed AS MATERIALIZED (SELECT src, dst FROM und),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+       |$iters
+       |SELECT node, lab AS community FROM l$LpaIters""".stripMargin
+  }
+
+  // --------------------------------------------- personalized PageRank (PPR)
+  /** PPR iteration count — shorter horizon than global PageRank: the
+    * personalized vector concentrates mass near the seeds and the tail
+    * contributions vanish under integer truncation well before 10. */
+  val PprIters = 8
+  /** Seed selector: part-side nodes whose partkey is ≡ 0 mod [[PprSeedMod]]. */
+  val PprSeedMod = 50L
+
+  /** Personalized PageRank from a seed set (Jeh & Widom 2003; the
+    * related-items / trust-propagation primitive): identical damped-sum
+    * iteration to [[pageRank]] except the teleport mass (1−d)·scale
+    * lands ONLY on seed nodes — rank measures proximity to the seed set
+    * instead of global centrality. Integer micro-units end to end
+    * ([[PrScale]]/[[PrDamp]]), so the fixed-point iterate is bit-exact
+    * on any partitioning and the oracle is an unrolled CTE chain.
+    *
+    * Scale shape: identical to [[pageRankOf]] — the seed indicator rides
+    * the once-checkpointed node frame; per round one join against the
+    * static edge list + one map-side-combined sum shuffle. Output keeps
+    * only nodes with non-zero rank (the reached set), so sink emission
+    * is proportional to the seed neighborhood, not |V|. */
+  def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val edges = und.join(deg, "src").localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+      .withColumn("seed",
+        ($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
+      .localCheckpoint()
+    var ranks = nodes.select($"node",
+      when($"seed", PrScale).otherwise(0L).as("r"))
+    for (k <- 1 to PprIters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(edges("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select($"node",
+          (when($"seed", PrBase).otherwise(0L) +
+            expr(s"($PrDamp * coalesce(c, 0L)) div 100")).as("r"))
+      if (k % 3 == 0 || k == PprIters) ranks = ranks.localCheckpoint()
+    }
+    ranks.filter($"r" > 0).select($"node", $"r".as("ppr_micros"))
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]] — the [[pageRankOracle]]
+    * chain with the teleport mass gated on the seed indicator. */
+  val personalizedPageRankOracle: String = {
+    val iters = (1 to PprIters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(CASE WHEN n.seed THEN $PrBase ELSE 0 END
+         |      + ($PrDamp * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS node, CAST(sum(p.r // ed.outdeg) AS BIGINT) AS c
+         |    FROM ed JOIN r${k - 1} p ON ed.src = p.node GROUP BY ed.dst) s
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+       |ed AS MATERIALIZED (SELECT u.src, u.dst, d.outdeg
+       |  FROM und u JOIN deg d USING (src)),
+       |nodes AS MATERIALIZED (SELECT node,
+       |    node % 2 = 0 AND (node // 2) % $PprSeedMod = 0 AS seed
+       |  FROM (SELECT DISTINCT src AS node FROM und)),
+       |r0 AS (SELECT node, CAST(CASE WHEN seed THEN $PrScale ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |$iters
+       |SELECT node, r AS ppr_micros FROM r$PprIters WHERE r > 0""".stripMargin
+  }
+
+  // ---------------------------------------------- multi-source BFS layers
+  /** BFS hop bound — the [[CcIters]] bounded-horizon contract: output
+    * distances are exact for every node within [[BfsMaxHops]] of a seed,
+    * and nodes farther out are absent BY CONTRACT (documented bounded
+    * reach, the production shape for "N-hop neighborhood of a seed
+    * catalog" queries). */
+  val BfsMaxHops = 6
+
+  /** Multi-source BFS over the part–supplier graph: hop distance from
+    * the [[PprSeedMod]] seed set ([[personalizedPageRank]]'s seeds, so
+    * the two operators describe the same neighborhoods — one by mass,
+    * one by hops). Iterative min-relaxation: dist ← min(dist, min over
+    * in-neighbors dist+1), [[BfsMaxHops]] rounds.
+    *
+    * Scale shape: per round one join of the static edge list against
+    * the CURRENT distance frame + one map-side-combined min shuffle —
+    * the HashMin discipline ([[componentsOf]]); the distance frame only
+    * ever holds REACHED nodes, so early rounds shuffle frontier-sized
+    * frames, not |V|. Lineage cut every 2nd round. */
+  def bfsLayers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bfsLayersOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[bfsLayers]] over an arbitrary directed edge frame (src, dst). */
+  private[graft] def bfsLayersOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var dist = sym.select($"src".as("node")).distinct()
+      .filter(($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
+      .select($"node", lit(0L).as("d"))
+    for (k <- 1 to BfsMaxHops) {
+      val relaxed = sym.join(dist, sym("src") === dist("node"))
+        .select(sym("dst").as("node"), ($"d" + 1L).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy($"node").agg(min($"d").as("d"))
+      if (k % 2 == 0 || k == BfsMaxHops) dist = dist.localCheckpoint()
+    }
+    dist.select($"node", $"d".as("hops"))
+  }
+
+  /** DuckDB twin of [[bfsLayers]] — [[BfsMaxHops]] unrolled MATERIALIZED
+    * min-relaxation rounds (each round referenced twice: carry + relax). */
+  val bfsLayersOracle: String = {
+    val iters = (1 to BfsMaxHops).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT node, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT ed.dst AS node, p.d + 1 AS d
+         |    FROM ed JOIN d${k - 1} p ON ed.src = p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |ed AS MATERIALIZED (SELECT src, dst FROM und),
+       |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS d
+       |  FROM (SELECT DISTINCT src FROM und)
+       |  WHERE src % 2 = 0 AND (src // 2) % $PprSeedMod = 0),
+       |$iters
+       |SELECT node, d AS hops FROM d$BfsMaxHops""".stripMargin
+  }
 }

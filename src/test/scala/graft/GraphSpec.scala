@@ -224,4 +224,55 @@ class GraphSpec extends SparkTestBase {
         assert(sumDeg >= lo, "sum of degrees can't be below one node at lo")
       }
   }
+
+  test("label propagation equals the in-JVM plurality reference; partition-invariant") {
+    // two dense cliques joined by one bridge edge: LPA must separate them
+    val k1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val edges = (k1 ++ k2 :+ ((4L, 10L))).toSeq
+    val want = Graph.labelPropagationLocal(edges)
+    def run(parts: Int) =
+      Graph.labelPropagationOf(spark,
+        edges.toDF("src", "dst").repartition(parts))
+        .as[(Long, Long)].collect().toMap
+    val got = run(2)
+    assert(got === want)
+    assert(run(7) === got)
+    // each clique converges to ONE label, and the two differ
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size === 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size === 1)
+    assert(got(1L) !== got(11L))
+  }
+
+  test("personalized pagerank: mass concentrates at seeds, zero off-component") {
+    val out = Graph.personalizedPageRank(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every emitted rank is positive by contract, and at least one seed
+    // node (part-side, partkey % PprSeedMod == 0) carries the teleport base
+    assert(out.values.forall(_ > 0))
+    val seeds = out.keys.filter(n =>
+      n % 2 == 0 && (n / 2) % Graph.PprSeedMod == 0)
+    assert(seeds.nonEmpty)
+    // a seed's rank includes its own teleport mass: it must exceed the
+    // global minimum emitted rank
+    assert(seeds.map(out).max > out.values.min)
+    // determinism
+    val again = Graph.personalizedPageRank(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(again === out)
+  }
+
+  test("bfs layers: exact hop distances on a hand path; horizon bound honored") {
+    // path 0-2-4-6-...: node 0 is the only seed (0/2 % 50 == 0); node 2k
+    // sits k hops away. Use part-side ids (even) so the seed rule applies.
+    val path = (0L until 9L).map(k => (2 * k, 2 * (k + 1))).toSeq
+    val got = graft.operators.Graph.bfsLayersOf(spark,
+      path.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    // nodes within BfsMaxHops hops carry their exact distance
+    (0 to Graph.BfsMaxHops).foreach { k =>
+      assert(got(2L * k) === k.toLong, s"node ${2 * k}")
+    }
+    // beyond the horizon: absent BY CONTRACT
+    assert(!got.contains(2L * (Graph.BfsMaxHops + 1)))
+  }
 }
