@@ -128,6 +128,12 @@ object PlanCensus {
       "localCheckpoint lineage cuts: static degree-annotated edge list + seed-flagged node frame materialized once, ranks cut every third round (inherits graph_pagerank)"),
     "graph_bfs_layers" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: symmetric edge list materialized once, frontier distance frame cut every second round (the HashMin idiom)"),
+    "graph_hits" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: directed edge list + initial hub frame materialized once, hub/auth frames cut every second round (the pageRank idiom; the per-half-step max-normalization crossJoins land inside the cut subtrees, so no BNLJ survives to the final plan)"),
+    "graph_random_walks" -> Map("ExistingRDD" ->
+      "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
+    "graph_jaccard_neighbors" -> Map("ExistingRDD" ->
+      "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins"),
     "graph_kcore" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: the peeled edge set is cut every second round so the fixed-round loop keeps an O(1)-deep plan"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->

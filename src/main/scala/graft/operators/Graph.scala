@@ -871,4 +871,293 @@ object Graph {
        |$iters
        |SELECT node, d AS hops FROM d$BfsMaxHops""".stripMargin
   }
+
+  // ------------------------------------------------ HITS hubs & authorities
+  /** HITS iteration count — like [[LpaIters]], a fixed horizon so the
+    * operator is a pure function of the input with a finite CTE twin;
+    * hub/authority orderings stabilize within a few rounds on graphs
+    * this diameter. */
+  val HitsIters = 4
+
+  /** HITS (Kleinberg 1999) over the DIRECTED part → supplier link list —
+    * the second classic link-analysis score after [[pageRank]], and the
+    * one that actually fits a bipartite catalog: parts are pure hubs
+    * (they only point), suppliers pure authorities (they only get pointed
+    * at), so the two mutually-recursive scores measure breadth of
+    * sourcing (hub) and breadth of demand (authority).
+    *
+    * Arithmetic is integer micro-units with a MAX-normalization after
+    * every half-step: `score ← raw · 10⁶ div max(raw)` — the max (not
+    * the L2 norm HITS papers use) keeps every operation in BIGINT with
+    * no square root, and rescaling by any positive constant preserves
+    * HITS' fixpoint direction, which is all the score means. Headroom
+    * contract: raw = Σ of ≤10⁶-bounded scores over in-degree, so
+    * `raw · 10⁶` fits int64 while max in-degree ≤ ~9·10⁶ — beyond that a
+    * deployment halves the scale constant (documented, not silently
+    * saturated).
+    *
+    * Scale shape: per half-step one map-side-combined sum shuffle over
+    * the once-checkpointed edge list plus one single-row max aggregate
+    * broadcast back (the scalar-subquery crossJoin shape); lineage cut
+    * every second round. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hitsOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[hits]] over an arbitrary directed edge frame (src, dst). */
+  private[graft] def hitsOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val ed = e0.select($"src", $"dst").distinct().localCheckpoint()
+    def norm(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max($"raw").as("mx"))))
+        .select($"node", expr(s"(raw * ${PrScale}L) div mx").as("score"))
+    var hub = ed.select($"src".as("node")).distinct()
+      .select($"node", lit(PrScale).as("score")).localCheckpoint()
+    var auth: DataFrame = null
+    for (k <- 1 to HitsIters) {
+      auth = norm(ed.join(hub, ed("src") === hub("node"))
+        .groupBy(ed("dst").as("node")).agg(sum($"score").as("raw")))
+      hub = norm(ed.join(auth, ed("dst") === auth("node"))
+        .groupBy(ed("src").as("node")).agg(sum($"score").as("raw")))
+      if (k % 2 == 0 || k == HitsIters) {
+        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
+      }
+    }
+    hub.select($"node", lit("hub").as("kind"), $"score".as("score_micros"))
+      .unionAll(auth.select($"node", lit("authority").as("kind"),
+        $"score".as("score_micros")))
+  }
+
+  /** In-JVM reference of the same integer HITS, for specs. */
+  private[graft] def hitsLocal(
+      edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+    val ed = edges.distinct
+    val out = ed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val in = ed.map(_.swap).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var hub = out.keySet.map(_ -> PrScale).toMap
+    var auth = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => v * PrScale / mx).toMap
+    }
+    for (_ <- 1 to HitsIters) {
+      auth = norm(in.view.mapValues(_.map(hub).sum).toMap)
+      hub = norm(out.view.mapValues(_.map(auth).sum).toMap)
+    }
+    (hub, auth)
+  }
+
+  /** DuckDB twin of [[hits]]: [[HitsIters]] unrolled rounds, two
+    * MATERIALIZED CTEs per half-step (raw sum, then max-normalized),
+    * all-BIGINT with `//` matching `div` on the positive domain. */
+  val hitsOracle: String = {
+    val iters = (1 to HitsIters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT ed.dst AS node,
+         |    CAST(sum(p.score) AS BIGINT) AS raw
+         |  FROM ed JOIN h${k - 1} p ON ed.src = p.node GROUP BY ed.dst),
+         |a$k AS MATERIALIZED (SELECT node,
+         |    CAST((raw * $PrScale) // (SELECT max(raw) FROM ar$k) AS BIGINT) AS score
+         |  FROM ar$k),
+         |hr$k AS MATERIALIZED (SELECT ed.src AS node,
+         |    CAST(sum(p.score) AS BIGINT) AS raw
+         |  FROM ed JOIN a$k p ON ed.dst = p.node GROUP BY ed.src),
+         |h$k AS MATERIALIZED (SELECT node,
+         |    CAST((raw * $PrScale) // (SELECT max(raw) FROM hr$k) AS BIGINT) AS score
+         |  FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (SELECT DISTINCT 2 * l_partkey AS src,
+       |    2 * l_suppkey + 1 AS dst FROM lineitem),
+       |h0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS score
+       |  FROM (SELECT DISTINCT src FROM ed)),
+       |$iters
+       |SELECT node, 'hub' AS kind, score AS score_micros FROM h$HitsIters
+       |UNION ALL
+       |SELECT node, 'authority' AS kind, score AS score_micros FROM a$HitsIters""".stripMargin
+  }
+
+  // ------------------------------------------------ random-walk corpus (DeepWalk)
+  /** Walk length in steps (nodes emitted per walk = steps + 1). */
+  val WalkSteps = 6
+  /** Walks started per seed node. */
+  val WalksPerSeed = 2
+
+  /** Deterministic random-walk corpus over the symmetric part–supplier
+    * graph — the DeepWalk / node2vec TRAINING-DATA generator (Perozzi et
+    * al. 2014): truncated walks from a seed catalog become the
+    * "sentences" a skip-gram embedding trains on. Randomness is the
+    * salted-md5-prefix hash of (walk, step, current node) — the
+    * [[Sampling.trainTestSplitOf]] identity-hash discipline — so the
+    * corpus is a pure function of the graph: re-running, re-partitioning
+    * or re-sharding regenerates byte-identical walks, and the DuckDB twin
+    * replays them exactly (vanilla samplers use rand() and are
+    * unverifiable).
+    *
+    * Each step selects neighbor rank `h % degree` from the CURRENT
+    * node's adjacency ranked by neighbor id — a uniform draw over
+    * neighbors because the md5 prefix is equidistributed far above any
+    * realistic degree.
+    *
+    * Scale shape: the ranked adjacency (one partitioned window over the
+    * symmetric edge list, built ONCE and checkpointed) is the only
+    * super-linear structure; each step is one equi-join of the
+    * |seeds|·[[WalksPerSeed]]-row frontier against it on (src = cur)
+    * with the rank equality as a residual predicate — frontier-sized
+    * shuffles, [[WalkSteps]] rounds, no driver traffic. */
+  def randomWalks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    randomWalksOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[randomWalks]] over an arbitrary directed edge frame (src, dst):
+    * symmetrizes, ranks each node's neighbors, then walks from the
+    * [[PprSeedMod]] seed catalog. */
+  private[graft] def randomWalksOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val adj = und
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
+      .localCheckpoint()
+    val seeds = und.select($"src".as("node")).distinct()
+      .filter(($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
+    var frontier = seeds
+      .crossJoin(walkIndexFrame(s))
+      .select(($"node" * WalksPerSeed + $"w").as("walk_id"), $"node".as("cur"))
+      .localCheckpoint()
+    var visited = frontier.select($"walk_id", lit(0L).as("step"),
+      $"cur".as("node"))
+    for (k <- 1 to WalkSteps) {
+      frontier = frontier.join(adj, frontier("cur") === adj("src") &&
+          adj("rnk") === walkDraw(k) % adj("deg"))
+        .select($"walk_id", adj("dst").as("cur"))
+        .localCheckpoint()
+      visited = visited.unionAll(
+        frontier.select($"walk_id", lit(k.toLong).as("step"),
+          $"cur".as("node")))
+    }
+    visited
+  }
+
+  /** The per-step neighbor draw: salted-md5-prefix of
+    * (walk_id, step, cur) as a non-negative BIGINT — modulo degree at
+    * the join site. */
+  private def walkDraw(step: Int) =
+    expr(s"cast(conv(substring(md5(concat('walk:', cast(walk_id as string), " +
+      s"':', '$step', ':', cast(cur as string))), 1, 8), 16, 10) as bigint)")
+
+  /** The 0..[[WalksPerSeed]]-1 walk index frame. */
+  private def walkIndexFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until WalksPerSeed.toLong).toDF("w")
+  }
+
+  /** DuckDB twin of [[randomWalks]] — ranked adjacency via the same
+    * partitioned window, [[WalkSteps]] unrolled MATERIALIZED frontier
+    * joins replaying the identical md5 draw. */
+  val randomWalksOracle: String = {
+    val iters = (1 to WalkSteps).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT w.walk_id, a.dst AS cur
+         |  FROM w${k - 1} w JOIN adj a ON a.src = w.cur
+         |    AND a.rnk = CAST(('0x' || substr(md5('walk:' ||
+         |      CAST(w.walk_id AS VARCHAR) || ':' || '$k' || ':' ||
+         |      CAST(w.cur AS VARCHAR)), 1, 8)) AS BIGINT) % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to WalkSteps).map { k =>
+      s"SELECT walk_id, CAST($k AS BIGINT) AS step, cur AS node FROM w$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM und),
+       |seeds AS (SELECT DISTINCT src AS node FROM und
+       |  WHERE src % 2 = 0 AND (src // 2) % $PprSeedMod = 0),
+       |w0 AS MATERIALIZED (SELECT node * $WalksPerSeed + w AS walk_id,
+       |    node AS cur
+       |  FROM seeds, (SELECT unnest(range($WalksPerSeed)) AS w)),
+       |$iters
+       |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+       |UNION ALL
+       |$outs""".stripMargin
+  }
+
+  // ------------------------------------- neighbor-Jaccard link prediction
+  /** Wedge-center degree cap: centers with more distinct neighbors than
+    * this contribute NO candidate pairs — the [[BasketCap]] contract
+    * restated for link prediction. Dropping celebrity centers is the
+    * standard move (a hub shared by everyone carries no signal about any
+    * particular pair) and is what bounds the wedge expansion to
+    * O(|centers| · cap²) instead of a hub-degree quadratic. */
+  val JaccCenterCap = 64
+  /** Minimum shared-neighbor count for a reported pair. */
+  val JaccMinCommon = 2
+
+  /** Neighbor-Jaccard link prediction over the symmetric part–supplier
+    * graph (Liben-Nowell &amp; Kleinberg 2003): for node pairs sharing
+    * ≥ [[JaccMinCommon]] neighbors, the Jaccard coefficient of their
+    * neighbor sets in integer micros — the classic "who should be
+    * connected but isn't / which two catalog entries are substitutes"
+    * feature. Candidates come from wedge expansion through shared
+    * centers of degree ≤ [[JaccCenterCap]]; degrees in the denominator
+    * are the FULL uncapped distinct-neighbor degrees, so the score is
+    * exact for every emitted pair — the cap bounds WHICH pairs surface,
+    * never the arithmetic ([[triangleCounts]]' BasketCap contract).
+    *
+    * Scale shape: one distinct edge shuffle, one degree aggregate, the
+    * capped wedge self-join (per-center ≤ cap² pair rows, map-side
+    * expanded), one (a, b) count aggregate, two broadcast-sized degree
+    * joins. No global window, no driver traffic. */
+  def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jaccardNeighborsOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[jaccardNeighbors]] over an arbitrary directed edge frame. */
+  private[graft] def jaccardNeighborsOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+    val small = deg.filter($"deg" <= JaccCenterCap).select($"n".as("c"))
+    val capped = und.join(small, und("src") === small("c"))
+      .select($"c", $"dst".as("nb"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.c") === col("y.c") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter($"common" >= JaccMinCommon)
+    pairs
+      .join(deg.select($"n".as("a"), $"deg".as("deg_a")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("deg_b")), "b")
+      .select($"a", $"b", $"common", $"deg_a", $"deg_b",
+        expr(s"(common * ${PrScale}L) div (deg_a + deg_b - common)")
+          .as("jaccard_micros"))
+  }
+
+  /** DuckDB twin of [[jaccardNeighbors]] — same capped wedge expansion,
+    * full-degree denominators, integer-micro division. */
+  val jaccardNeighborsOracle: String =
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |deg AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY src),
+       |capped AS MATERIALIZED (SELECT u.src AS c, u.dst AS nb
+       |  FROM und u JOIN deg d ON d.n = u.src AND d.deg <= $JaccCenterCap),
+       |pairs AS (SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM capped x JOIN capped y ON x.c = y.c AND x.nb < y.nb
+       |  GROUP BY x.nb, y.nb HAVING count(*) >= $JaccMinCommon)
+       |SELECT p.a, p.b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST((p.common * $PrScale) // (da.deg + db.deg - p.common) AS BIGINT)
+       |    AS jaccard_micros
+       |FROM pairs p JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b""".stripMargin
 }

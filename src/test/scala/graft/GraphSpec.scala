@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Tables
 import graft.operators.Graph
 
 /** Fixed-point PageRank: the distributed iteration must equal the in-JVM
@@ -274,5 +275,75 @@ class GraphSpec extends SparkTestBase {
     }
     // beyond the horizon: absent BY CONTRACT
     assert(!got.contains(2L * (Graph.BfsMaxHops + 1)))
+  }
+
+  test("hits equals the in-JVM integer reference; breadth orders the scores") {
+    // bipartite: hub 1 points at 3 auths, hub 2 at 1; auth 10 pointed at
+    // by both hubs, 11/12 by hub 1 only
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+    val got = Graph.hitsOf(spark, edges.toDF("src", "dst"))
+      .as[(Long, String, Long)].collect()
+      .map { case (n, k, v) => (n, k) -> v }.toMap
+    val (hub, auth) = Graph.hitsLocal(edges)
+    assert(got === (hub.map { case (n, v) => (n, "hub") -> v } ++
+      auth.map { case (n, v) => (n, "authority") -> v }))
+    // the 3-out hub dominates; the doubly-cited auth dominates; the top
+    // score of each side is exactly the scale (max normalization)
+    assert(got((1L, "hub")) === Graph.PrScale)
+    assert(got((1L, "hub")) > got((2L, "hub")))
+    assert(got((10L, "authority")) === Graph.PrScale)
+    assert(got((10L, "authority")) > got((11L, "authority")))
+    assert(got((11L, "authority")) === got((12L, "authority")))
+  }
+
+  test("random walks: every step follows an edge, walk population is exact") {
+    val out = Graph.randomWalks(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val byWalk = out.groupBy(_._1)
+    // seed catalog: part-side nodes with partkey % PprSeedMod == 0; each
+    // seed starts WalksPerSeed walks and the symmetric graph never
+    // dead-ends, so every walk has exactly WalkSteps+1 positions
+    assert(byWalk.nonEmpty)
+    byWalk.foreach { case (w, rows) =>
+      assert(rows.length === Graph.WalkSteps + 1, s"walk $w")
+      assert(rows.map(_._2).sorted === (0L to Graph.WalkSteps).toArray,
+        s"walk $w steps")
+      // step 0 is the seed the walk id encodes
+      val seed = w / Graph.WalksPerSeed
+      assert(rows.find(_._2 == 0L).get._3 === seed)
+    }
+    // each consecutive (step k → k+1) hop is a real graph edge
+    val edges = Tables.lineitem(spark, sf)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    byWalk.values.foreach { rows =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      seq.sliding(2).foreach { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"hop $a -> $b not an edge")
+      }
+    }
+    // determinism: the draw is a pure hash of (walk, step, node)
+    val again = Graph.randomWalks(spark, sf).as[(Long, Long, Long)].collect()
+    assert(again.sorted === out.sorted)
+  }
+
+  test("jaccard neighbors: exact scores on a hand graph; hub centers add no pairs") {
+    // square 1-2-3-4 (neighbors(1)={2,4}, neighbors(3)={2,4} → J(1,3)=1)
+    // plus a pendant 5 on 2: neighbors(2)={1,3,5}, neighbors(4)={1,3}
+    // → J(2,4) = 2/3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L))
+    val got = Graph.jaccardNeighborsOf(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L))._6 === Graph.PrScale)        // identical sets
+    assert(got((2L, 4L))._3 === 2L)                   // common = {1, 3}
+    assert(got((2L, 4L))._6 === 2L * Graph.PrScale / 3L)
+    // a center above the cap contributes no candidate pairs: star hub 100
+    // with JaccCenterCap+1 leaves yields nothing (leaves share only the hub)
+    val star = (1L to (Graph.JaccCenterCap + 1).toLong).map(k => (100L, 200L + k))
+    val none = Graph.jaccardNeighborsOf(spark, star.toDF("src", "dst"))
+    assert(none.count() === 0L)
   }
 }
