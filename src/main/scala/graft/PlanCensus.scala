@@ -134,6 +134,8 @@ object PlanCensus {
       "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
     "graph_jaccard_neighbors" -> Map("ExistingRDD" ->
       "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins"),
+    "events_attribution" -> Map("ExistingRDD" ->
+      "localCheckpoint of the per-purchase touch summary — feeds three model branches plus the direct-purchase anti-join"),
     "graph_kcore" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: the peeled edge set is cut every second round so the fixed-round loop keeps an O(1)-deep plan"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->

@@ -297,4 +297,182 @@ object Events {
       |  count(*) AS n_users
       |FROM ud JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------- multi-touch attribution
+  /** Attribution lookback window in days: touches earlier than this
+    * before the purchase carry no credit. */
+  val AttribWindowDays = 7
+  /** Touch event classes eligible for credit. */
+  val AttribTouchTypes: Seq[String] = Seq("view", "click")
+
+  /** Multi-touch revenue attribution — which touch class (view / click)
+    * "caused" each purchase, under the three standard models at once:
+    * first-touch, last-touch, and linear (even split). The marketing
+    * query every clickstream warehouse answers weekly, and structurally
+    * the credit-assignment shape (conversion joined back to its causal
+    * window) that data-pipeline lineage auditing reuses.
+    *
+    * Contract: a purchase's touches are the user's view/click events in
+    * `[purchase − `[[AttribWindowDays]]`d, purchase)`. First/last are
+    * picked by the total order (ts, event_id) — no timestamp-tie
+    * nondeterminism. Money is exact integer cents; the linear split is
+    * `cents div n` per touch with the remainder assigned to the LAST
+    * touch, so every model credits EXACTLY the purchase total (the
+    * [[graft.operators.Corpus.epochPlan]] budget-exhaustion discipline).
+    * Purchases with no touch in the window credit a 'direct' pseudo-class
+    * under every model.
+    *
+    * Output: (model, touch_type, credited_cents, n_purchases), ≤ 3·3
+    * rows.
+    *
+    * Scale shape: one user-keyed equi-join with the window as a residual
+    * range predicate (the [[RangeJoin]] class — per-user candidate
+    * volume is bounded by the 7-day window, not total history), then
+    * purchase-keyed aggregates (map-side combined) and a ≤ 9-row final
+    * aggregate. No global window, no driver traffic. */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(Tables.events(s, d))
+
+  private[graft] def attributionOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val touches = ev0.filter($"event_type".isin(AttribTouchTypes: _*))
+      .select($"user_id", $"ts".as("tts"), $"event_id".as("tid"),
+        $"event_type".as("ttype"))
+    val purch = ev0.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"event_id".as("pid"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cand = purch.join(touches, "user_id")
+      .filter($"tts" < $"pts" &&
+        $"tts" >= $"pts" - expr(s"INTERVAL $AttribWindowDays DAYS"))
+    // per purchase: touch count, first/last touch class by (ts, id)
+    val per = cand.groupBy($"pid").agg(
+        count(lit(1)).as("n"), min($"cents").as("cents"),
+        min_by($"ttype", struct($"tts", $"tid")).as("first_type"),
+        max_by($"ttype", struct($"tts", $"tid")).as("last_type"))
+      .localCheckpoint() // feeds three models + the anti-join
+    val byType = cand.groupBy($"pid", $"ttype").agg(count(lit(1)).as("cnt"))
+    val linear = byType.join(per, "pid")
+      .select(lit("linear").as("model"), $"ttype".as("touch_type"),
+        ($"cnt" * expr("cents div n") +
+          when($"ttype" === $"last_type",
+            $"cents" - $"n" * expr("cents div n")).otherwise(0L)).as("credit"))
+    val firstM = per.select(lit("first").as("model"),
+      $"first_type".as("touch_type"), $"cents".as("credit"))
+    val lastM = per.select(lit("last").as("model"),
+      $"last_type".as("touch_type"), $"cents".as("credit"))
+    val direct = purch.join(per.select($"pid"), Seq("pid"), "left_anti")
+    val directM = Seq("first", "last", "linear").map { m =>
+      direct.select(lit(m).as("model"), lit("direct").as("touch_type"),
+        $"cents".as("credit"))
+    }.reduce(_ unionAll _)
+    // (pid, touch_type) is unique within each model, so row count IS the
+    // purchase count per cell — no countDistinct expand needed
+    linear.unionAll(firstM).unionAll(lastM).unionAll(directM)
+      .groupBy($"model", $"touch_type")
+      .agg(sum($"credit").as("credited_cents"),
+        count(lit(1)).as("n_purchases"))
+  }
+
+  /** DuckDB twin of [[attribution]] — same window join; first/last via
+    * row_number over (ts, event_id) (≡ min_by/max_by on the unique
+    * order), same exact-total linear split. */
+  val attributionOracle: String =
+    s"""WITH purch AS (SELECT event_id AS pid, user_id, ts AS pts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |cand AS MATERIALIZED (SELECT p.pid, p.cents, t.event_id AS tid,
+       |    t.ts AS tts, t.event_type AS ttype
+       |  FROM purch p JOIN events t ON t.user_id = p.user_id
+       |  WHERE t.event_type IN (${AttribTouchTypes.map("'" + _ + "'").mkString(", ")})
+       |    AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL $AttribWindowDays DAY),
+       |rk AS (SELECT pid, cents, ttype,
+       |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf,
+       |    row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl
+       |  FROM cand),
+       |per AS MATERIALIZED (SELECT pid,
+       |    CAST(count(*) AS BIGINT) AS n, min(cents) AS cents,
+       |    min(CASE WHEN rf = 1 THEN ttype END) AS first_type,
+       |    min(CASE WHEN rl = 1 THEN ttype END) AS last_type
+       |  FROM rk GROUP BY pid),
+       |bytype AS (SELECT pid, ttype, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cand GROUP BY pid, ttype),
+       |linear AS (SELECT 'linear' AS model, b.ttype AS touch_type,
+       |    b.cnt * (p.cents // p.n) + CASE WHEN b.ttype = p.last_type
+       |      THEN p.cents - p.n * (p.cents // p.n) ELSE 0 END AS credit
+       |  FROM bytype b JOIN per p USING (pid)),
+       |firsts AS (SELECT 'first', first_type, cents FROM per),
+       |lasts AS (SELECT 'last', last_type, cents FROM per),
+       |direct AS (SELECT p.pid, p.cents FROM purch p
+       |  WHERE p.pid NOT IN (SELECT pid FROM per)),
+       |directm AS (SELECT m.model, 'direct' AS touch_type, d.cents AS credit
+       |  FROM direct d, (SELECT unnest(['first', 'last', 'linear']) AS model) m),
+       |credits AS (SELECT * FROM linear UNION ALL SELECT * FROM firsts
+       |  UNION ALL SELECT * FROM lasts UNION ALL SELECT * FROM directm)
+       |SELECT model, touch_type, CAST(sum(credit) AS BIGINT) AS credited_cents,
+       |  CAST(count(*) AS BIGINT) AS n_purchases
+       |FROM credits GROUP BY model, touch_type""".stripMargin
+
+  // ------------------------------------------------- cohort LTV curves
+  /** Cohort lifetime-value curves: users cohorted by the WEEK of their
+    * first signup event (Monday-start `date_trunc('week')`, identical in
+    * both engines); for each (cohort_week, age_weeks) cell, the distinct
+    * buyers, exact purchase cents, and the running cumulative — the LTV
+    * curve finance reads next after [[retentionCohorts]]'s activity
+    * matrix. Weekly (not monthly) granularity because the corpus clock
+    * is what it is — the cells must actually tile the data's span.
+    *
+    * Week age is integer: both endpoints are week-start dates, so the
+    * day difference is an exact multiple of 7 and `div 7` is exact.
+    * Money is integer cents; the cumulative is a window over the BOUNDED
+    * (cohort × age) cell frame — partitioned by cohort, so no
+    * single-partition window however large the event volume.
+    *
+    * Scale shape: one groupBy-user signup aggregate, one user-keyed join
+    * onto purchases (co-partitioned), one (cohort, age) cell aggregate
+    * with a distinct-buyer count, then the window over ≤ |weeks|² cells. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame =
+    cohortLtvOf(Tables.events(s, d))
+
+  private[graft] def cohortLtvOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sign = ev0.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("st"))
+      .select($"user_id", to_date(date_trunc("week", $"st")).as("cw"))
+    val pur = ev0.filter($"event_type" === "purchase")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("pw"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cells = pur.join(sign, "user_id").filter($"pw" >= $"cw")
+      .select($"cw".as("cohort_week"),
+        expr("datediff(pw, cw) div 7").as("age_weeks"),
+        $"cents", $"user_id")
+      .groupBy($"cohort_week", $"age_weeks")
+      .agg(countDistinct($"user_id").as("buyers"),
+        sum($"cents").as("revenue_cents"))
+    cells.withColumn("cum_revenue_cents",
+      sum($"revenue_cents").over(Window.partitionBy($"cohort_week")
+        .orderBy($"age_weeks")))
+  }
+
+  /** DuckDB twin of [[cohortLtv]] — same Monday-start weeks, integer
+    * week ages, cents, and partitioned running sum. */
+  val cohortLtvOracle: String =
+    """WITH sign AS (SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |pur AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS pw,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |cells AS (SELECT s.cw AS cohort_week,
+      |    CAST(date_diff('day', s.cw, p.pw) // 7 AS BIGINT) AS age_weeks,
+      |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS buyers,
+      |    CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+      |  FROM pur p JOIN sign s USING (user_id) WHERE p.pw >= s.cw
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, age_weeks, buyers, revenue_cents,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+      |    ORDER BY age_weeks) AS BIGINT) AS cum_revenue_cents
+      |FROM cells""".stripMargin
 }

@@ -134,4 +134,63 @@ class EventsSpec extends SparkTestBase {
       ("2026-01-02", 0, 1L),
     ))
   }
+
+  test("attribution: exact-total credit under all three models") {
+    val ev = Seq(
+      // user 1: view, view, click, then a 10.00 purchase — first=view,
+      // last=click; linear over 3 touches: 1000 div 3 = 333 each, the
+      // remainder 1 rides the LAST touch's class
+      (1L, 1L, "view", ts("2026-01-01 10:00:00"), 0.0),
+      (2L, 1L, "view", ts("2026-01-01 11:00:00"), 0.0),
+      (3L, 1L, "click", ts("2026-01-01 12:00:00"), 0.0),
+      (4L, 1L, "purchase", ts("2026-01-01 13:00:00"), 10.0),
+      // user 2: only an out-of-window view (8 days before) — 'direct'
+      (5L, 2L, "view", ts("2026-01-01 00:00:00"), 0.0),
+      (6L, 2L, "purchase", ts("2026-01-09 00:00:01"), 5.0),
+      // user 3: a view AFTER the purchase — no credit, 'direct'
+      (7L, 3L, "purchase", ts("2026-01-05 00:00:00"), 2.5),
+      (8L, 3L, "view", ts("2026-01-05 00:00:01"), 0.0),
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.attributionOf(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("first", "view")) === ((1000L, 1L)))
+    assert(got(("last", "click")) === ((1000L, 1L)))
+    assert(got(("linear", "view")) === ((666L, 1L)))  // 2 × 333
+    assert(got(("linear", "click")) === ((334L, 1L))) // 333 + remainder 1
+    // untouched purchases: 500 + 250 cents direct under every model
+    Seq("first", "last", "linear").foreach { m =>
+      assert(got((m, "direct")) === ((750L, 2L)), m)
+    }
+    // every model credits EXACTLY the purchase total
+    val totals = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    assert(totals === Map("first" -> 1750L, "last" -> 1750L, "linear" -> 1750L))
+  }
+
+  test("cohort LTV: weekly cells, exact cents, cumulative curve") {
+    val ev = Seq(
+      // user 1 signs up Wed Jan 7 (week of Mon Jan 5); buys 1.00 that
+      // week and 2.00 two weeks later
+      (1L, 1L, "signup", ts("2026-01-07 09:00:00"), 0.0),
+      (2L, 1L, "purchase", ts("2026-01-09 10:00:00"), 1.0),
+      (3L, 1L, "purchase", ts("2026-01-21 10:00:00"), 2.0),
+      // user 2, same cohort week, buys 4.00 in week 2
+      (4L, 2L, "signup", ts("2026-01-05 00:00:00"), 0.0),
+      (5L, 2L, "purchase", ts("2026-01-22 00:00:00"), 4.0),
+      // user 3: purchase but NO signup — excluded entirely
+      (6L, 3L, "purchase", ts("2026-01-09 00:00:00"), 99.0),
+      // user 4: purchase BEFORE the signup week — excluded by pw >= cw
+      (7L, 4L, "purchase", ts("2026-01-01 00:00:00"), 50.0),
+      (8L, 4L, "signup", ts("2026-01-14 00:00:00"), 0.0),
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.cohortLtvOf(ev)
+      .selectExpr("CAST(cohort_week AS STRING)", "age_weeks", "buyers",
+        "revenue_cents", "cum_revenue_cents")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2026-01-05", 0L, 1L, 100L, 100L),
+      ("2026-01-05", 2L, 2L, 600L, 700L),
+    ))
+  }
 }
