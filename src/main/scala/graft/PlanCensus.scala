@@ -136,6 +136,11 @@ object PlanCensus {
       "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins"),
     "events_attribution" -> Map("ExistingRDD" ->
       "localCheckpoint of the per-purchase touch summary — feeds three model branches plus the direct-purchase anti-join"),
+    "embed_matryoshka_report" -> Map(
+      "ExistingRDD" ->
+        "localCheckpoints: the full-width truth pairs and each per-width scored frame are materialized once and reused by the rank leg and the delta leg",
+      "BroadcastNestedLoopJoin" ->
+        "per-width brute scoring leg BY DESIGN (the annBruteTopK class): broadcast side is NumQueries rows with an inequality predicate; this is an offline eval report — production swaps in the IVF probe ring per width"),
     "graph_kcore" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: the peeled edge set is cut every second round so the fixed-round loop keeps an O(1)-deep plan"),
     "text_nb_quality" -> Map("BroadcastNestedLoopJoin" ->

@@ -1807,4 +1807,60 @@ object Dedup {
        |       ELSE n_common * 1000000 // n_exact END AS lsh_recall_micros
        |FROM agg ORDER BY t_micros""".stripMargin
   }
+
+  // ----------------------------------------- entity resolution (record linkage)
+  /** Maximum edit distance for an ER candidate pair to be reported as a
+    * match. */
+  val ErMaxDist = 1
+
+  /** Blocked entity resolution over the customer master — record linkage
+    * (Fellegi &amp; Sunter 1969; Christen 2012's blocking survey): find
+    * customer records that are probably the SAME real-world entity under
+    * a typo'd name. The pipeline shape every MDM / CRM dedup runs:
+    * block on cheap structured attributes, pairwise-compare only within
+    * blocks, score with an edit distance.
+    *
+    * Blocking contract: candidates share (c_nationkey, c_mktsegment) —
+    * pairs differing in either attribute are NOT compared, by design
+    * (the standard ER trade: blocking recall is a modeling choice, and
+    * the block key bounds the quadratic). Match = Levenshtein ≤
+    * [[ErMaxDist]] on the name — integer-exact, identical DP in Spark
+    * and DuckDB, no similarity-score float anywhere.
+    *
+    * Scale shape: one self-join keyed on the block attributes (shuffle
+    * both sides on the block key, per-block pair expansion bounded by
+    * the block-size distribution — balanced here by construction;
+    * a skewed master would sub-block on a name prefix the way
+    * [[minhashLshPairs]] caps buckets), canonical a &lt; b dedup, then
+    * the edit-distance filter runs INSIDE the join before anything
+    * shuffles again. Output is the sparse match set. */
+  def erBlockedMatches(s: SparkSession, d: String): DataFrame =
+    erBlockedMatchesOf(Tables.customer(s, d))
+
+  private[graft] def erBlockedMatchesOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val c = cust.select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment")
+    val a = c.select($"c_custkey".as("a_key"), $"c_name".as("a_name"),
+      $"c_nationkey".as("nationkey"), $"c_mktsegment".as("segment"))
+    val b = c.select($"c_custkey".as("b_key"), $"c_name".as("b_name"),
+      $"c_nationkey".as("nationkey"), $"c_mktsegment".as("segment"))
+    a.join(b, Seq("nationkey", "segment"))
+      .filter($"a_key" < $"b_key" &&
+        levenshtein($"a_name", $"b_name") <= ErMaxDist)
+      .select($"a_key", $"b_key", $"nationkey", $"segment",
+        levenshtein($"a_name", $"b_name").cast("long").as("lev_dist"))
+  }
+
+  /** DuckDB twin of [[erBlockedMatches]] — same block key, canonical
+    * order, and integer Levenshtein threshold. */
+  val erBlockedMatchesOracle: String =
+    s"""SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       |  a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist
+       |FROM customer a JOIN customer b
+       |  ON a.c_nationkey = b.c_nationkey
+       |  AND a.c_mktsegment = b.c_mktsegment
+       |  AND a.c_custkey < b.c_custkey
+       |WHERE levenshtein(a.c_name, b.c_name) <= $ErMaxDist""".stripMargin
 }

@@ -1879,4 +1879,100 @@ object Similarity {
        |$rounds
        |SELECT pos, w FROM w$PowerIters ORDER BY pos""".stripMargin
   }
+
+  // ------------------------------------------- Matryoshka truncation report
+  /** Prefix dimensions evaluated by [[matryoshkaReport]]; the last entry
+    * is the full width (its row is the internal control: recall 10⁶,
+    * delta 0). */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation-quality report (Kusupati et al. 2022, MRL):
+    * how much ANN quality survives truncating the embedding to its
+    * first-d prefix — the sizing table a deployment reads before
+    * choosing a cheap prefix index over the full vectors. Per prefix
+    * width: recall@[[TopK]] of the truncated brute ranking against the
+    * full-width truth, and the mean |Δcosine| over the truth pairs, both
+    * in integer micros (each cosine is snapped to micros BEFORE the
+    * subtraction, so the deltas are integer arithmetic with no float-
+    * association edge; ranking uses the [[annBruteTopK]] round-6dp +
+    * vec_id total order).
+    *
+    * Scale shape: per width one brute scoring pass (broadcast
+    * [[NumQueries]]-row query side over the corpus — the annBrute
+    * class, BY DESIGN for an offline eval report; a production index
+    * swaps in the IVF probe ring per width), each checkpointed and
+    * reused by the rank leg and the delta leg; output is
+    * |[[MrlDims]]| rows. */
+  def matryoshkaReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftFunctions.dot
+    val base = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
+    def scoredAt(dim: Int): DataFrame = {
+      val e = base.select($"vec_id", slice($"v0", 1, dim).as("v"))
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          (dot($"qv", $"v") / expr("nullif(qnorm * norm, 0.0d)")).as("sim"))
+    }
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"query_id")
+        .orderBy(round($"sim", 6).desc, $"neighbor_id".asc)
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+    }
+    val truth = topk(scoredAt(MrlDims.last))
+      .select($"query_id", $"neighbor_id",
+        expr("CAST(round(sim * 1000000) AS BIGINT)").as("sim_micros_full"))
+      .localCheckpoint()
+    MrlDims.map { dim =>
+      val sc = scoredAt(dim).localCheckpoint() // feeds the rank + delta legs
+      val ov = topk(sc).join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("overlap"))
+      val dl = sc.select($"query_id", $"neighbor_id",
+          expr("CAST(round(sim * 1000000) AS BIGINT)").as("sim_micros"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(sum(abs($"sim_micros" - $"sim_micros_full")).as("delta_sum"),
+          count(lit(1)).as("n"))
+      ov.crossJoin(dl).select(lit(dim).as("dim"),
+        expr(s"CAST((overlap * 1000000) div ${NumQueries * TopK} AS BIGINT)")
+          .as("recall_micros"),
+        expr("CAST(delta_sum div n AS BIGINT)").as("avg_abs_delta_micros"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[matryoshkaReport]] — per width the same sliced
+    * brute scoring, round-6dp ranking, micro-snapped deltas. */
+  val matryoshkaReportOracle: String = {
+    val dims = MrlDims.map { d =>
+      s"""e$d AS MATERIALIZED (SELECT vec_id, list_slice(v, 1, $d) AS v,
+         |    sqrt(list_dot_product(list_slice(v, 1, $d), list_slice(v, 1, $d)))
+         |      AS norm FROM e),
+         |s$d AS MATERIALIZED (SELECT q.vec_id AS query_id,
+         |    n.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, n.v) / nullif(q.norm * n.norm, 0) AS sim
+         |  FROM e$d n CROSS JOIN (SELECT * FROM e$d WHERE vec_id < $NumQueries) q
+         |  WHERE n.vec_id <> q.vec_id),
+         |t$d AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micros
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rk FROM s$d)
+         |  WHERE rk <= $TopK)""".stripMargin
+    }.mkString(",\n")
+    val rows = MrlDims.map { d =>
+      s"""SELECT $d AS dim,
+         |  CAST((SELECT count(*) FROM t$d x
+         |      JOIN t${MrlDims.last} f USING (query_id, neighbor_id))
+         |    * 1000000 // ${NumQueries * TopK} AS BIGINT) AS recall_micros,
+         |  CAST((SELECT sum(abs(CAST(round(s.sim * 1000000) AS BIGINT)
+         |        - f.sim_micros)) // count(*)
+         |      FROM s$d s JOIN t${MrlDims.last} f USING (query_id, neighbor_id))
+         |    AS BIGINT) AS avg_abs_delta_micros""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$dims
+       |$rows""".stripMargin
+  }
 }

@@ -1302,4 +1302,58 @@ object TextOps {
       |      ELSE best.l END AS pred_lang,
       | lang AS actual_lang
       |FROM m""".stripMargin
+
+  // ---------------------------------------------- character-class profile
+  /** Per-document character-class census — the script/encoding sibling of
+    * [[langId]]: how much of each document is letters, digits,
+    * whitespace, or other (punctuation, control, non-ASCII). The
+    * cheapest corpus-hygiene signal there is: mojibake, binary spill,
+    * markup soup, and number dumps all show up as an out-of-family
+    * `other`/`digit` ratio before any tokenizer runs — C4 and Gopher
+    * both gate on exactly these shapes (alpha-ratio, symbol-ratio
+    * rules).
+    *
+    * Counting is by class-complement regex deletion (`length(text) −
+    * length(regexp_replace(text, class, ''))`), all-integer; ratios are
+    * integer micros over the total, so both engines agree bit-for-bit.
+    * Scale shape: map-only — one projection over the scan, no shuffle,
+    * no state; the class regexes are codegen'd string ops. */
+  def charclassProfile(s: SparkSession, d: String): DataFrame =
+    charclassProfileOf(Tables.documents(s, d))
+
+  private[graft] def charclassProfileOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def kept(cls: String) = length(regexp_replace($"text", s"[^$cls]", ""))
+    docs.select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        kept("a-zA-Z").cast("long").as("n_alpha"),
+        kept("0-9").cast("long").as("n_digit"),
+        kept(" \\t\\n\\r").cast("long").as("n_space"))
+      .withColumn("n_other", $"n_chars" - $"n_alpha" - $"n_digit" - $"n_space")
+      .withColumn("alpha_ratio_micros",
+        expr("(n_alpha * 1000000) div nullif(n_chars, 0)"))
+      .withColumn("other_ratio_micros",
+        expr("(n_other * 1000000) div nullif(n_chars, 0)"))
+  }
+
+  /** DuckDB twin of [[charclassProfile]] — same complement-deletion
+    * counts (the `'g'` flag makes regexp_replace replace-all, matching
+    * Spark's default). */
+  val charclassProfileOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+      |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |    - length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_other,
+      |  CAST((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000)
+      |    // nullif(length(text), 0) AS BIGINT) AS alpha_ratio_micros,
+      |  CAST(((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |      - length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |      - length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))) * 1000000)
+      |    // nullif(length(text), 0) AS BIGINT) AS other_ratio_micros
+      |FROM documents""".stripMargin
 }

@@ -503,4 +503,24 @@ class DedupSpec extends SparkTestBase {
     // df-prune missed — on this corpus there are none (pair-parity test)
     assert(got.forall(_._6 == 0L))
   }
+
+  test("ER blocked matches: block gates comparison, edit threshold exact, canonical order") {
+    import spark.implicits._
+    val cust = Seq(
+      // same block (nation 1, AUTO), distance 1 → match
+      (1L, "Customer#000000001", 1, "AUTO"),
+      (2L, "Customer#000000002", 1, "AUTO"),
+      // identical name but DIFFERENT nation → blocked out, no pair
+      (3L, "Customer#000000001", 2, "AUTO"),
+      // same block but distance 2 → below threshold, no pair
+      (4L, "Customer#000000345", 1, "AUTO"),
+      // same nation, different segment → blocked out
+      (5L, "Customer#000000001", 1, "HOUSE"),
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val got = graft.operators.Dedup.erBlockedMatchesOf(cust)
+      .as[(Long, Long, Int, String, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1, "AUTO", 1L)))
+    // canonical a < b: no mirror row ever
+    assert(got.forall(p => p._1 < p._2))
+  }
 }

@@ -565,4 +565,24 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
     assert(again.toSeq === got.map(_.toLong).toSeq)
   }
+
+  test("matryoshka report: full-width control row exact, values bounded, deterministic") {
+    val got = Similarity.matryoshkaReport(spark, sf)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Similarity.MrlDims)
+    // the full-width row is the internal control: truncation at the full
+    // dimension changes nothing, so recall is exactly 1.0 and delta 0
+    val control = got.last
+    assert(control._2 === 1000000L)
+    assert(control._3 === 0L)
+    // every row is a valid (recall, delta) pair
+    got.foreach { case (dim, rec, dl) =>
+      assert(rec >= 0L && rec <= 1000000L, s"dim $dim recall")
+      assert(dl >= 0L, s"dim $dim delta")
+    }
+    // the report is a pure function of the corpus
+    val again = Similarity.matryoshkaReport(spark, sf)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
 }

@@ -584,4 +584,23 @@ class TextSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Int)].collect().toSet
     assert(got.toSet === want)
   }
+
+  test("charclass profile: exact class counts, conservation, empty-doc nulls") {
+    val docs = Seq(
+      (1L, "ab1 ?"),        // 2 alpha, 1 digit, 1 space, 1 other
+      (2L, ""),             // empty: all zero, ratios NULL
+      (3L, "aaaa"),         // pure alpha: ratio exactly 10^6
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.charclassProfileOf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 5L, 2L, 1L, 1L, 1L, Some(400000L), Some(200000L))))
+    assert(got(2L) === ((2L, 0L, 0L, 0L, 0L, 0L, None, None)))
+    assert(got(3L) === ((3L, 4L, 4L, 0L, 0L, 0L, Some(1000000L), Some(0L))))
+    // conservation holds on the corpus profile too: classes tile the text
+    val corpus = graft.operators.TextOps.charclassProfile(spark, sf)
+      .selectExpr("n_chars - n_alpha - n_digit - n_space - n_other AS slack")
+      .as[Long].collect()
+    assert(corpus.forall(_ == 0L))
+  }
 }
