@@ -851,6 +851,91 @@ object Corpus {
       |  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_micros
       |FROM c GROUP BY source, n ORDER BY source, n""".stripMargin
 
+  // ---------------------------------------------- test-set n-gram novelty
+  /** Per-test-document n-gram novelty against the train split — the
+    * memorization-risk audit (Lee et al. 2022's dedup paper framing,
+    * inverted): for every document the [[Sampling.trainTestSplitOf]]
+    * identity hash puts in `test`, what fraction of its DISTINCT word
+    * trigrams never occurs anywhere in `train`? A near-zero novelty says
+    * the holdout is contaminated by (or templated from) training text
+    * and its eval numbers measure memory, not generalization —
+    * [[Dedup.contamination]] answers "which docs overlap"; this scores
+    * HOW MUCH of each holdout doc is old material, per doc, in exact
+    * integer micros.
+    *
+    * Test docs with fewer than 3 tokens have no trigram: reported with
+    * `n_grams` 0 and NULL novelty (no fabricated 0%/100%).
+    *
+    * Scale shape: trigrams form map-side ([[ngramDiversity]]'s
+    * zip_with-over-slices idiom, one scan), dedup per doc, then ONE
+    * gram-keyed left join of test-doc grams against the distinct train
+    * vocabulary — hash-partitioned on gram, so the vocabulary never
+    * materializes anywhere whole — and a doc-keyed count aggregate.
+    * The test-doc row base rides a broadcast-sized split projection. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, d))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val split = Sampling.trainTestSplitOf(docs).select($"doc_id", $"split")
+    val grams = docs
+      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("g2", expr(
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |         slice(t, 2, greatest(size(t) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("g3", expr(
+        """zip_with(slice(g2, 1, greatest(size(t) - 2, 0)),
+          |         slice(t, 3, greatest(size(t) - 2, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .select($"doc_id", explode($"g3").as("gram")).distinct()
+      .join(split, "doc_id")
+    val trainVocab = grams.filter($"split" === "train")
+      .select($"gram").distinct()
+    val marked = grams.filter($"split" === "test")
+      .join(trainVocab.withColumn("seen", lit(1)), Seq("gram"), "left")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_grams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+    split.filter($"split" === "test").select($"doc_id")
+      .join(marked, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+      .withColumn("novelty_micros",
+        expr("(n_novel * 1000000) div nullif(n_grams, 0)"))
+  }
+
+  /** DuckDB twin of [[ngramNovelty]] — same salted-md5 split, same
+    * 1-based-range trigrams, same distinct-gram anti-join arithmetic. */
+  val ngramNoveltyOracle: String = {
+    import Sampling.{SplitBuckets, SplitTrainLt, SplitValidLt}
+    s"""WITH sp AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+       |    CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % $SplitBuckets < $SplitTrainLt THEN 'train'
+       |      WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % $SplitBuckets < $SplitValidLt THEN 'valid'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM sp)),
+       |tv AS MATERIALIZED (SELECT DISTINCT g.gram
+       |  FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+       |tg AS (SELECT g.doc_id, g.gram
+       |  FROM g JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+       |agg AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN tv.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM tg LEFT JOIN tv USING (gram) GROUP BY tg.doc_id)
+       |SELECT s.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+       |  coalesce(a.n_novel, 0) AS n_novel,
+       |  CAST((coalesce(a.n_novel, 0) * 1000000)
+       |    // nullif(coalesce(a.n_grams, 0), 0) AS BIGINT) AS novelty_micros
+       |FROM (SELECT doc_id FROM sp WHERE split = 'test') s
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------ hybrid RRF retrieval
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion (Cormack,
     * Clarke & Büttcher 2009, "Reciprocal Rank Fusion outperforms Condorcet

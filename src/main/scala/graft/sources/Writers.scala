@@ -62,6 +62,38 @@ object Writers {
   val jsonlRoundtripOracle: String =
     "SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents"
 
+  private[graft] def csvRoundtripOf(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+  }
+
+  /** Gate query: round-trip the events table's hostile columns through
+    * CSV and digest the result — `props` is embedded JSON full of the
+    * delimiter, quotes, and braces, so this is the quoting/escaping
+    * torture test for the CSV source (the [[jsonlRoundtrip]] contract
+    * applied to the second interchange format every pipeline still
+    * ingests). Money is re-emitted as exact integer cents so the double
+    * column's text round-trip never meets a float comparison.
+    *
+    * Scale shape: the CSV write/read is partition-parallel both ways
+    * (splittable uncompressed CSV); the digest projection is map-only. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Paths.get("target", "csv_rt",
+      java.lang.Long.toHexString(System.nanoTime())).toString
+    val src = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+    csvRoundtripOf(src, path)
+      .select(col("event_id"), col("event_type"),
+        md5(col("props")).as("props_md5"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+  }
+
+  /** DuckDB twin of [[csvRoundtrip]] — the parquet originals; equality
+    * proves no row, quote, or digit was harmed in the CSV leg. */
+  val csvRoundtripOracle: String =
+    """SELECT event_id, event_type, md5(props) AS props_md5,
+      |  CAST(round(value * 100) AS BIGINT) AS value_cents FROM events""".stripMargin
+
   // ------------------------------------------------------ Z-order layout
   /** Bits interleaved per dimension: each column is first normalized
     * into 2^[[ZBits]] equal-width buckets over its observed range, so

@@ -690,4 +690,31 @@ class CorpusSpec extends SparkTestBase {
     val mixed = js(docs("a" -> "x x", "b" -> "x y"))
     assert(math.abs(mixed("a") - math.rint(a * 10000) / 10000) <= 1e-9, mixed("a"))
   }
+
+  test("ngram novelty: exact trigram fractions against the hash split") {
+    import spark.implicits._
+    // find concrete ids in each split band (membership is the salted-md5
+    // identity hash — pick ids rather than fight it)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 1000L
+    }
+    val trainId = (0L to 500L).find(bucket(_) < 900L).get
+    val testIds = (0L to 500L).filter(bucket(_) >= 950L).take(3)
+    val Seq(t1, t2, t3) = testIds
+    val docs = Seq(
+      (trainId, "a b c d", "s"),      // train trigrams: "a b c", "b c d"
+      (t1, "a b c x y z", "s"),       // 4 trigrams, 3 novel (only "a b c" seen)
+      (t2, "a b c d", "s"),           // both trigrams seen → novelty 0
+      (t3, "xx yy", "s"),             // < 3 tokens → no trigram, NULL novelty
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Corpus.ngramNoveltyOf(docs)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === testIds.toSet)
+    assert(got(t1) === ((t1, 4L, 3L, Some(750000L))))
+    assert(got(t2) === ((t2, 2L, 0L, Some(0L))))
+    assert(got(t3) === ((t3, 0L, 0L, None)))
+  }
 }

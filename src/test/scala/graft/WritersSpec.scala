@@ -164,4 +164,29 @@ class WritersSpec extends SparkTestBase {
       assert(scan(("zorder", p)) <= scan(("natural", p)), p)
     }
   }
+
+  test("csv roundtrip survives delimiters, quotes, and escapes in field values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/rt"
+    val hostile = Seq(
+      (1L, "a", """{"k": 1, "s": "x,y"}"""),   // delimiter inside JSON
+      (2L, "b", """say "hi", ok"""),           // bare quotes + comma
+      (3L, "c", ""),                           // empty field
+      (4L, "d", """back\slash and, comma"""),  // escape char in data
+    ).toDF("event_id", "event_type", "props")
+    val back = graft.sources.Writers.csvRoundtripOf(hostile, dir)
+      .as[(Long, String, String)].collect().toSet
+    // Spark CSV reads empty string back as null — the documented CSV
+    // ambiguity (emptyValue); normalize for the content comparison
+    val want = hostile.as[(Long, String, String)].collect()
+      .map { case (i, t, p) => (i, t, if (p.isEmpty) null else p) }.toSet
+    assert(back === want)
+    // corpus leg: the digest frame equals the same digests off parquet
+    val got = graft.sources.Writers.csvRoundtrip(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSet
+    val direct = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type", "md5(props)",
+        "CAST(round(value * 100) AS BIGINT)")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === direct)
+  }
 }
