@@ -304,4 +304,41 @@ object Multimodal {
       | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
       | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
       |FROM documents""".stripMargin
+
+  /** Byte-exact asset keeper catalog: md5 over the BINARY column (never
+    * a string cast), keep-first keeper and copy count per digest —
+    * [[graft.operators.Dedup.exactDedup]]'s contract lifted to the
+    * multimodal table, where identical assets re-ingested under
+    * different ids are the norm (mirrors, re-uploads, retries) and
+    * near-dup ([[phashPairs]]) is the SECOND pass after byte-exact
+    * collapse. Every digest is emitted (`is_dup` marks the collapsed
+    * ones) so the catalog is the admission table an ingest batch
+    * anti-joins against — and the gate row set is non-empty on a
+    * dup-free corpus, where a duplicates-only report would pass
+    * vacuously. The sf1 rehearsal corpus plants a 1,000-copy identical
+    * cluster, exercising the collapse for real.
+    *
+    * Scale shape: map-side digest projection (payload never shuffles —
+    * only the 16-byte digest and the id), one digest-keyed
+    * map-side-combined aggregate. */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    binaryTable(s, d)
+      .select($"doc_id", md5($"payload").as("digest"),
+        length($"payload").cast("long").as("payload_bytes"))
+      .groupBy($"digest")
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_id"),
+        min($"payload_bytes").as("payload_bytes"))
+      .withColumn("is_dup", $"n_copies" > 1)
+  }
+
+  /** DuckDB twin of [[exactDedup]] — the payload is the UTF-8 encoding
+    * of `text`, so md5 over the blob equals DuckDB's md5 over the
+    * VARCHAR's UTF-8 bytes; octet_length is the byte count. */
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
+      |  min(doc_id) AS keeper_id,
+      |  CAST(min(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+      |  count(*) > 1 AS is_dup
+      |FROM documents GROUP BY md5(text)""".stripMargin
 }

@@ -642,4 +642,89 @@ object Profiling {
        |FROM c JOIN t USING (key_col)
        |WHERE c.cnt * $HotPhiInv > t.n
        |ORDER BY key_col, cnt DESC, key""".stripMargin
+
+  // ---------------------------------------------- numeric correlation matrix
+  /** Lineitem numeric columns profiled by [[correlations]], with their
+    * exact integer encodings (cents / basis points — the
+    * [[rfmSegments]] money discipline). */
+  val CorrCols: Seq[(String, String)] = Seq(
+    "qty_c"   -> "CAST(round(l_quantity * 100) AS DECIMAL(38,0))",
+    "price_c" -> "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))",
+    "disc_bp" -> "CAST(round(l_discount * 10000) AS DECIMAL(38,0))",
+    "tax_bp"  -> "CAST(round(l_tax * 10000) AS DECIMAL(38,0))")
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * — the column-profiling step after [[profileLineitem]]'s univariate
+    * stats: which measures move together (price↑quantity? tax↔discount?)
+    * before anyone trusts a single-column model of the table.
+    *
+    * Every moment (Σx, Σx², Σxy) accumulates EXACTLY in DECIMAL(38,0) /
+    * HUGEINT from the first multiply ([[Events.anomalyWindowsOf]]'s
+    * headroom discipline — Σx² of cents at warehouse row counts crosses
+    * 2^63 and non-ANSI long arithmetic would wrap silently). Only the
+    * final r = (NΣxy−ΣxΣy) / (√(NΣx²−(Σx)²)·√(NΣy²−(Σy)²)) leaves
+    * integer space: each factor is one exact-integer→double cast (both
+    * engines round-to-nearest the SAME integer), one sqrt, one divide —
+    * identical IEEE ops, then rounded to 6 dp. Degenerate (zero-variance)
+    * columns yield NULL, not a fabricated r.
+    *
+    * Scale shape: ONE scan, one single-row aggregate (all 4+4+6 moments
+    * map-side combined), then 6 constant-width projection rows off the
+    * broadcast single-row frame. Nothing widens with volume. */
+  def correlations(s: SparkSession, d: String): DataFrame =
+    correlationsOf(Tables.lineitem(s, d))
+
+  private[graft] def correlationsOf(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val base = li.select(CorrCols.map { case (n, e) => expr(e).as(n) }: _*)
+    val names = CorrCols.map(_._1)
+    val moments = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      names.flatMap(c => Seq(
+        sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"q_$c"))) ++
+      names.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"p_${a}_$b") }: _*)
+    names.combinations(2).toSeq.map { case Seq(a, b) =>
+      moments.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        $"n".cast("long").as("n_rows"),
+        expr(
+          s"""CASE WHEN n * q_$a - s_$a * s_$a = 0
+             |       OR n * q_$b - s_$b * s_$b = 0 THEN NULL
+             |  ELSE round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |    (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)) *
+             |     sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE))), 6)
+             |END""".stripMargin).as("pearson_r"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[correlations]] — HUGEINT moments, the same
+    * exact-int→double casts, sqrts, divide, and 6 dp round. */
+  val correlationsOracle: String = {
+    val enc = Seq(
+      "qty_c"   -> "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)",
+      "price_c" -> "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)",
+      "disc_bp" -> "CAST(CAST(round(l_discount * 10000) AS BIGINT) AS HUGEINT)",
+      "tax_bp"  -> "CAST(CAST(round(l_tax * 10000) AS BIGINT) AS HUGEINT)")
+    val names = enc.map(_._1)
+    val sums = names.flatMap(c =>
+      Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS q_$c")) ++
+      names.combinations(2).map { case Seq(a, b) =>
+        s"sum($a * $b) AS p_${a}_$b" }
+    val rows = names.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
+         |  CASE WHEN n * q_$a - s_$a * s_$a = 0
+         |         OR n * q_$b - s_$b * s_$b = 0 THEN NULL
+         |    ELSE round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |      (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)) *
+         |       sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE))), 6)
+         |  END AS pearson_r FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT ${enc.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, ${sums.mkString(", ")}
+       |  FROM b)
+       |$rows""".stripMargin
+  }
 }

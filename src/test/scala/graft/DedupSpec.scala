@@ -516,10 +516,20 @@ class DedupSpec extends SparkTestBase {
       (4L, "Customer#000000345", 1, "AUTO"),
       // same nation, different segment → blocked out
       (5L, "Customer#000000001", 1, "HOUSE"),
+      // distance 1 by INSERTION (lengths differ) → excluded by the
+      // same-length contract (no shared deletion key)
+      (6L, "Customer#0000000012", 1, "AUTO"),
+      // a mid-name typo: surfaces through the deletion key at position 17
+      (7L, "Customer#000000011", 1, "AUTO"),
     ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val got = graft.operators.Dedup.erBlockedMatchesOf(cust)
       .as[(Long, Long, Int, String, Long)].collect().toSet
-    assert(got === Set((1L, 2L, 1, "AUTO", 1L)))
+    assert(got === Set(
+      (1L, 2L, 1, "AUTO", 1L),   // last-char substitution
+      (1L, 7L, 1, "AUTO", 1L),   // second-to-last-char substitution
+      // NOT (2,7): they differ at TWO positions — no shared deletion key
+      // and lev 2 > threshold either way
+    ))
     // canonical a < b: no mirror row ever
     assert(got.forall(p => p._1 < p._2))
   }

@@ -234,4 +234,22 @@ class ProfilingSpec extends SparkTestBase {
     // recency inverts: the stalest customer scores 1
     assert(rows.maxBy(_._2)._5 === 1)
   }
+
+  test("correlations: exact +1/-1 on linear columns, NULL on zero variance") {
+    import spark.implicits._
+    // price = 2*qty (r = +1), discount basis points = 10 − qty (r = −1),
+    // tax constant (zero variance)
+    val li = Seq(1.0, 2.0, 3.0, 4.0)
+      .map(q => (q, 2.0 * q, (10.0 - q) / 10000.0, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.operators.Profiling.correlationsOf(li)
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("qty_c", "price_c")) === Some(1.0))
+    assert(got(("qty_c", "disc_bp")) === Some(-1.0))
+    // the constant tax column has zero variance → NULL, never NaN
+    assert(got(("qty_c", "tax_bp"))   === None)
+    assert(got(("price_c", "tax_bp")) === None)
+    assert(got(("disc_bp", "tax_bp")) === None)
+  }
 }

@@ -238,6 +238,28 @@ class TextSpec extends SparkTestBase {
     assert(frames.length === (row._2.length + 9) / 10)
   }
 
+  test("multimodal exact dedup: catalog reconciles with an in-JVM digest recount") {
+    val got = Multimodal.exactDedup(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.groupBy { case (_, t) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (dig, rows) =>
+      val (_, n, keeper, bytes, dup) = got(dig)
+      assert(n === rows.length.toLong, dig)
+      assert(keeper === rows.map(_._1).min, dig)
+      assert(bytes === rows.head._2.getBytes("UTF-8").length.toLong, dig)
+      assert(dup === (rows.length > 1), dig)
+    }
+    // copy counts tile the corpus exactly
+    assert(got.values.map(_._2).sum === docs.length.toLong)
+  }
+
   test("multimodal phash: signatures match in-JVM recomputation; edits pair, duplicates at 0") {
     import graft.functions.Hashing
     // distributed signatures == driver-side recomputation, every doc
