@@ -643,6 +643,74 @@ object Profiling {
        |WHERE c.cnt * $HotPhiInv > t.n
        |ORDER BY key_col, cnt DESC, key""".stripMargin
 
+  // ------------------------------------------------- ABC / Pareto classes
+  /** ABC cumulative-share cuts in micros: A carries the first 80 % of
+    * revenue, B the next 15 %, C the tail. */
+  val AbcACutMicros = 800000L
+  val AbcBCutMicros = 950000L
+
+  /** Per-nation ABC (Pareto) customer classification — the 80/15/5
+    * inventory-analysis classic ([[rfmSegments]]' portfolio sibling):
+    * within each nation, rank customers by lifetime revenue and classify
+    * by the cumulative share of revenue ABOVE them — class A customers
+    * carry the first [[AbcACutMicros]] of each nation's mass.
+    * Classification uses the share BEFORE the customer (so the top
+    * customer is always A, even alone above the cut) — the standard
+    * convention, and knife-edge-free because shares are integer micros.
+    *
+    * Scale shape: one groupBy-customer aggregate, one broadcast of the
+    * ≤ |nations|-row totals, then ONE window PARTITIONED BY NATION over
+    * the per-customer frame — bounded partitions by construction (a
+    * nation's customer list), never a single-partition global sort.
+    * (cents desc, custkey) is a total order, so the running sum is
+    * frame-ambiguity-free on both engines. */
+  def abcPareto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(s, d)
+      .select($"o_custkey".as("custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"custkey").agg(sum($"cents").as("cents"))
+      .join(Tables.customer(s, d)
+        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey")),
+        "custkey")
+    val totals = per.groupBy($"nationkey").agg(sum($"cents").as("total"))
+    val w = Window.partitionBy($"nationkey")
+      .orderBy($"cents".desc, $"custkey".asc)
+    per.join(broadcast(totals), "nationkey")
+      .withColumn("cum_cents", sum($"cents").over(w))
+      .withColumn("share_before_micros",
+        expr("((cum_cents - cents) * 1000000) div total"))
+      .withColumn("abc_class",
+        when($"share_before_micros" < AbcACutMicros, "A")
+          .when($"share_before_micros" < AbcBCutMicros, "B")
+          .otherwise("C"))
+      .select($"custkey", $"nationkey", $"cents", $"cum_cents",
+        $"share_before_micros", $"abc_class")
+  }
+
+  /** DuckDB twin of [[abcPareto]] — same total order, integer shares,
+    * and before-share classification. */
+  val abcParetoOracle: String =
+    s"""WITH per AS (SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY o.o_custkey, c.c_nationkey),
+       |t AS (SELECT nationkey, CAST(sum(cents) AS BIGINT) AS total
+       |  FROM per GROUP BY nationkey),
+       |r AS (SELECT p.custkey, p.nationkey, p.cents, t.total,
+       |    CAST(sum(p.cents) OVER (PARTITION BY p.nationkey
+       |      ORDER BY p.cents DESC, p.custkey ASC) AS BIGINT) AS cum_cents
+       |  FROM per p JOIN t USING (nationkey))
+       |SELECT custkey, nationkey, cents, cum_cents,
+       |  CAST(((cum_cents - cents) * 1000000) // total AS BIGINT)
+       |    AS share_before_micros,
+       |  CASE WHEN ((cum_cents - cents) * 1000000) // total < $AbcACutMicros THEN 'A'
+       |       WHEN ((cum_cents - cents) * 1000000) // total < $AbcBCutMicros THEN 'B'
+       |       ELSE 'C' END AS abc_class
+       |FROM r""".stripMargin
+
   // ---------------------------------------------- numeric correlation matrix
   /** Lineitem numeric columns profiled by [[correlations]], with their
     * exact integer encodings (cents / basis points — the

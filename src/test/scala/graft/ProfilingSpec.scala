@@ -235,6 +235,34 @@ class ProfilingSpec extends SparkTestBase {
     assert(rows.maxBy(_._2)._5 === 1)
   }
 
+  test("abc pareto: before-share classes, top customer always A, per-nation isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // nation 1: revenues 80/15/5 → textbook A/B/C; nation 2: 99/1 — the
+    // dominant customer is A (before-share 0), the 1%er lands in C
+    val orders = Seq(
+      (1L, 80.0), (2L, 15.0), (3L, 5.0),
+      (10L, 99.0), (11L, 1.0),
+    ).map { case (k, v) => (k, v) }
+      .toDF("o_custkey", "o_totalprice")
+    val cust = Seq((1L, 1), (2L, 1), (3L, 1), (10L, 2), (11L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    cust.withColumn("c_name", expr("CAST(c_custkey AS STRING)"))
+      .withColumn("c_acctbal", expr("0.0d"))
+      .withColumn("c_mktsegment", expr("'X'"))
+      .write.parquet(s"$dir/customer.parquet")
+    val got = graft.operators.Profiling.abcPareto(spark, dir)
+      .as[(Long, Int, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1, 8000L, 8000L, 0L, "A")))
+    assert(got(2L) === ((2L, 1, 1500L, 9500L, 800000L, "B")))
+    assert(got(3L) === ((3L, 1, 500L, 10000L, 950000L, "C")))
+    assert(got(10L) === ((10L, 2, 9900L, 9900L, 0L, "A")))
+    assert(got(11L) === ((11L, 2, 100L, 10000L, 990000L, "C")))
+  }
+
   test("correlations: exact +1/-1 on linear columns, NULL on zero variance") {
     import spark.implicits._
     // price = 2*qty (r = +1), discount basis points = 10 − qty (r = −1),
