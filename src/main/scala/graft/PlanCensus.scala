@@ -133,7 +133,15 @@ object PlanCensus {
     "graph_random_walks" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
     "graph_jaccard_neighbors" -> Map("ExistingRDD" ->
-      "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins"),
+      "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins",
+      ),
+    "graph_modularity" -> Map(
+      "ExistingRDD" ->
+        "localCheckpoints: the symmetric edge list (feeds m, degrees, and the internal-edge join) and the converged LPA label frame (joined twice + the community aggregate); inherits labelPropagationOf's per-round cuts",
+      "BroadcastNestedLoopJoin" ->
+        "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
+    "profile_entropy" -> Map("BroadcastNestedLoopJoin" ->
+      "crossJoin(broadcast(single-row (total, n_values) aggregate)) per profiled column — the scalar-subquery shape; build sides are exactly 1 row"),
     "events_attribution" -> Map("ExistingRDD" ->
       "localCheckpoint of the per-purchase touch summary — feeds three model branches plus the direct-purchase anti-join"),
     "embed_matryoshka_report" -> Map(

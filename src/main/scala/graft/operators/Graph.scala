@@ -1144,6 +1144,99 @@ object Graph {
           .as("jaccard_micros"))
   }
 
+  // ---------------------------------------------- community modularity
+  /** Modularity report of the [[labelPropagation]] communities — the
+    * quality score that tells a user whether the LPA run found real
+    * structure or noise (Newman 2004: Q = Σ_c [e_c/m − (d_c/2m)²];
+    * Q → 0 means no better than random, ≥ 0.3 is conventionally
+    * "real"). The evaluation-report pattern ([[Similarity]]'s
+    * ann_recall_report class): ship the algorithm AND the meter that
+    * judges its output.
+    *
+    * Per community: node count, internal UNDIRECTED edge count e_c,
+    * degree mass d_c, and the Q contribution in integer micros — each
+    * division snapped to integers identically on both engines; the
+    * d_c² · 10⁶ product rides DECIMAL(38,0)/HUGEINT (d_c can reach 2m,
+    * so the square crosses int64 at ~3·10⁶ undirected edges — the
+    * [[graft.operators.Profiling.correlations]] headroom discipline).
+    * Global Q = the exact integer sum of the rows.
+    *
+    * Scale shape: the LPA rounds dominate ([[labelPropagationOf]]);
+    * modularity itself is two label joins against the edge list, one
+    * count aggregate per community, one broadcast single-row m. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    modularityOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[modularity]] over an arbitrary directed edge frame (src, dst). */
+  private[graft] def modularityOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val lab = labelPropagationOf(s, e0).localCheckpoint()
+    val m2 = und.agg(count(lit(1)).as("m2")) // = 2m (both directions)
+    val deg = und.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val byComm = lab.join(deg, "node")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("d_sum"))
+    // internal edges: both endpoints labeled c, counted once (src < dst)
+    val internal = und.filter($"src" < $"dst")
+      .join(lab.select($"node".as("src"), $"community".as("ca")), "src")
+      .join(lab.select($"node".as("dst"), $"community".as("cb")), "dst")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("e_in"))
+    byComm.join(internal, Seq("community"), "left")
+      .select($"community", $"n_nodes", $"d_sum",
+        coalesce($"e_in", lit(0L)).as("e_in"))
+      .crossJoin(broadcast(m2))
+      .select($"community", $"n_nodes", $"e_in", $"d_sum",
+        expr("""(e_in * 2000000L div m2) -
+               |CAST((CAST(d_sum AS DECIMAL(38,0)) * d_sum * 1000000)
+               |     div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("q_contrib_micros"))
+  }
+
+  /** DuckDB twin of [[modularity]] — the [[labelPropagationOracle]]
+    * chain extended with the same integer-snapped Q arithmetic
+    * (HUGEINT squares mirror the DECIMAL(38,0) side). */
+  val modularityOracle: String = {
+    val iters = (1 to LpaIters).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT node, lab FROM (
+         |    SELECT c.node, c.lab,
+         |      row_number() OVER (PARTITION BY c.node
+         |        ORDER BY c.cnt DESC, c.lab ASC) AS rk
+         |    FROM (SELECT ed.dst AS node, p.lab, count(*) AS cnt
+         |          FROM ed JOIN l${k - 1} p ON ed.src = p.node
+         |          GROUP BY ed.dst, p.lab) c) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS MATERIALIZED (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |ed AS MATERIALIZED (SELECT src, dst FROM und),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+       |$iters,
+       |lab AS MATERIALIZED (SELECT node, lab AS community FROM l$LpaIters),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY src),
+       |bycomm AS (SELECT b.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+       |  FROM lab b JOIN deg d USING (node) GROUP BY b.community),
+       |internal AS (SELECT a.community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM und u
+       |  JOIN lab a ON a.node = u.src JOIN lab b ON b.node = u.dst
+       |  WHERE u.src < u.dst AND a.community = b.community
+       |  GROUP BY a.community)
+       |SELECT c.community, c.n_nodes, coalesce(i.e_in, 0) AS e_in, c.d_sum,
+       |  CAST((coalesce(i.e_in, 0) * 2000000) // m.m2
+       |    - (CAST(c.d_sum AS HUGEINT) * c.d_sum * 1000000)
+       |      // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT) AS q_contrib_micros
+       |FROM bycomm c LEFT JOIN internal i USING (community), m2 m""".stripMargin
+  }
+
   /** DuckDB twin of [[jaccardNeighbors]] — same capped wedge expansion,
     * full-degree denominators, integer-micro division. */
   val jaccardNeighborsOracle: String =

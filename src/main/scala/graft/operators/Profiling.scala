@@ -643,7 +643,76 @@ object Profiling {
        |WHERE c.cnt * $HotPhiInv > t.n
        |ORDER BY key_col, cnt DESC, key""".stripMargin
 
-  // ------------------------------------------------- ABC / Pareto classes
+  // ---------------------------------------------- categorical entropy census
+  /** Categorical columns profiled by [[entropy]]: (table, column). */
+  val EntropyCols: Seq[(String, String)] = Seq(
+    "events"    -> "event_type",
+    "documents" -> "source",
+    "documents" -> "lang",
+    "orders"    -> "o_orderpriority",
+    "orders"    -> "o_orderstatus",
+    "customer"  -> "c_mktsegment")
+
+  /** Shannon-entropy census of the warehouse's categorical columns — the
+    * skew/balance diagnostic read before choosing partition keys, salts,
+    * or stratification columns ([[hotKeys]] finds the single heavy
+    * hitter; entropy scores the WHOLE distribution): H near log₂(V)
+    * means a safe partition key, H near 0 means one value dominates.
+    *
+    * Float discipline: each term p·(−log₂ p) is computed from exact
+    * integer counts with identical IEEE ops on both engines (one divide,
+    * one log, one multiply — the [[Corpus.lmBits]] log-parity idiom) and
+    * snapped to integer MICRO-BITS before summation, so the sum is exact
+    * integer arithmetic with no association-order edge (the round-9
+    * bitext-margin lesson applied from the start). NULLs are excluded
+    * from the distribution BY CONTRACT on both engines (the round-9
+    * hot-key null lesson).
+    *
+    * Scale shape: one map-side-combined value count per column + a
+    * ≤ |V|-row term aggregate each; output is |[[EntropyCols]]| rows. */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    EntropyCols.map { case (t, c) =>
+      entropyOfCol(s"$t.$c", Tables(s, d, t).select(col(c).as("v")))
+    }.reduce(_ unionAll _)
+
+  /** One [[entropy]] row for a single melted value column `v`. */
+  private[graft] def entropyOfCol(label: String, vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val counts = vals.filter($"v".isNotNull)
+      .groupBy($"v").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum($"cnt").as("total"),
+      count(lit(1)).as("n_values"))
+    counts.crossJoin(broadcast(tot))
+      .select($"n_values", $"total", expr(
+        """CAST(round((CAST(cnt AS DOUBLE) / total)
+          |  * -log(2.0D, CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("term"))
+      .groupBy($"n_values", $"total")
+      .agg(sum($"term").as("entropy_micro_bits"))
+      .select(lit(label).as("table_col"), $"n_values",
+        $"total".as("n_total"), $"entropy_micro_bits",
+        expr("CAST(round(log(2.0D, CAST(n_values AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("max_entropy_micro_bits"))
+  }
+
+  /** DuckDB twin of [[entropy]] — ln(x)/ln(2) mirrors Spark's
+    * log(2.0, x) bit-for-bit (the lmBits parity idiom), same per-term
+    * micro-bit snap before the integer sum. */
+  val entropyOracle: String =
+    EntropyCols.map { case (t, c) =>
+      s"""SELECT '$t.$c' AS table_col,
+         |  CAST(count(*) AS BIGINT) AS n_values,
+         |  CAST(sum(cnt) AS BIGINT) AS n_total,
+         |  CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / total)
+         |    * -(ln(CAST(cnt AS DOUBLE) / total) / ln(2))
+         |    * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micro_bits,
+         |  CAST(round((ln(CAST(count(*) AS DOUBLE)) / ln(2)) * 1000000)
+         |    AS BIGINT) AS max_entropy_micro_bits
+         |FROM (SELECT $c AS v, count(*) AS cnt,
+         |        sum(count(*)) OVER () AS total
+         |      FROM $t WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+    }.mkString("\nUNION ALL\n")
   /** ABC cumulative-share cuts in micros: A carries the first 80 % of
     * revenue, B the next 15 %, C the tail. */
   val AbcACutMicros = 800000L

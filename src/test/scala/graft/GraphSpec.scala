@@ -328,6 +328,24 @@ class GraphSpec extends SparkTestBase {
     assert(again.sorted === out.sorted)
   }
 
+  test("modularity: two disjoint cliques score the textbook Q = 1/2") {
+    // two disjoint triangles; LPA trivially labels each its own community
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L))
+    val got = Graph.modularityOf(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 2)
+    got.foreach { case (_, nNodes, eIn, dSum, q) =>
+      assert(nNodes === 3L)
+      assert(eIn === 3L)     // each triangle's 3 internal edges
+      assert(dSum === 6L)    // 3 nodes × degree 2
+      // e_c/m − (d_c/2m)² = 3/6 − (6/12)² = 1/4 per community
+      assert(q === 250000L)
+    }
+    // total Q = 1/2 — the classic two-equal-cliques modularity
+    assert(got.map(_._5).sum === 500000L)
+  }
+
   test("jaccard neighbors: exact scores on a hand graph; hub centers add no pairs") {
     // square 1-2-3-4 (neighbors(1)={2,4}, neighbors(3)={2,4} → J(1,3)=1)
     // plus a pendant 5 on 2: neighbors(2)={1,3,5}, neighbors(4)={1,3}

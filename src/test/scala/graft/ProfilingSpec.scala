@@ -263,6 +263,25 @@ class ProfilingSpec extends SparkTestBase {
     assert(got(11L) === ((11L, 2, 100L, 10000L, 990000L, "C")))
   }
 
+  test("entropy: exact micro-bits for uniform, constant, and skewed columns") {
+    import spark.implicits._
+    def h(vals: Seq[String]): (Long, Long, Long, Long) = {
+      val r = graft.operators.Profiling
+        .entropyOfCol("t.c", vals.toDF("v"))
+        .as[(String, Long, Long, Long, Long)].collect().head
+      (r._2, r._3, r._4, r._5)
+    }
+    // uniform over 4 values: H = max = exactly 2 bits
+    assert(h(Seq("a", "b", "c", "d")) === ((4L, 4L, 2000000L, 2000000L)))
+    // constant column: 0 bits (max 0 too: log2(1) = 0)
+    assert(h(Seq("a", "a", "a")) === ((1L, 3L, 0L, 0L)))
+    // 3:1 split: terms snap to 311278 + 500000 micro-bits
+    assert(h(Seq("a", "a", "a", "b")) === ((2L, 4L, 811278L, 1000000L)))
+    // nulls are excluded from the distribution by contract
+    assert(h(Seq("a", null, "a", null, "b", "b")) ===
+      ((2L, 4L, 1000000L, 1000000L)))
+  }
+
   test("correlations: exact +1/-1 on linear columns, NULL on zero variance") {
     import spark.implicits._
     // price = 2*qty (r = +1), discount basis points = 10 − qty (r = −1),
