@@ -142,6 +142,11 @@ object PlanCensus {
         "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "profile_entropy" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (total, n_values) aggregate)) per profiled column — the scalar-subquery shape; build sides are exactly 1 row"),
+    "retrieval_eval_report" -> Map(
+      "ExistingRDD" ->
+        "localCheckpoint of the <=Bm25TopK-row relevance-marked ranking — reused by all three cutoff aggregates",
+      "BroadcastNestedLoopJoin" ->
+        "inherits bm25's crossJoin(broadcast(single-row (n_docs,avgdl) aggregate)) plus the per-cutoff crossJoin(broadcast(single-row n_relevant aggregate)) — the scalar-subquery shape; build sides are exactly 1 row"),
     "events_attribution" -> Map("ExistingRDD" ->
       "localCheckpoint of the per-purchase touch summary — feeds three model branches plus the direct-purchase anti-join"),
     "embed_matryoshka_report" -> Map(

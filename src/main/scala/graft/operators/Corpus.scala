@@ -736,6 +736,90 @@ object Corpus {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ------------------------------------------------ retrieval eval report
+  /** Rank cutoffs for [[retrievalEvalReport]]. */
+  val RetrEvalCuts: Seq[Int] = Seq(5, 10, Bm25TopK)
+
+  /** Retrieval-quality meter for the BM25 ranker — precision/recall@k and
+    * reciprocal rank against a DETERMINISTIC relevance rule (docs
+    * containing ALL query terms — conjunctive containment, the
+    * label-free relevance oracle): the evaluation-report pattern
+    * ([[Similarity]]'s ann_recall_report, [[graft.operators.Graph]]'s
+    * modularity) applied to the lexical ranker. A ranking stack ships
+    * with its meter or its regressions ship silently.
+    *
+    * All metrics are integer micros over exact counts; reciprocal rank
+    * is `10⁶ div first_relevant_rank` (0 when no relevant doc makes the
+    * cutoff). Rank order is the ranker's own published total order
+    * (snapped BM25 desc, doc_id) — the report can never disagree with
+    * the operator it meters.
+    *
+    * Scale shape: the BM25 leg is [[bm25TopKOf]] (its cost); relevance
+    * is one map-side conjunctive filter; the rank window runs over the
+    * ≤ [[Bm25TopK]]-row result — bounded by construction; output is
+    * |[[RetrEvalCuts]]| rows. */
+  def retrievalEvalReport(s: SparkSession, d: String): DataFrame =
+    retrievalEvalReportOf(Tables.documents(s, d))
+
+  private[graft] def retrievalEvalReportOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id",
+      expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+    val rel = toks.filter(
+        Bm25Query.map(t => array_contains($"toks", t)).reduce(_ && _))
+      .select($"doc_id", lit(1L).as("rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    // bounded-by-construction global window: <= Bm25TopK rows after limit
+    val ranked = bm25TopKOf(docs)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        expr("CAST(round(bm25 * 10000) AS BIGINT)").desc, $"doc_id".asc)))
+      .join(rel, Seq("doc_id"), "left")
+      .localCheckpoint()
+    RetrEvalCuts.map { k =>
+      ranked.filter($"rank" <= k)
+        .agg(coalesce(sum(coalesce($"rel", lit(0L))), lit(0L)).as("hits"),
+          min(when($"rel" === 1L, $"rank")).as("first_rel"))
+        .crossJoin(broadcast(nRel))
+        .select(lit(k).as("k"), $"n_relevant", $"hits",
+          expr(s"(hits * 1000000) div $k").as("precision_micros"),
+          expr("(hits * 1000000) div nullif(n_relevant, 0)").as("recall_micros"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micros"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[retrievalEvalReport]] — the [[bm25TopKOracle]]
+    * ranking as a derived table, the same conjunctive relevance rule
+    * (list_has_all), and identical integer-micro metrics. */
+  val retrievalEvalReportOracle: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val cuts = RetrEvalCuts.map { k =>
+      s"""SELECT $k AS k, (SELECT n_relevant FROM nrel) AS n_relevant,
+         |  CAST(coalesce(sum(rel), 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(sum(rel), 0) * 1000000 // $k AS BIGINT)
+         |    AS precision_micros,
+         |  CAST(coalesce(sum(rel), 0) * 1000000
+         |    // nullif((SELECT n_relevant FROM nrel), 0) AS BIGINT)
+         |    AS recall_micros,
+         |  CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0)
+         |    AS BIGINT) AS rr_micros
+         |FROM marked WHERE rank <= $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ranked AS MATERIALIZED (SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY CAST(round(bm25 * 10000) AS BIGINT) DESC,
+       |      doc_id ASC) AS rank
+       |  FROM ($bm25TopKOracle)),
+       |rel AS MATERIALIZED (SELECT doc_id, 1 AS rel FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |    FROM documents)
+       |  WHERE list_has_all(toks, [$terms])),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+       |marked AS MATERIALIZED (SELECT r.rank, l.rel
+       |  FROM ranked r LEFT JOIN rel l USING (doc_id))
+       |$cuts""".stripMargin
+  }
+
   // --------------------------------------------- sequence-length histogram
   /** Per-source sequence-length histogram on power-of-two buckets — the
     * length-distribution table every batch-shape decision reads (context

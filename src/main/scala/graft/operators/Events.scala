@@ -413,6 +413,79 @@ object Events {
        |  CAST(count(*) AS BIGINT) AS n_purchases
        |FROM credits GROUP BY model, touch_type""".stripMargin
 
+  // ---------------------------------------------- watermark lateness advisor
+  /** Out-of-orderness audit of the event stream — the measurement that
+    * SIZES `withWatermark` before anyone deploys a streaming query: for
+    * each event, how far behind the user's running-maximum timestamp
+    * (in arrival order — event_id is the arrival proxy) did it arrive?
+    * A watermark below the observed lateness tail silently DROPS those
+    * events in every append-mode aggregation; a watermark far above it
+    * holds state for nothing. The [[graft.streaming.EventStream]]
+    * operators all take this number on faith today — this operator
+    * measures it.
+    *
+    * Output: per (event_type, log₂ lateness-seconds bucket) counts with
+    * inclusive bucket bounds (the [[Corpus.lengthHistogram]] integer
+    * bit-length idiom; bucket −1 = in-order/first events) plus each
+    * type's maximum observed lateness — read "the p100/p99 bucket per
+    * type" directly off the rows.
+    *
+    * Scale shape: ONE user-keyed partitioned window (running max over
+    * arrival order — O(1) state per row), then a map-side-combined
+    * bounded aggregate. No global window, no driver traffic.
+    *
+    * On the driver corpus event_id order IS timestamp order, so every
+    * row lands in bucket −1 — the advisor correctly reporting a
+    * perfectly ordered stream (watermark 0 suffices). EventsSpec plants
+    * out-of-order arrivals to pin the non-trivial buckets. */
+  def latenessAdvisor(s: SparkSession, d: String): DataFrame =
+    latenessAdvisorOf(Tables.events(s, d))
+
+  private[graft] def latenessAdvisorOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev0.select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("run_max", max($"us").over(w))
+      .withColumn("late_s",
+        greatest(lit(0L), expr("(coalesce(run_max, us) - us) div 1000000")))
+      .withColumn("bucket",
+        when($"late_s" === 0L, lit(-1))
+          .otherwise(length(bin($"late_s")) - 1))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"), max($"late_s").as("max_late_s"))
+      .withColumn("lo_s", expr(
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(1L, bucket) END"))
+      .withColumn("hi_s", expr(
+        "CASE WHEN bucket < 0 THEN 0 ELSE shiftleft(1L, bucket + 1) - 1 END"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** DuckDB twin of [[latenessAdvisor]] — same arrival-order running
+    * max, integer-second lateness, bit-length buckets. */
+  val latenessAdvisorOracle: String =
+    """WITH l AS (SELECT event_type,
+      |    greatest(0, (coalesce(max(epoch_us(ts)) OVER (
+      |        PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      epoch_us(ts)) - epoch_us(ts)) // 1000000) AS late_s
+      |  FROM events),
+      |b AS (SELECT event_type, late_s,
+      |    CASE WHEN late_s = 0 THEN -1
+      |         ELSE CAST(length(bin(late_s)) AS INT) - 1 END AS bucket
+      |  FROM l)
+      |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+      |  CASE WHEN bucket < 0 THEN 0
+      |       ELSE (CAST(1 AS BIGINT) << bucket) END AS lo_s,
+      |  CASE WHEN bucket < 0 THEN 0
+      |       ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi_s
+      |FROM b GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   // ------------------------------------------------- cohort LTV curves
   /** Cohort lifetime-value curves: users cohorted by the WEEK of their
     * first signup event (Monday-start `date_trunc('week')`, identical in

@@ -691,6 +691,32 @@ class CorpusSpec extends SparkTestBase {
     assert(math.abs(mixed("a") - math.rint(a * 10000) / 10000) <= 1e-9, mixed("a"))
   }
 
+  test("retrieval eval: conjunctive relevance, exact micro metrics on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      // all three query terms, repeated: the clear top hit AND relevant
+      (1L, "spark vector query spark vector query spark vector query"),
+      // one term only: ranked but NOT relevant
+      (2L, "spark alpha beta gamma delta"),
+      // all three terms once, diluted: relevant, ranked below doc 1
+      (3L, "spark vector query pad pad pad pad pad pad pad pad pad"),
+      // no query terms: unranked, irrelevant
+      (4L, "nothing to see here"),
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.retrievalEvalReportOf(docs)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // relevant = {1, 3}; all three scored docs fit within every cutoff
+    got.values.foreach { case (k, nRel, hits, prec, rec, rr) =>
+      assert(nRel === 2L, s"k=$k")
+      assert(hits === 2L, s"k=$k")
+      assert(prec === 2L * 1000000L / k, s"k=$k")
+      assert(rec === 1000000L, s"k=$k")
+      assert(rr === 1000000L, s"k=$k") // doc 1 dominates: first hit at rank 1
+    }
+    assert(got.keySet === graft.operators.Corpus.RetrEvalCuts.toSet)
+  }
+
   test("ngram novelty: exact trigram fractions against the hash split") {
     import spark.implicits._
     // find concrete ids in each split band (membership is the salted-md5

@@ -168,6 +168,28 @@ class EventsSpec extends SparkTestBase {
     assert(totals === Map("first" -> 1750L, "last" -> 1750L, "linear" -> 1750L))
   }
 
+  test("lateness advisor: exact buckets for planted out-of-order arrivals") {
+    // user 1 arrival order (event_id): t0, t0+100s, then one 7s late,
+    // one 130s late — buckets ⌊log2 7⌋ = 2 and ⌊log2 130⌋ = 7
+    val ev = Seq(
+      (1L, 1L, "click", ts("2026-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2026-01-01 10:01:40")),
+      (3L, 1L, "click", ts("2026-01-01 10:01:33")),  // 7 s behind run-max
+      (4L, 1L, "click", ts("2026-01-01 09:59:30")),  // 130 s behind
+      // user 2: in order — both rows bucket -1
+      (5L, 2L, "view", ts("2026-01-01 10:00:00")),
+      (6L, 2L, "view", ts("2026-01-01 10:00:01")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.latenessAdvisorOf(ev)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("click", -1, 2L, 0L, 0L, 0L),     // first event + the in-order one
+      ("click", 2, 1L, 7L, 4L, 7L),
+      ("click", 7, 1L, 130L, 128L, 255L),
+      ("view", -1, 2L, 0L, 0L, 0L),
+    ))
+  }
+
   test("cohort LTV: weekly cells, exact cents, cumulative curve") {
     val ev = Seq(
       // user 1 signs up Wed Jan 7 (week of Mon Jan 5); buys 1.00 that
