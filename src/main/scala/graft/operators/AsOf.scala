@@ -55,6 +55,64 @@ object AsOf {
         $"__matched".as("view_id"))
   }
 
+  /** Forward as-of: attach `valueCol` of the EARLIEST right row
+    * at-or-after each left row's ts, per key — the same union-sort trick
+    * scanned in DESCENDING time, so the running carry holds the nearest
+    * FUTURE right. Tie-break at equal ts: rights match (side before
+    * left), smallest right id wins (ids scan descending, so the last
+    * carried is the smallest). One exchange + sort, no range explosion. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsCol: String, idCol: String, valueCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__val", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(tsCol), col(idCol), col(valueCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__val", col(valueCol))
+      .drop(valueCol)
+    val unioned = l.select(col(key), col(tsCol), col(idCol), col("__side"), col("__val"))
+      .unionByName(r)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col("__side").asc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__matched", last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__val")
+  }
+
+  /** Each purchase event joined to the user's NEXT view at-or-after it —
+    * the post-conversion-behavior query ([[purchaseToLastView]]'s
+    * forward twin; together they bracket every conversion). */
+  def purchaseToNextView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", $"event_id".as("view_id"))
+    asOfJoinForward(purchases, views, "user_id", "ts", "event_id", "view_id")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"__matched".as("view_id"))
+  }
+
+  /** DuckDB twin of [[purchaseToNextView]] — the descending-scan mirror
+    * of [[purchaseToLastViewOracle]]. */
+  val purchaseToNextViewOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, event_id
+      |  FROM events WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, event_id, side,
+      |    last_value(view_id IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, side ASC, event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+      |  FROM u)
+      |SELECT event_id AS purchase_id, user_id, matched AS view_id
+      |FROM w WHERE side = 1""".stripMargin
+
   val purchaseToLastViewOracle: String =
     """WITH u AS (
       |  SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS BIGINT) AS view_id
