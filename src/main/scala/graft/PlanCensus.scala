@@ -142,6 +142,8 @@ object PlanCensus {
         "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "profile_entropy" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (total, n_values) aggregate)) per profiled column — the scalar-subquery shape; build sides are exactly 1 row"),
+    "graph_adamic_adar" -> Map("ExistingRDD" ->
+      "localCheckpoint of the symmetric edge list — feeds the degree aggregate and the capped wedge expansion (the jaccard idiom)"),
     "retrieval_eval_report" -> Map(
       "ExistingRDD" ->
         "localCheckpoint of the <=Bm25TopK-row relevance-marked ranking — reused by all three cutoff aggregates",

@@ -413,6 +413,69 @@ object Events {
        |  CAST(count(*) AS BIGINT) AS n_purchases
        |FROM credits GROUP BY model, touch_type""".stripMargin
 
+  // ---------------------------------------------- robust (MAD) anomaly twin
+  /** MAD threshold ×10⁴: 3 · 1.4826 (the normal-consistency constant)
+    * = 4.4478 → 44478. */
+  val MadK4 = 44478L
+
+  /** Median/MAD anomaly windows — the ROBUST twin of the 3σ
+    * [[anomalyWindows]]: mean/variance move with the outliers they are
+    * supposed to find (one huge window inflates σ and masks the rest —
+    * the classic masking failure); median and MAD have a 50 %
+    * breakdown point, so a burst cannot hide itself. Production runs
+    * both: σ for well-behaved streams, MAD when bursts are the point.
+    *
+    * Exactness: hourly counts are integers; the median of integers
+    * lives on the ½-grid and the MAD on the ¼-grid, so `2·median` and
+    * `4·MAD` are EXACT integers ([[graft.operators.Profiling.rfmSegments]]'
+    * percentile ↔ quantile_cont parity, then one exact round). The flag
+    * `|c − med| > 4.4478·MAD` becomes the all-integer comparison
+    * `|4c − 2·m2| · 10⁴ > `[[MadK4]]`· mad4` — no float anywhere in the
+    * decision. Degenerate MAD = 0 (constant counts) flags every
+    * off-median window — MAD's documented behavior, not a bug.
+    *
+    * Scale shape: two bounded per-type aggregates (median, then MAD of
+    * the residuals) riding broadcast joins back onto the window-count
+    * frame — the [[anomalyWindows]] plan with one extra pass. */
+  def madAnomalyWindows(s: SparkSession, d: String): DataFrame =
+    madAnomalyWindowsOf(Tables.events(s, d))
+
+  private[graft] def madAnomalyWindowsOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val wc = ev0
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("window_start"))
+      .agg(count(lit(1)).as("c"))
+    val med = wc.groupBy($"event_type")
+      .agg(expr("CAST(round(2 * percentile(c, 0.5D)) AS BIGINT)").as("m2"))
+    val mad = wc.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("CAST(round(4 * percentile(abs(c - m2 / 2.0D), 0.5D)) AS BIGINT)")
+        .as("mad4"), min($"m2").as("m2"))
+    wc.join(broadcast(mad), "event_type")
+      .filter(expr(s"abs(4 * c - 2 * m2) * 10000 > $MadK4 * mad4"))
+      .select($"event_type", $"window_start", $"c".as("n_events"),
+        ($"m2" * 500L).as("median_milli"), ($"mad4" * 250L).as("mad_milli"))
+  }
+
+  /** DuckDB twin of [[madAnomalyWindows]] — quantile_cont mirrors
+    * percentile's linear interpolation; identical integer decision. */
+  val madAnomalyWindowsOracle: String =
+    s"""WITH wc AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+       |med AS (SELECT event_type,
+       |    CAST(round(2 * quantile_cont(c, 0.5)) AS BIGINT) AS m2
+       |  FROM wc GROUP BY event_type),
+       |mad AS (SELECT wc.event_type,
+       |    CAST(round(4 * quantile_cont(abs(wc.c - med.m2 / 2.0), 0.5)) AS BIGINT)
+       |      AS mad4, min(med.m2) AS m2
+       |  FROM wc JOIN med USING (event_type) GROUP BY wc.event_type)
+       |SELECT wc.event_type, wc.window_start, wc.c AS n_events,
+       |  CAST(m.m2 * 500 AS BIGINT) AS median_milli,
+       |  CAST(m.mad4 * 250 AS BIGINT) AS mad_milli
+       |FROM wc JOIN mad m USING (event_type)
+       |WHERE abs(4 * wc.c - 2 * m.m2) * 10000 > $MadK4 * m.mad4""".stripMargin
+
   // ---------------------------------------------- watermark lateness advisor
   /** Out-of-orderness audit of the event stream — the measurement that
     * SIZES `withWatermark` before anyone deploys a streaming query: for

@@ -1237,6 +1237,66 @@ object Graph {
        |FROM bycomm c LEFT JOIN internal i USING (community), m2 m""".stripMargin
   }
 
+  // ---------------------------------------- Adamic–Adar link prediction
+  /** Adamic–Adar scores over the same capped wedge candidates as
+    * [[jaccardNeighbors]] (Adamic &amp; Adar 2003): AA(a,b) =
+    * Σ_{c ∈ Γ(a)∩Γ(b)} 1/ln(deg c) — shared RARE centers count more
+    * than shared hubs, the refinement Jaccard can't express (it weighs
+    * all common neighbors equally). Shipping both scores over one
+    * candidate set is the standard link-prediction feature pair.
+    *
+    * Float discipline: each center's 10⁶/ln(deg) term is one exact-int
+    * →double cast + ln + divide (identical IEEE ops both engines),
+    * snapped to integer micros BEFORE the per-pair sum — the
+    * [[graft.operators.Profiling.entropy]] per-term-snap idiom, so the
+    * sum is exact integer arithmetic with no association-order edge.
+    * deg(c) ≥ 2 for every wedge center by construction (a degree-1
+    * center has no pair), so ln never sees 1.
+    *
+    * Scale shape: identical to [[jaccardNeighbors]] — the capped wedge
+    * expansion with the center's full degree carried on each pair row,
+    * then one map-side-combined (a, b) sum. */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    adamicAdarOf(s, Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
+  }
+
+  /** [[adamicAdar]] over an arbitrary directed edge frame. */
+  private[graft] def adamicAdarOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    val und = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+    val capped = und.join(deg.filter($"deg" <= JaccCenterCap)
+        .select($"n".as("c"), $"deg".as("cdeg")), und("src") === col("c"))
+      .select($"c", $"cdeg", $"dst".as("nb"))
+    capped.as("x").join(capped.as("y"),
+        col("x.c") === col("y.c") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("a"), col("y.nb").as("b"),
+        expr("CAST(round(1000000 / ln(CAST(x.cdeg AS DOUBLE))) AS BIGINT)")
+          .as("term"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_common"), sum($"term").as("aa_micros"))
+      .filter($"n_common" >= JaccMinCommon)
+  }
+
+  /** DuckDB twin of [[adamicAdar]] — same capped wedges, same per-term
+    * micro snap before the integer sum. */
+  val adamicAdarOracle: String =
+    s"""WITH li AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM lineitem),
+       |und AS (SELECT p AS src, s AS dst FROM li UNION SELECT s, p FROM li),
+       |deg AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY src),
+       |capped AS MATERIALIZED (SELECT u.src AS c, d.deg AS cdeg, u.dst AS nb
+       |  FROM und u JOIN deg d ON d.n = u.src AND d.deg <= $JaccCenterCap)
+       |SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(CAST(round(1000000 / ln(CAST(x.cdeg AS DOUBLE))) AS BIGINT))
+       |    AS BIGINT) AS aa_micros
+       |FROM capped x JOIN capped y ON x.c = y.c AND x.nb < y.nb
+       |GROUP BY x.nb, y.nb HAVING count(*) >= $JaccMinCommon""".stripMargin
+
   /** DuckDB twin of [[jaccardNeighbors]] — same capped wedge expansion,
     * full-degree denominators, integer-micro division. */
   val jaccardNeighborsOracle: String =

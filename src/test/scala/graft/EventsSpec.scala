@@ -168,6 +168,38 @@ class EventsSpec extends SparkTestBase {
     assert(totals === Map("first" -> 1750L, "last" -> 1750L, "linear" -> 1750L))
   }
 
+  test("MAD anomaly: burst flagged, inliers not, exact integer decision") {
+    // type x hourly counts [8, 10, 12, 14, 100]: median 12 (m2=24),
+    // residuals sorted [0,2,2,4,88] → MAD 2 (mad4=8); threshold
+    // |4c−24|·10⁴ > 44478·8 ⇔ |4c−24| > 35.6 — only the 100 burst trips
+    val counts = Seq(8, 10, 12, 14, 100)
+    var id = 0L
+    val ev = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map { _ =>
+        id += 1
+        (id, 1L, "x", ts(f"2026-01-01 ${10 + h}%02d:00:00"))
+      }
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.madAnomalyWindowsOf(ev)
+      .as[(String, java.sql.Timestamp, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (tpe, w, n, medMilli, madMilli) = got.head
+    assert(tpe === "x")
+    assert(w === ts("2026-01-01 14:00:00"))
+    assert(n === 100L)
+    assert(medMilli === 12000L) // m2·500 = 24·500
+    assert(madMilli === 2000L)  // mad4·250 = 8·250
+    // degenerate MAD = 0: constant counts + one off-median window —
+    // MAD's documented behavior is to flag ANY deviation
+    val ev2 = Seq(5, 5, 5, 6).zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map { _ => id += 1
+        (id, 1L, "y", ts(f"2026-01-02 ${10 + h}%02d:00:00")) }
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got2 = Events.madAnomalyWindowsOf(ev2)
+      .as[(String, java.sql.Timestamp, Long, Long, Long)].collect()
+    assert(got2.map(_._3).toSeq === Seq(6L))
+  }
+
   test("lateness advisor: exact buckets for planted out-of-order arrivals") {
     // user 1 arrival order (event_id): t0, t0+100s, then one 7s late,
     // one 130s late — buckets ⌊log2 7⌋ = 2 and ⌊log2 130⌋ = 7

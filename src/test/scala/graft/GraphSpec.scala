@@ -328,6 +328,23 @@ class GraphSpec extends SparkTestBase {
     assert(again.sorted === out.sorted)
   }
 
+  test("adamic-adar: rare centers outweigh hubs, terms snap exactly") {
+    // square 1-2-3-4 plus pendant 5 on 2: pair (1,3) shares centers
+    // {2 (deg 3), 4 (deg 2)}; pair (2,4) shares {1, 3} (both deg 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L))
+    val got = Graph.adamicAdarOf(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val t2 = math.round(1e6 / math.log(2.0)) // deg-2 center term: 1442695
+    val t3 = math.round(1e6 / math.log(3.0)) // deg-3 center term: 910239
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) === ((2L, t3 + t2)))
+    assert(got((2L, 4L)) === ((2L, 2 * t2)))
+    // the all-rare-centers pair outscores the hub-assisted one: AA's
+    // defining property vs plain common-neighbor counting
+    assert(got((2L, 4L))._2 > got((1L, 3L))._2)
+  }
+
   test("modularity: two disjoint cliques score the textbook Q = 1/2") {
     // two disjoint triangles; LPA trivially labels each its own community
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
