@@ -132,9 +132,6 @@ object PlanCensus {
       "localCheckpoint lineage cuts: directed edge list + initial hub frame materialized once, hub/auth frames cut every second round (the pageRank idiom; the per-half-step max-normalization crossJoins land inside the cut subtrees, so no BNLJ survives to the final plan)"),
     "graph_random_walks" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
-    "graph_jaccard_neighbors" -> Map("ExistingRDD" ->
-      "localCheckpoint of the symmetric edge list — feeds the degree aggregate, the capped wedge expansion, and two denominator joins",
-      ),
     "graph_modularity" -> Map(
       "ExistingRDD" ->
         "localCheckpoints: the symmetric edge list (feeds m, degrees, and the internal-edge join) and the converged LPA label frame (joined twice + the community aggregate); inherits labelPropagationOf's per-round cuts",
@@ -142,8 +139,6 @@ object PlanCensus {
         "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "profile_entropy" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row (total, n_values) aggregate)) per profiled column — the scalar-subquery shape; build sides are exactly 1 row"),
-    "graph_adamic_adar" -> Map("ExistingRDD" ->
-      "localCheckpoint of the symmetric edge list — feeds the degree aggregate and the capped wedge expansion (the jaccard idiom)"),
     "retrieval_eval_report" -> Map(
       "ExistingRDD" ->
         "localCheckpoint of the <=Bm25TopK-row relevance-marked ranking — reused by all three cutoff aggregates",

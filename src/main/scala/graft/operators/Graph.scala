@@ -1124,9 +1124,15 @@ object Graph {
   /** [[jaccardNeighbors]] over an arbitrary directed edge frame. */
   private[graft] def jaccardNeighborsOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
+    // persist (compressed columnar cache), NOT localCheckpoint: the edge
+    // list is reused by the degree aggregate, the wedge expansion, and
+    // two denominator joins, but a checkpoint pins it as DESERIALIZED
+    // rows (~100 B/row — 3.6 GB of an 8 GiB heap at sf3, the measured
+    // OOM); the columnar cache holds the same 36 M edges in ~2 longs'
+    // worth of compressed pages and spills cleanly
     val und = e0.select($"src", $"dst")
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist()
     val deg = und.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
     val small = deg.filter($"deg" <= JaccCenterCap).select($"n".as("c"))
     val capped = und.join(small, und("src") === small("c"))
@@ -1265,9 +1271,10 @@ object Graph {
   /** [[adamicAdar]] over an arbitrary directed edge frame. */
   private[graft] def adamicAdarOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
+    // persist, not localCheckpoint — the jaccardNeighborsOf memory note
     val und = e0.select($"src", $"dst")
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist()
     val deg = und.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
     val capped = und.join(deg.filter($"deg" <= JaccCenterCap)
         .select($"n".as("c"), $"deg".as("cdeg")), und("src") === col("c"))
