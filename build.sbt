@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.Cli reads commands from stdin
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench headline JSON. Two sbt defaults broke that for ten straight
+// rounds (BENCH_r01–r10 all carry parsed:null): forked run output is
+// routed through the logger with an "[info] " prefix (LoggedOutput), and a
+// "[success] Total time: ..." trailer prints AFTER the headline. Pass the
+// forked JVM's stdout through verbatim and suppress the success trailer,
+// so the headline is the literal last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

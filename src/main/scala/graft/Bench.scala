@@ -93,9 +93,16 @@ object Bench {
     // >3x the noise is real and the query stays listed in still_dispersed
     val escN = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ESC_N", "7").toInt,
       2 * n + 1)
+    // bench epoch: every per-query series records its start offset from
+    // here, so a >2x cross-round mover can be adjudicated against a
+    // transient-load WINDOW instead of inferred from alphabetical
+    // clustering (the r10 verdict's pack_*/profile_* forensics)
+    val benchEpochNanos = System.nanoTime()
+    val benchEpochMs = System.currentTimeMillis()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        val t0Sec = math.round((System.nanoTime() - benchEpochNanos) / 1e9 * 100) / 100.0
         // auto-retry: a dispersed series is re-measured with a FRESH n-run
         // series (up to maxRetries); the accepted series is the one whose
         // runs agree best (lowest max/min; tie -> lowest min), so the
@@ -127,15 +134,15 @@ object Bench {
             best = big.sortBy(_.total).take(n)
           }
         }
-        (name, best, retries, escalated)
+        (name, best, retries, escalated, t0Sec)
       }
-    val stillDispersed = results.collect { case (name, rs, _, _) if dispersed(rs) => name }
+    val stillDispersed = results.collect { case (name, rs, _, _, _) if dispersed(rs) => name }
     stillDispersed.foreach { name =>
       System.err.println(
         s"[bench] WARNING: $name STILL dispersed after retries AND the " +
           s"$escN-run escalation — genuinely noisy; listed in still_dispersed")
     }
-    val qs = results.map { case (k, rs, _, _) =>
+    val qs = results.map { case (k, rs, _, _, _) =>
       s"\"" + k + "\":" + (if (rs.nonEmpty) rs.map(_.total).min else -1.0)
     }.mkString("{", ",", "}")
     // per-query {min,max,n_ok,retries[,esc][,op,harness]}: makes cross-run
@@ -143,7 +150,7 @@ object Bench {
     // that ALL runs were slow, retries/esc show where the guard intervened,
     // and op/harness split a streaming gate entry's query-execution span
     // from its restage+checkpoint scaffolding)
-    val spread = results.map { case (k, rs, r, esc) =>
+    val spread = results.map { case (k, rs, r, esc, t0) =>
       val (mn, mx) = if (rs.nonEmpty) (rs.map(_.total).min, rs.map(_.total).max)
                      else (-1.0, -1.0)
       val escS = if (esc) ",\"esc\":true" else ""
@@ -154,11 +161,11 @@ object Bench {
         // this round to either shrink or document
         s""","op":${fastest.op},"harness":$h,"batches":${fastest.batches}"""
       }.getOrElse("")
-      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${rs.length},\"retries\":$r$escS$opS}"
+      s"\"$k\":{\"min\":$mn,\"max\":$mx,\"n_ok\":${rs.length},\"retries\":$r,\"t0\":$t0$escS$opS}"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, rs, _, _) if rs.isEmpty => s"\"$k\"" }
+    val failed = results.collect { case (k, rs, _, _, _) if rs.isEmpty => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, rs, _, _) if rs.nonEmpty => rs.map(_.total).min }.sum
+    val total = results.collect { case (_, rs, _, _, _) if rs.nonEmpty => rs.map(_.total).min }.sum
     // locale-proof rounding: Double.toString always uses '.', where the f
     // interpolator follows the default locale and can emit ',' — invalid JSON
     //
@@ -171,7 +178,7 @@ object Bench {
     // The full per-query min/max series stays visible in "spread"
     // regardless.
     val maxDisp = math.round(results.collect {
-      case (_, rs, _, _) if rs.nonEmpty && rs.map(_.total).min > 0 &&
+      case (_, rs, _, _, _) if rs.nonEmpty && rs.map(_.total).min > 0 &&
           rs.map(_.total).max - rs.map(_.total).min > 0.5 =>
         rs.map(_.total).max / rs.map(_.total).min
     }.foldLeft(1.0)(math.max) * 100) / 100.0
@@ -228,7 +235,7 @@ object Bench {
                 spreadRe.findAllMatchIn(txt)
                   .map(m => m.group(1) -> m.group(2).toDouble).toMap
               }
-            val movers = results.flatMap { case (k, rs2, _, _) =>
+            val movers = results.flatMap { case (k, rs2, _, _, _) =>
               for {
                 cur <- rs2.map(_.total).minOption if cur > 0
                 p <- prev.get(k) if p > 0
@@ -242,20 +249,26 @@ object Bench {
       }.map { case (f, m) => (s""""$f"""", m) }.getOrElse(("null", "{}"))
     }
     val stillJson = stillDispersed.map(s => s""""$s"""").mkString("[", ",", "]")
+    // epoch_ms anchors every spread row's "t0" (seconds after it) to
+    // absolute wall-clock, so a mover can be checked against external
+    // load records for its exact window
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"still_dispersed":$stillJson,"prev":$prevName,"vs_prev":$vsPrev,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"epoch_ms":$benchEpochMs,"queries":$qs,"spread":$spread,"max_dispersion":$maxDisp,"still_dispersed":$stillJson,"prev":$prevName,"vs_prev":$vsPrev,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json wrapper keeps only the LAST 2000 chars of
     // stdout as "tail" and parses the metric line out of that window. The
     // full line above is ~19 KB at 160+ queries, so its head — the part
-    // with "metric"/"value" — scrolls out and every round's wrapper ends
-    // up with parsed:null (r1–r9, verified). Emit a COMPACT headline line
-    // LAST, sized well under the window: suite total + the
+    // with "metric"/"value" — scrolls out of the window. Emit a COMPACT
+    // headline line LAST, sized well under the window: suite total + the
     // baseline-comparable headline queries (numbered q*, wc_*, rwlg_*).
-    // The untruncated per-query detail still ships via target/bench.json
-    // and BENCH_LOCAL_<sf>.json above.
+    // BENCH_r10 proved the compact line lands in the window but STILL
+    // fails the driver's parse because sbt prefixed it with "[info] " and
+    // appended a "[success] Total time" trailer — fixed in build.sbt
+    // (StdoutOutput + showSuccess := false), so this println is now the
+    // literal last stdout line. The untruncated per-query detail still
+    // ships via target/bench.json and BENCH_LOCAL_<sf>.json above.
     val headline = results.collect {
-      case (k, rs, _, _)
+      case (k, rs, _, _, _)
           if rs.nonEmpty &&
             (k.matches("q\\d+_.*") || k.startsWith("wc_") || k.startsWith("rwlg_")) =>
         s"\"" + k + "\":" + math.round(rs.map(_.total).min * 1000) / 1000.0

@@ -134,11 +134,9 @@ object PlanCensus {
       "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
     "graph_modularity" -> Map(
       "ExistingRDD" ->
-        "localCheckpoints: the symmetric edge list (feeds m, degrees, and the internal-edge join) and the converged LPA label frame (joined twice + the community aggregate); inherits labelPropagationOf's per-round cuts",
+        "localCheckpoints: the converged LPA label frame (loop-lineage cut; joined twice + the community aggregate) and labelPropagationOf's per-round cuts — the fan-out-reused edge list itself is persist()ed (r11, the SCALE_r10 OOM lesson), not checkpointed",
       "BroadcastNestedLoopJoin" ->
         "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
-    "profile_entropy" -> Map("BroadcastNestedLoopJoin" ->
-      "crossJoin(broadcast(single-row (total, n_values) aggregate)) per profiled column — the scalar-subquery shape; build sides are exactly 1 row"),
     "retrieval_eval_report" -> Map(
       "ExistingRDD" ->
         "localCheckpoint of the <=Bm25TopK-row relevance-marked ranking — reused by all three cutoff aggregates",

@@ -319,6 +319,12 @@ object Events {
     * `cents div n` per touch with the remainder assigned to the LAST
     * touch, so every model credits EXACTLY the purchase total (the
     * [[graft.operators.Corpus.epochPlan]] budget-exhaustion discipline).
+    * Purchase cents ≥ 0 BY CONTRACT (the hitsOracle positive-domain
+    * note): Spark's `div` truncates toward zero where DuckDB's `//`
+    * floors, so a negative total (a refund row) would break both the
+    * exact-total property and engine parity — refunds belong in a
+    * signed-ledger operator, not a credit split. The corpus generator
+    * emits value ≥ 0; a caller feeding refunds must pre-filter.
     * Purchases with no touch in the window credit a 'direct' pseudo-class
     * under every model.
     *

@@ -1106,10 +1106,17 @@ object Graph {
     * neighbor sets in integer micros — the classic "who should be
     * connected but isn't / which two catalog entries are substitutes"
     * feature. Candidates come from wedge expansion through shared
-    * centers of degree ≤ [[JaccCenterCap]]; degrees in the denominator
-    * are the FULL uncapped distinct-neighbor degrees, so the score is
-    * exact for every emitted pair — the cap bounds WHICH pairs surface,
-    * never the arithmetic ([[triangleCounts]]' BasketCap contract).
+    * centers of degree ≤ [[JaccCenterCap]], and the INTERSECTION count
+    * is over those same ≤ cap centers — a shared hub above the cap
+    * contributes to neither candidacy nor `common` (the deliberate
+    * hub-exclusion estimator: a neighbor shared by everyone carries no
+    * signal, so its omission BIASES scores down only for hub-coupled
+    * pairs). Degrees in the DENOMINATOR are the full uncapped
+    * distinct-neighbor degrees. So the emitted score is exactly
+    * |Γ≤cap(a)∩Γ≤cap(b)| / (|Γ(a)|+|Γ(b)|−|Γ≤cap(a)∩Γ≤cap(b)|) — the
+    * documented estimator, NOT the full-set Jaccard for pairs that also
+    * share a >cap hub ([[adamicAdar]]'s n_common/aa_micros restrict the
+    * same way; the oracle mirrors the computation term for term).
     *
     * Scale shape: one distinct edge shuffle, one degree aggregate, the
     * capped wedge self-join (per-center ≤ cap² pair rows, map-side
@@ -1121,7 +1128,15 @@ object Graph {
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
   }
 
-  /** [[jaccardNeighbors]] over an arbitrary directed edge frame. */
+  /** [[jaccardNeighbors]] over an arbitrary directed edge frame.
+    *
+    * Cache contract (here, [[adamicAdarOf]], [[modularityOf]]): the edge
+    * frame is `persist()`ed and intentionally NOT unpersisted — the
+    * returned frame is lazy, so releasing before the caller's action
+    * would forfeit the reuse the cache exists for. The gates clear it
+    * (`Bench`/`Verify` run `catalog.clearCache()` after each query); a
+    * long-lived embedding session must do the same between queries or
+    * the cached edges outlive their run. */
   private[graft] def jaccardNeighborsOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
     // persist (compressed columnar cache), NOT localCheckpoint: the edge
@@ -1179,9 +1194,16 @@ object Graph {
   /** [[modularity]] over an arbitrary directed edge frame (src, dst). */
   private[graft] def modularityOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
+    // persist, NOT localCheckpoint: the undirected edge list is FAN-OUT
+    // REUSE (m2 aggregate + degree aggregate + the internal-edge filter),
+    // exactly the [[jaccardNeighborsOf]] idiom — a checkpoint pins it as
+    // deserialized rows (the measured sf3 OOM class, SCALE_r10), where
+    // the columnar cache compresses and spills cleanly
     val und = e0.select($"src", $"dst")
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist()
+    // lab IS a localCheckpoint: LPA's output lineage is LpaIters rounds
+    // deep (loop-lineage-cut, not mere reuse) and only |nodes| rows wide
     val lab = labelPropagationOf(s, e0).localCheckpoint()
     val m2 = und.agg(count(lit(1)).as("m2")) // = 2m (both directions)
     val deg = und.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
@@ -1246,10 +1268,15 @@ object Graph {
   // ---------------------------------------- Adamic–Adar link prediction
   /** Adamic–Adar scores over the same capped wedge candidates as
     * [[jaccardNeighbors]] (Adamic &amp; Adar 2003): AA(a,b) =
-    * Σ_{c ∈ Γ(a)∩Γ(b)} 1/ln(deg c) — shared RARE centers count more
-    * than shared hubs, the refinement Jaccard can't express (it weighs
-    * all common neighbors equally). Shipping both scores over one
-    * candidate set is the standard link-prediction feature pair.
+    * Σ_{c ∈ Γ(a)∩Γ(b), deg c ≤ [[JaccCenterCap]]} 1/ln(deg c) — shared
+    * RARE centers count more than shared hubs, the refinement Jaccard
+    * can't express (it weighs all common neighbors equally). The sum —
+    * and n_common — run over ≤ cap-degree shared centers only, the same
+    * hub exclusion as [[jaccardNeighbors]]' intersection (a >cap hub's
+    * omitted term is the SMALLEST possible, ≤ 10⁶/ln(cap), so the
+    * exclusion trims exactly the terms AA already discounts hardest).
+    * Shipping both scores over one candidate set is the standard
+    * link-prediction feature pair.
     *
     * Float discipline: each center's 10⁶/ln(deg) term is one exact-int
     * →double cast + ln + divide (identical IEEE ops both engines),

@@ -668,47 +668,80 @@ object Profiling {
     * from the distribution BY CONTRACT on both engines (the round-9
     * hot-key null lesson).
     *
-    * Scale shape: one map-side-combined value count per column + a
-    * ≤ |V|-row term aggregate each; output is |[[EntropyCols]]| rows. */
+    * Scale shape: ONE scan per TABLE, not per column — the columns of a
+    * table melt through `stack()` into (table_col, v) rows before the
+    * count aggregate (the first cut scanned each table once per column:
+    * 6 scans / 24 shuffles for 4 tables; the melt shares the scan and
+    * halves the exchanges). Per table: one map-side-combined
+    * (table_col, v) count, one table_col-partitioned window (bounded by
+    * |V| per column, never a global sort), one final per-column sum.
+    * Output is |[[EntropyCols]]| rows. A fully-NULL column degenerates
+    * to (label, 0, 0, NULL, NULL) BY CONTRACT on both engines (the
+    * labels left-join below; the oracle's CASE guard mirrors it). */
   def entropy(s: SparkSession, d: String): DataFrame =
-    EntropyCols.map { case (t, c) =>
-      entropyOfCol(s"$t.$c", Tables(s, d, t).select(col(c).as("v")))
+    EntropyCols.map(_._1).distinct.map { t =>
+      val cols = EntropyCols.collect { case (`t`, c) => c }
+      val melted = Tables(s, d, t).selectExpr(
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$t.$c', $c").mkString(", ") +
+          ") AS (table_col, v)")
+      entropyMelted(cols.map(c => s"$t.$c"), melted)
     }.reduce(_ unionAll _)
 
-  /** One [[entropy]] row for a single melted value column `v`. */
-  private[graft] def entropyOfCol(label: String, vals: DataFrame): DataFrame = {
-    val s = vals.sparkSession
+  /** One [[entropy]] row for a single melted value column `v` —
+    * spec-level entry point into the shared melt path. */
+  private[graft] def entropyOfCol(label: String, vals: DataFrame): DataFrame =
+    entropyMelted(Seq(label), vals.select(lit(label).as("table_col"), col("v")))
+
+  /** [[entropy]] core over a pre-melted (table_col, v) frame: one count
+    * aggregate, one table_col-partitioned window for the per-column
+    * total/cardinality (partitions bounded by |V|), one per-column term
+    * sum. `labels` left-joins the result so a column whose values are
+    * all NULL still emits its contract row (n_values=0, n_total=0,
+    * NULL entropies) instead of vanishing. */
+  private[graft] def entropyMelted(labels: Seq[String], melted: DataFrame): DataFrame = {
+    val s = melted.sparkSession
     import s.implicits._
-    val counts = vals.filter($"v".isNotNull)
-      .groupBy($"v").agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum($"cnt").as("total"),
-      count(lit(1)).as("n_values"))
-    counts.crossJoin(broadcast(tot))
-      .select($"n_values", $"total", expr(
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"table_col")
+    val present = melted.filter($"v".isNotNull)
+      .groupBy($"table_col", $"v").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum($"cnt").over(w))
+      .withColumn("n_values", count(lit(1)).over(w))
+      .select($"table_col", $"n_values", $"total", expr(
         """CAST(round((CAST(cnt AS DOUBLE) / total)
           |  * -log(2.0D, CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("term"))
-      .groupBy($"n_values", $"total")
+      .groupBy($"table_col", $"n_values", $"total")
       .agg(sum($"term").as("entropy_micro_bits"))
-      .select(lit(label).as("table_col"), $"n_values",
-        $"total".as("n_total"), $"entropy_micro_bits",
+      .select($"table_col", $"n_values", $"total".as("n_total"),
+        $"entropy_micro_bits",
         expr("CAST(round(log(2.0D, CAST(n_values AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("max_entropy_micro_bits"))
+    labels.toDF("table_col").join(broadcast(present), Seq("table_col"), "left")
+      .select($"table_col",
+        coalesce($"n_values", lit(0L)).as("n_values"),
+        coalesce($"n_total", lit(0L)).as("n_total"),
+        $"entropy_micro_bits", $"max_entropy_micro_bits")
   }
 
   /** DuckDB twin of [[entropy]] — ln(x)/ln(2) mirrors Spark's
     * log(2.0, x) bit-for-bit (the lmBits parity idiom), same per-term
-    * micro-bit snap before the integer sum. */
+    * micro-bit snap before the integer sum. The CASE/coalesce guards
+    * mirror the Spark side's labels left-join: a fully-NULL column
+    * yields (label, 0, 0, NULL, NULL) on both engines instead of the
+    * engine-specific empty-aggregate defaults. */
   val entropyOracle: String =
     EntropyCols.map { case (t, c) =>
       s"""SELECT '$t.$c' AS table_col,
          |  CAST(count(*) AS BIGINT) AS n_values,
-         |  CAST(sum(cnt) AS BIGINT) AS n_total,
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total,
          |  CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / total)
          |    * -(ln(CAST(cnt AS DOUBLE) / total) / ln(2))
          |    * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micro_bits,
-         |  CAST(round((ln(CAST(count(*) AS DOUBLE)) / ln(2)) * 1000000)
-         |    AS BIGINT) AS max_entropy_micro_bits
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |    ELSE CAST(round((ln(CAST(count(*) AS DOUBLE)) / ln(2)) * 1000000)
+         |      AS BIGINT) END AS max_entropy_micro_bits
          |FROM (SELECT $c AS v, count(*) AS cnt,
          |        sum(count(*)) OVER () AS total
          |      FROM $t WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
@@ -806,8 +839,13 @@ object Profiling {
     * columns yield NULL, not a fabricated r.
     *
     * Scale shape: ONE scan, one single-row aggregate (all 4+4+6 moments
-    * map-side combined), then 6 constant-width projection rows off the
-    * broadcast single-row frame. Nothing widens with volume. */
+    * map-side combined), then the 6 pair rows EXPLODE off that one row —
+    * one array-of-structs projection, never a re-aggregation. (The first
+    * cut union-ed six `select`s off the shared `moments` frame; Spark
+    * does not share subplans across a union, so the census showed SIX
+    * shuffle exchanges = six full DECIMAL(38,0) lineitem scans for
+    * identical moments. The explode keeps the plan at census 1/0.)
+    * Nothing widens with volume. */
   def correlations(s: SparkSession, d: String): DataFrame =
     correlationsOf(Tables.lineitem(s, d))
 
@@ -823,8 +861,8 @@ object Profiling {
         sum(col(c) * col(c)).as(s"q_$c"))) ++
       names.combinations(2).toSeq.map { case Seq(a, b) =>
         sum(col(a) * col(b)).as(s"p_${a}_$b") }: _*)
-    names.combinations(2).toSeq.map { case Seq(a, b) =>
-      moments.select(lit(a).as("col_x"), lit(b).as("col_y"),
+    val pairRows = names.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
         $"n".cast("long").as("n_rows"),
         expr(
           s"""CASE WHEN n * q_$a - s_$a * s_$a = 0
@@ -833,7 +871,8 @@ object Profiling {
              |    (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)) *
              |     sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE))), 6)
              |END""".stripMargin).as("pearson_r"))
-    }.reduce(_ unionAll _)
+    }
+    moments.select(explode(array(pairRows: _*)).as("r")).select($"r.*")
   }
 
   /** DuckDB twin of [[correlations]] — HUGEINT moments, the same

@@ -50,6 +50,7 @@ object Writers {
     * by the DuckDB oracle, so any escaping or type loss in either the
     * write or the read leg fails the gate. */
   def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    clearScratch("jsonl_rt") // see csvRoundtrip
     val path = java.nio.file.Paths.get("target", "jsonl_rt",
       java.lang.Long.toHexString(System.nanoTime())).toString
     jsonlRoundtripOf(graft.core.Tables.documents(s, d), path)
@@ -62,9 +63,31 @@ object Writers {
   val jsonlRoundtripOracle: String =
     "SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents"
 
+  /** Best-effort recursive delete of a round-trip staging root under
+    * `target/` — stale dirs from prior runs only; never user data. */
+  private def clearScratch(name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    try rm(java.nio.file.Paths.get("target", name).toFile)
+    catch { case _: Throwable => }
+  }
+
+  /** NULL sentinel for the CSV legs: Spark's CSV reader cannot tell an
+    * empty field from NULL by default (both read back NULL), so writes
+    * emit NULL as this never-in-corpus control byte and reads map ONLY
+    * it back to NULL — an empty string then round-trips as itself
+    * (emptyValue "") instead of silently becoming NULL. */
+  private val CsvNullSentinel = "\u0001"
+
   private[graft] def csvRoundtripOf(df: DataFrame, path: String): DataFrame = {
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("nullValue", CsvNullSentinel).option("emptyValue", "\"\"")
+      .csv(path)
+    df.sparkSession.read.schema(df.schema).option("header", "true")
+      .option("nullValue", CsvNullSentinel).option("emptyValue", "")
+      .csv(path)
   }
 
   /** Gate query: round-trip the events table's hostile columns through
@@ -78,6 +101,11 @@ object Writers {
     * Scale shape: the CSV write/read is partition-parallel both ways
     * (splittable uncompressed CSV); the digest projection is map-only. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // self-cleaning scratch: drop prior runs' staging dirs at entry (the
+    // returned frame is lazy, so THIS run's dir can only be removed by
+    // the NEXT call — bounding the leak to one leftover instead of one
+    // per run); jsonlRoundtrip gets the same hygiene
+    clearScratch("csv_rt")
     val path = java.nio.file.Paths.get("target", "csv_rt",
       java.lang.Long.toHexString(System.nanoTime())).toString
     val src = graft.core.Tables.events(s, d)

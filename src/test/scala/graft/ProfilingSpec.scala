@@ -280,6 +280,32 @@ class ProfilingSpec extends SparkTestBase {
     // nulls are excluded from the distribution by contract
     assert(h(Seq("a", null, "a", null, "b", "b")) ===
       ((2L, 4L, 1000000L, 1000000L)))
+    // fully-NULL column: the contract degenerate row (0, 0, NULL, NULL)
+    // — not zero rows (the r10-advice latent row-count mismatch)
+    val degen = graft.operators.Profiling
+      .entropyOfCol("t.c", Seq[String](null, null).toDF("v"))
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(degen === Array(("t.c", 0L, 0L, None, None)))
+  }
+
+  test("entropy: per-table melt matches the per-column path") {
+    import spark.implicits._
+    // two columns of one table through the table-melt path must equal
+    // the two single-column runs (the r11 one-scan-per-table rewrite)
+    val df = Seq(("a", "x"), ("b", "x"), ("a", "y"), ("a", "x"))
+      .toDF("c1", "c2")
+    val melted = df.selectExpr(
+      "stack(2, 't.c1', c1, 't.c2', c2) AS (table_col, v)")
+    val got = graft.operators.Profiling
+      .entropyMelted(Seq("t.c1", "t.c2"), melted)
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    val want = Seq("c1", "c2").map { c =>
+      graft.operators.Profiling
+        .entropyOfCol(s"t.$c", df.select(org.apache.spark.sql.functions.col(c).as("v")))
+        .as[(String, Long, Long, Option[Long], Option[Long])].collect().head
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
   }
 
   test("correlations: exact +1/-1 on linear columns, NULL on zero variance") {

@@ -172,13 +172,14 @@ class WritersSpec extends SparkTestBase {
       (2L, "b", """say "hi", ok"""),           // bare quotes + comma
       (3L, "c", ""),                           // empty field
       (4L, "d", """back\slash and, comma"""),  // escape char in data
+      (5L, "e", null),                         // true NULL, distinct from ""
     ).toDF("event_id", "event_type", "props")
     val back = graft.sources.Writers.csvRoundtripOf(hostile, dir)
       .as[(Long, String, String)].collect().toSet
-    // Spark CSV reads empty string back as null — the documented CSV
-    // ambiguity (emptyValue); normalize for the content comparison
-    val want = hostile.as[(Long, String, String)].collect()
-      .map { case (i, t, p) => (i, t, if (p.isEmpty) null else p) }.toSet
+    // empty string AND null each round-trip as THEMSELVES — the
+    // nullValue-sentinel/emptyValue options resolve CSV's classic
+    // empty-vs-null ambiguity (the r10-advice latent props_md5 NULL)
+    val want = hostile.as[(Long, String, String)].collect().toSet
     assert(back === want)
     // corpus leg: the digest frame equals the same digests off parquet
     val got = graft.sources.Writers.csvRoundtrip(spark, sf)
