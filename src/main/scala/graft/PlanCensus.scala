@@ -112,7 +112,7 @@ object PlanCensus {
     "dedup_keep_best" -> Map("ExistingRDD" ->
       "localCheckpoint lineage cuts inside the star-contraction fixpoint loop (inherits dedup_clusters)"),
     "graph_pagerank" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: the static degree-annotated edge list is materialized once and ranks are cut per iteration (the star-contraction idiom)"),
+      "RDD fixpoint output (r11): the damped-sum rounds run at the RDD layer on a persisted co-partitioned adjacency (one map-side-combined shuffle per round); the final frame is the sealed result checkpoint"),
     "graph_triangles" -> Map("ExistingRDD" ->
       "localCheckpoint of the distinct edge list and the oriented edge set — each feeds multiple downstream branches (degree count, adjacency gather, closure probe) and would otherwise recompute the pair-expansion join per branch"),
     "graph_triangles_approx" -> Map(
@@ -121,20 +121,20 @@ object PlanCensus {
       "BroadcastNestedLoopJoin" ->
         "crossJoin(broadcast(single-row edge/triangle count aggregates)) assembling the one-row estimator report — the scalar-subquery shape; build sides are exactly 1 row"),
     "graph_components" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: the symmetric edge list is materialized once and HashMin labels are cut every third round (the pageRank idiom)"),
+      "RDD fixpoint output (r11): HashMin rounds at the RDD layer — self-message carry folds the old per-round join into the one min shuffle; sealed result checkpoint"),
     "graph_label_prop" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: symmetric edge list + node frame materialized once, plurality labels cut every second round (the pageRank idiom)"),
+      "RDD fixpoint output (r11): plurality rounds at the RDD layer — (node,label) count shuffle + per-node argmax shuffle, both map-side combined; sealed result checkpoint"),
     "graph_ppr" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: static degree-annotated edge list + seed-flagged node frame materialized once, ranks cut every third round (inherits graph_pagerank)"),
+      "RDD fixpoint output (r11, inherits graph_pagerank's loop): seed mass recomputed from node-id arithmetic, no seed frame; sealed result checkpoint"),
     "graph_bfs_layers" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: symmetric edge list materialized once, frontier distance frame cut every second round (the HashMin idiom)"),
+      "RDD fixpoint output (r11): min-relaxation rounds at the RDD layer with self-message carry (the componentsOf idiom), frontier-sized shuffles; sealed result checkpoint"),
     "graph_hits" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: directed edge list + initial hub frame materialized once, hub/auth frames cut every second round (the pageRank idiom; the per-half-step max-normalization crossJoins land inside the cut subtrees, so no BNLJ survives to the final plan)"),
+      "RDD fixpoint output (r11): half-steps at the RDD layer over persisted out-/in-adjacency, one sum shuffle each; the max-normalization constant is one tiny max action instead of a scalar-subquery crossJoin; sealed result checkpoint"),
     "graph_random_walks" -> Map("ExistingRDD" ->
-      "localCheckpoint lineage cuts: ranked adjacency materialized once, the frontier cut per step (frontier-sized frames, the BFS idiom)"),
+      "RDD fixpoint output (r11): the sorted adjacency array IS the ranked adjacency (index = rank); per step one frontier-sized repartition, the md5 draw replayed in-closure byte-identically; sealed result checkpoint"),
     "graph_modularity" -> Map(
       "ExistingRDD" ->
-        "localCheckpoints: the converged LPA label frame (loop-lineage cut; joined twice + the community aggregate) and labelPropagationOf's per-round cuts — the fan-out-reused edge list itself is persist()ed (r11, the SCALE_r10 OOM lesson), not checkpointed",
+        "localCheckpoints: the converged LPA label frame (now labelPropagationOf's sealed RDD-fixpoint output, checkpointed once more for the double fan-out here) — the fan-out-reused edge list itself is persist()ed (r11, the SCALE_r10 OOM lesson), not checkpointed",
       "BroadcastNestedLoopJoin" ->
         "crossJoin(broadcast(single-row m2 edge-count aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "retrieval_eval_report" -> Map(

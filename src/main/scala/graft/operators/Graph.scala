@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import graft.core.Tables
 
 /** Link-graph analytics over the reference's web-link graph.
@@ -45,6 +47,69 @@ object Graph {
     * oracle replayable as a finite CTE chain. */
   val PrIters = 10
 
+  // ------------------------------------------- RDD fixpoint plumbing (r11)
+  // The iterative operators (PageRank, PPR, HashMin CC, LPA, BFS, HITS,
+  // random walks) used to run each round as a Catalyst query with a
+  // localCheckpoint lineage cut every 2-3 rounds. Measured at sf0.1
+  // (OPTIMIZATION_r11.md): ~0.5-0.7 s per round of pure orchestration —
+  // per-round plan analysis, AQE re-planning, broadcast builds and the
+  // eager checkpoint barriers — on graphs whose per-round arithmetic is
+  // microseconds. The loops now iterate at the RDD layer, the original
+  // Spark idiom for fixpoint message passing: the adjacency is grouped
+  // ONCE and persisted with a fixed HashPartitioner, every round's
+  // adjacency⋈state join is then NARROW (same partitioner both sides),
+  // and the one real shuffle per round is a map-side-combined
+  // reduceByKey/aggregateByKey keyed by the SAME partitioner, so its
+  // output is already co-partitioned for the next round. No per-round
+  // planning, no broadcast builds, no barriers: the whole loop is one
+  // job at the materializing action. The integer arithmetic is
+  // unchanged line for line (Scala `/` ≡ SQL `div` on the positive
+  // domain), so outputs are bit-identical — the DuckDB oracles and the
+  // *Local spec references did not move.
+  //
+  // Partition count comes from spark.sql.shuffle.partitions — the same
+  // scale knob every DF shuffle here uses (local default = core count;
+  // a cluster deployment sizes it to data volume, and graph state
+  // partitioning follows it automatically).
+
+  private def fixpointPartitioner(s: SparkSession): HashPartitioner =
+    new HashPartitioner(s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+  /** Symmetric distinct adjacency (node → SORTED distinct neighbor array)
+    * of a directed edge frame: ONE scan explodes both directions, the
+    * dedup runs as a Tungsten DF `distinct` (codegen hash aggregate —
+    * a per-key set combiner at the RDD layer was measured slower: the
+    * shuffle then carries Java-serialized boxed sets instead of flat
+    * longs), then one plain-pair groupByKey gathers each node's
+    * neighbors onto the loop partitioner. Sorting makes the array order
+    * (and thus [[randomWalksOf]]'s rank draw) a pure function of the
+    * graph. */
+  private def symAdjacency(e0: DataFrame,
+      part: HashPartitioner): RDD[(Long, Array[Long])] = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val (a, b) = (e0.columns(0), e0.columns(1))
+    e0.selectExpr(
+        s"explode(array(struct(CAST($a AS BIGINT) AS s, CAST($b AS BIGINT) AS d), " +
+          s"struct(CAST($b AS BIGINT) AS s, CAST($a AS BIGINT) AS d))) AS e")
+      .select($"e.s", $"e.d").distinct()
+      .as[(Long, Long)].rdd
+      .groupByKey(part)
+      .mapValues { it =>
+        val arr = it.toArray; java.util.Arrays.sort(arr); arr
+      }
+  }
+
+  /** Materialize a fixpoint result frame eagerly (so the caller's action
+    * replays none of the loop) and release the adjacency cache the loop
+    * held — the unpersist-hygiene contract the DF loops left to
+    * ContextCleaner. */
+  private def sealResult(out: DataFrame, cached: RDD[_]*): DataFrame = {
+    val materialized = out.localCheckpoint()
+    cached.foreach(_.unpersist(false))
+    materialized
+  }
+
   /** PageRank over the RWLG edge set made symmetric: lineitem's
     * (part → supplier) link list, both directions, so rank actually
     * propagates (the raw edge list is bipartite one-way — supplier ranks
@@ -77,34 +142,30 @@ object Graph {
 
   /** [[pageRank]] over an arbitrary directed edge frame (src, dst):
     * symmetrizes, dedups, then iterates
-    * `r ← (1−d)·S + d · Σ_in (r_src div outdeg_src)` in micro-units. */
+    * `r ← (1−d)·S + d · Σ_in (r_src div outdeg_src)` in micro-units —
+    * at the RDD layer (see the fixpoint-plumbing note above): adjacency
+    * grouped once, one map-side-combined sum shuffle per round, the join
+    * narrow. The symmetric graph means every node receives ≥ 1
+    * contribution, so the old per-round left-join against a node frame
+    * was redundant and is gone. Scala `/` ≡ SQL `div` on this
+    * all-positive domain — output bit-identical to the unrolled-CTE
+    * oracle. */
   private[graft] def pageRankOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    val und = e0.select($"src", $"dst")
-      .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-    val deg = und.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    // static across iterations: materialize once, reuse ten times
-    val edges = und.join(deg, "src").localCheckpoint()
-    // symmetric graph ⇒ every node appears as a src
-    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
-    var ranks = nodes.select($"node", lit(PrScale).as("r"))
-    for (k <- 1 to PrIters) {
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
-        .select(edges("dst").as("node"), expr("r div outdeg").as("c"))
-        .groupBy($"node").agg(sum($"c").as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select($"node",
-          (lit(PrBase) + expr(s"($PrDamp * coalesce(c, 0L)) div 100")).as("r"))
-      // lineage cut every third round (and on the last): each checkpoint
-      // is an eager materialization barrier, and per-iteration cuts made
-      // the barrier — not the join+aggregate — a dominant cost (measured
-      // 8.6 s → 6.4 s at sf0.1 with k%3 cuts, same math); three uncut
-      // rounds keep the nested plan well inside Catalyst's analysis
-      // budget
-      if (k % 3 == 0 || k == PrIters) ranks = ranks.localCheckpoint()
+    val part = fixpointPartitioner(s)
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = adj.mapValues(_ => PrScale) // co-partitioned with adj
+    for (_ <- 1 to PrIters) {
+      ranks = adj.join(ranks) // narrow: same partitioner both sides
+        .values
+        .flatMap { case (dsts, r) =>
+          val c = r / dsts.length; dsts.iterator.map(d => (d, c))
+        }
+        .reduceByKey(part, _ + _) // the ONE shuffle per round
+        .mapValues(c => PrBase + PrDamp * c / 100)
     }
-    ranks.select($"node", $"r".as("rank_micros"))
+    sealResult(ranks.toDF("node", "rank_micros"), adj)
   }
 
   /** DuckDB twin: the same ten damped-sum rounds as an unrolled CTE chain
@@ -464,20 +525,33 @@ object Graph {
       .select($"a".as("u"), $"b".as("v")))
   }
 
-  /** [[components]] over an arbitrary canonical (u, v) edge frame. */
+  /** [[components]] over an arbitrary canonical (u, v) edge frame — the
+    * same HashMin rounds at the RDD layer (fixpoint-plumbing note):
+    * per round one map-side-combined min shuffle of incoming labels,
+    * then a NARROW co-partitioned outer join carries each node's own
+    * label forward (`least(lbl, min_in)`, nodes with no incoming keep
+    * theirs). Bit-identical to the unrolled-CTE oracle. */
   private[graft] def componentsOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    val sym = e0.select($"u".as("src"), $"v".as("dst"))
-      .union(e0.select($"v".as("src"), $"u".as("dst")))
-      .distinct().localCheckpoint()
-    val nodes = sym.select($"src".as("node")).distinct()
-    var lbl = nodes.select($"node", $"node".as("lbl"))
-    for (k <- 1 to CcIters) {
-      val mn = sym.join(lbl, sym("src") === lbl("node"))
-        .groupBy(sym("dst").as("node")).agg(min($"lbl").as("mn"))
-      lbl = lbl.join(mn, Seq("node"), "left")
-        .select($"node", least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
-      if (k % 3 == 0 || k == CcIters) lbl = lbl.localCheckpoint()
+    val part = fixpointPartitioner(s)
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def minIn(lbl: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      adj.join(lbl).values
+        .flatMap { case (dsts, l) => dsts.iterator.map(d => (d, l)) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+    var lbl = adj.mapPartitions(_.map { case (n, _) => (n, n) },
+      preservesPartitioning = true)
+    for (_ <- 1 to CcIters) {
+      // carry + relax in the ONE min shuffle: each node sends its own
+      // label to itself alongside the neighbor messages, so
+      // `min(self, incoming)` ≡ the old left-join +
+      // least(lbl, coalesce(mn, lbl)) without a per-round cogroup
+      lbl = adj.join(lbl)
+        .flatMap { case (n, (dsts, l)) =>
+          dsts.iterator.map(d => (d, l)) ++ Iterator.single((n, l))
+        }
+        .reduceByKey(part, math.min(_: Long, _: Long))
     }
     // Runtime fixpoint probe (the [[Dedup.connectedComponents]]
     // non-convergence discipline): HashMin has converged iff no node still
@@ -486,19 +560,16 @@ object Graph {
     // otherwise silently ship within-CcIters-hop labels as component ids;
     // unconverged labels are wrong labels, so fail LOUDLY and point at the
     // O(log n) star-contraction form, which has no diameter dependence.
-    // Cost: one more map-side-combined min shuffle + a bounded count over
-    // the already-checkpointed |V|-row label set.
-    val falling = sym.join(lbl, sym("src") === lbl("node"))
-      .groupBy(sym("dst").as("node")).agg(min($"lbl").as("mn"))
-      .join(lbl, Seq("node"))
-      .filter($"mn" < $"lbl").count()
+    // Cost: one more map-side-combined min shuffle + a bounded count.
+    val falling = minIn(lbl).join(lbl)
+      .values.filter { case (mn, l) => mn < l }.count()
     if (falling > 0)
       throw new IllegalStateException(
         s"components did not converge in $CcIters HashMin rounds " +
           s"($falling labels still falling — graph diameter exceeds the " +
           "round bound; use Dedup.connectedComponents, the O(log n) " +
           "star-contraction form, for large-diameter graphs)")
-    lbl.select($"node", $"lbl".as("component"))
+    sealResult(lbl.toDF("node", "component"), adj)
   }
 
   /** DuckDB twin of [[components]]: the same [[CcIters]] HashMin rounds as
@@ -674,24 +745,27 @@ object Graph {
     * rounds. */
   private[graft] def labelPropagationOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    val und = e0.select($"src", $"dst")
-      .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint()
-    val nodes = und.select($"src".as("node")).distinct().localCheckpoint()
-    var lab = nodes.select($"node", $"node".as("lab"))
-    for (k <- 1 to LpaIters) {
-      val counts = und.join(lab, und("src") === lab("node"))
-        .groupBy(und("dst").as("node"), $"lab")
-        .agg(count(lit(1)).as("cnt"))
-      // deterministic plurality: max count, then smallest label —
-      // min over the (−cnt, lab) struct is exactly that ordering
-      lab = counts
-        .groupBy($"node")
-        .agg(min(struct((-$"cnt").as("nc"), $"lab".as("lab"))).as("best"))
-        .select($"node", $"best.lab".as("lab"))
-      if (k % 2 == 0 || k == LpaIters) lab = lab.localCheckpoint()
+    val part = fixpointPartitioner(s)
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.mapPartitions(_.map { case (n, _) => (n, n) },
+      preservesPartitioning = true)
+    for (_ <- 1 to LpaIters) {
+      // two map-side-combined shuffles per round, both with flat Long
+      // values (a per-key label→count map combiner was measured 2×
+      // slower here — per-partition-per-key boxed HashMaps dominate the
+      // serializer): count neighbor labels by (node, label), then the
+      // deterministic plurality — max count, tie toward the smallest
+      // label, the old (−cnt, lab) struct-min — reduced by node
+      lab = adj.join(lab).values
+        .flatMap { case (dsts, l) => dsts.iterator.map(d => ((d, l), 1L)) }
+        .reduceByKey(_ + _)
+        .map { case ((n, l), c) => (n, (l, c)) }
+        .reduceByKey(part, (a, b) =>
+          if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b)
+        .mapValues(_._1)
     }
-    lab.select($"node", $"lab".as("community"))
+    sealResult(lab.toDF("node", "community"), adj)
   }
 
   /** In-JVM reference of the same deterministic LPA, for specs. */
@@ -758,28 +832,33 @@ object Graph {
     import s.implicits._
     val e0 = Tables.lineitem(s, d)
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-    val und = e0.select($"src", $"dst")
-      .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-    val deg = und.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edges = und.join(deg, "src").localCheckpoint()
-    val nodes = edges.select($"src".as("node")).distinct()
-      .withColumn("seed",
-        ($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
-      .localCheckpoint()
-    var ranks = nodes.select($"node",
-      when($"seed", PrScale).otherwise(0L).as("r"))
-    for (k <- 1 to PprIters) {
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
-        .select(edges("dst").as("node"), expr("r div outdeg").as("c"))
-        .groupBy($"node").agg(sum($"c").as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select($"node",
-          (when($"seed", PrBase).otherwise(0L) +
-            expr(s"($PrDamp * coalesce(c, 0L)) div 100")).as("r"))
-      if (k % 3 == 0 || k == PprIters) ranks = ranks.localCheckpoint()
+    val part = fixpointPartitioner(s)
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the seed indicator is pure node-id arithmetic — no seed frame to
+    // carry through the rounds (even node ⇒ integer halving is exact,
+    // matching both the old DOUBLE division and the oracle's `//`).
+    // Constants copied to locals so the closures don't drag the
+    // (non-serializable) enclosing object onto the executors.
+    val (seedMod, scale0, base0, damp0) = (PprSeedMod, PrScale, PrBase, PrDamp)
+    val seed = (node: Long) => node % 2 == 0 && (node / 2) % seedMod == 0
+    var ranks = adj.mapPartitions(
+      _.map { case (n, _) => (n, if (seed(n)) scale0 else 0L) },
+      preservesPartitioning = true)
+    for (_ <- 1 to PprIters) {
+      // symmetric graph ⇒ the contribution sum covers every node, and
+      // the teleport mass is recomputed from the key — one shuffle/round
+      ranks = adj.join(ranks).values
+        .flatMap { case (dsts, r) =>
+          val c = r / dsts.length; dsts.iterator.map(d => (d, c))
+        }
+        .reduceByKey(part, _ + _)
+        .mapPartitions(_.map { case (n, c) =>
+          (n, (if (seed(n)) base0 else 0L) + damp0 * c / 100)
+        }, preservesPartitioning = true) // key untouched: stay co-partitioned
     }
-    ranks.filter($"r" > 0).select($"node", $"r".as("ppr_micros"))
+    sealResult(
+      ranks.filter(_._2 > 0).toDF("node", "ppr_micros"), adj)
   }
 
   /** DuckDB twin of [[personalizedPageRank]] — the [[pageRankOracle]]
@@ -833,23 +912,31 @@ object Graph {
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
   }
 
-  /** [[bfsLayers]] over an arbitrary directed edge frame (src, dst). */
+  /** [[bfsLayers]] over an arbitrary directed edge frame (src, dst) —
+    * the same min-relaxation rounds at the RDD layer (fixpoint-plumbing
+    * note): the distance set only ever holds REACHED nodes, each round
+    * is one map-side-combined min shuffle of relaxed distances plus a
+    * narrow co-partitioned outer join that keeps the running minimum. */
   private[graft] def bfsLayersOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    val sym = e0.select($"src", $"dst")
-      .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint()
-    var dist = sym.select($"src".as("node")).distinct()
-      .filter(($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
-      .select($"node", lit(0L).as("d"))
-    for (k <- 1 to BfsMaxHops) {
-      val relaxed = sym.join(dist, sym("src") === dist("node"))
-        .select(sym("dst").as("node"), ($"d" + 1L).as("d"))
-      dist = dist.union(relaxed)
-        .groupBy($"node").agg(min($"d").as("d"))
-      if (k % 2 == 0 || k == BfsMaxHops) dist = dist.localCheckpoint()
+    val part = fixpointPartitioner(s)
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = adj
+      .mapPartitions(_.collect {
+        case (n, _) if n % 2 == 0 && (n / 2) % PprSeedMod == 0 => (n, 0L)
+      }, preservesPartitioning = true)
+    for (_ <- 1 to BfsMaxHops) {
+      // carry + relax in the ONE min shuffle (the componentsOf
+      // self-message idiom): each reached node re-sends its own distance
+      // to itself alongside the dist+1 neighbor messages
+      dist = adj.join(dist)
+        .flatMap { case (n, (dsts, dd)) =>
+          dsts.iterator.map(d => (d, dd + 1L)) ++ Iterator.single((n, dd))
+        }
+        .reduceByKey(part, math.min(_: Long, _: Long))
     }
-    dist.select($"node", $"d".as("hops"))
+    sealResult(dist.toDF("node", "hops"), adj)
   }
 
   /** DuckDB twin of [[bfsLayers]] — [[BfsMaxHops]] unrolled MATERIALIZED
@@ -906,28 +993,41 @@ object Graph {
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst")))
   }
 
-  /** [[hits]] over an arbitrary directed edge frame (src, dst). */
+  /** [[hits]] over an arbitrary directed edge frame (src, dst) — the
+    * same integer half-steps at the RDD layer (fixpoint-plumbing note):
+    * out- and in-adjacency each grouped once and persisted, one
+    * map-side-combined sum shuffle per half-step, and the
+    * max-normalization constant fetched with one tiny `max` action in
+    * place of the old scalar-subquery crossJoin (stage reuse makes the
+    * re-read of the half-step's shuffle output free). */
   private[graft] def hitsOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    val ed = e0.select($"src", $"dst").distinct().localCheckpoint()
-    def norm(raw: DataFrame): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(max($"raw").as("mx"))))
-        .select($"node", expr(s"(raw * ${PrScale}L) div mx").as("score"))
-    var hub = ed.select($"src".as("node")).distinct()
-      .select($"node", lit(PrScale).as("score")).localCheckpoint()
-    var auth: DataFrame = null
-    for (k <- 1 to HitsIters) {
-      auth = norm(ed.join(hub, ed("src") === hub("node"))
-        .groupBy(ed("dst").as("node")).agg(sum($"score").as("raw")))
-      hub = norm(ed.join(auth, ed("dst") === auth("node"))
-        .groupBy(ed("src").as("node")).agg(sum($"score").as("raw")))
-      if (k % 2 == 0 || k == HitsIters) {
-        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
-      }
+    val part = fixpointPartitioner(s)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = e0.select($"src", $"dst").distinct().as[(Long, Long)].rdd
+      .persist(lvl)
+    def grouped(r: RDD[(Long, Long)]): RDD[(Long, Array[Long])] =
+      r.groupByKey(part).mapValues(_.toArray).persist(lvl) // ed is distinct
+    val adjOut = grouped(ed)                    // src → its dsts
+    val adjIn = grouped(ed.map(_.swap))         // dst → its srcs
+    def halfStep(adj: RDD[(Long, Array[Long])],
+        score: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val raw = adj.join(score).values
+        .flatMap { case (tos, sc) => tos.iterator.map(t => (t, sc)) }
+        .reduceByKey(part, _ + _)
+      val mx = raw.values.max()
+      raw.mapValues(v => v * PrScale / mx)
     }
-    hub.select($"node", lit("hub").as("kind"), $"score".as("score_micros"))
-      .unionAll(auth.select($"node", lit("authority").as("kind"),
-        $"score".as("score_micros")))
+    var hub = adjOut.mapValues(_ => PrScale)
+    var auth: RDD[(Long, Long)] = null
+    for (_ <- 1 to HitsIters) {
+      auth = halfStep(adjOut, hub) // keyed by dst
+      hub = halfStep(adjIn, auth)  // keyed by src
+    }
+    val out = hub.map { case (n, sc) => (n, "hub", sc) }
+      .union(auth.map { case (n, sc) => (n, "authority", sc) })
+      .toDF("node", "kind", "score_micros")
+    sealResult(out, ed, adjOut, adjIn)
   }
 
   /** In-JVM reference of the same integer HITS, for specs. */
@@ -1016,46 +1116,43 @@ object Graph {
     * [[PprSeedMod]] seed catalog. */
   private[graft] def randomWalksOf(s: SparkSession, e0: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val und = e0.select($"src", $"dst")
-      .union(e0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-    val adj = und
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1)
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
-      .localCheckpoint()
-    val seeds = und.select($"src".as("node")).distinct()
-      .filter(($"node" % 2 === 0) && (($"node" / 2) % PprSeedMod === 0))
-    var frontier = seeds
-      .crossJoin(walkIndexFrame(s))
-      .select(($"node" * WalksPerSeed + $"w").as("walk_id"), $"node".as("cur"))
-      .localCheckpoint()
-    var visited = frontier.select($"walk_id", lit(0L).as("step"),
-      $"cur".as("node"))
-    for (k <- 1 to WalkSteps) {
-      frontier = frontier.join(adj, frontier("cur") === adj("src") &&
-          adj("rnk") === walkDraw(k) % adj("deg"))
-        .select($"walk_id", adj("dst").as("cur"))
-        .localCheckpoint()
-      visited = visited.unionAll(
-        frontier.select($"walk_id", lit(k.toLong).as("step"),
-          $"cur".as("node")))
+    val part = fixpointPartitioner(s)
+    // the SORTED adjacency array IS the ranked adjacency: index = the old
+    // row_number()-1 rank (ordered by neighbor id), length = degree
+    val adj = symAdjacency(e0, part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frontier keyed by current node, co-partitioned with adj; each step
+    // shuffles only the |seeds|·WalksPerSeed-row frontier
+    var frontier = adj.mapPartitions(_.collect {
+      case (n, _) if n % 2 == 0 && (n / 2) % PprSeedMod == 0 =>
+        Iterator.range(0, WalksPerSeed)
+          .map(w => (n, n * WalksPerSeed + w)).toSeq
+    }.flatten, preservesPartitioning = true)
+    var visited = frontier
+      .map { case (cur, walkId) => (walkId, 0L, cur) }
+    // The per-step neighbor draw: salted-md5-prefix of (walk_id, step,
+    // cur) as a non-negative BIGINT — modulo degree at the use site.
+    // Byte-identical to the SQL form the DuckDB twin replays: md5 of the
+    // UTF-8 string `walk:<id>:<step>:<cur>`, first 8 hex chars parsed
+    // base-16 (always < 2³², so non-negative). A local function value so
+    // the step closures stay free of the enclosing object.
+    val draw = (walkId: Long, step: Int, cur: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"walk:$walkId:$step:$cur"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
     }
-    visited
-  }
-
-  /** The per-step neighbor draw: salted-md5-prefix of
-    * (walk_id, step, cur) as a non-negative BIGINT — modulo degree at
-    * the join site. */
-  private def walkDraw(step: Int) =
-    expr(s"cast(conv(substring(md5(concat('walk:', cast(walk_id as string), " +
-      s"':', '$step', ':', cast(cur as string))), 1, 8), 16, 10) as bigint)")
-
-  /** The 0..[[WalksPerSeed]]-1 walk index frame. */
-  private def walkIndexFrame(s: SparkSession): DataFrame = {
-    import s.implicits._
-    (0L until WalksPerSeed.toLong).toDF("w")
+    for (k <- 1 to WalkSteps) {
+      frontier = frontier.join(adj)
+        .map { case (cur, (walkId, dsts)) =>
+          (dsts((draw(walkId, k, cur) % dsts.length).toInt), walkId)
+        }
+        .partitionBy(part)
+      visited = visited.union(
+        frontier.map { case (cur, walkId) => (walkId, k.toLong, cur) })
+    }
+    sealResult(visited.toDF("walk_id", "step", "node"), adj)
   }
 
   /** DuckDB twin of [[randomWalks]] — ranked adjacency via the same
