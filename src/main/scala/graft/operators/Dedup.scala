@@ -567,38 +567,63 @@ object Dedup {
     * (src, dst); output: (doc_id, cluster = min node of its component) for
     * every node incident to an edge.
     *
-    * Each round is two shuffle stages over the (shrinking) edge set;
-    * lineage is cut once per round with localCheckpoint. Exceeding
-    * `maxIter` throws — unconverged labels are wrong labels, and the
-    * failure must be loud, never a silent partial result. */
+    * The rounds run at the RDD layer (r11, the Graph fixpoint-plumbing
+    * lesson): each round of the old DF loop paid plan analysis, AQE
+    * re-planning, an eager localCheckpoint barrier, a count action and
+    * (on count plateaus) an `except` anti-join — measured 6-8 s at sf0.1
+    * on a 249-EDGE set, i.e. pure orchestration. The RDD rounds are four
+    * small map-side-combined shuffles plus one count; the convergence
+    * proof stays exact — equal counts short-circuit into a real set
+    * difference (`subtract`), never a hash proxy. Same algorithm, same
+    * min arithmetic, bit-identical labels. Exceeding `maxIter` still
+    * throws — unconverged labels are wrong labels, and the failure must
+    * be loud, never a silent partial result. */
   def connectedComponents(s: SparkSession, edgesIn: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     import s.implicits._
-    // canonical orientation (u > v), no self-loops, deduped
-    var edges = edgesIn.filter($"src" =!= $"dst")
+    val part = new org.apache.spark.HashPartitioner(
+      s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical orientation (u > v), no self-loops, deduped — the dedup
+    // runs as a Tungsten DF distinct (flat longs in the shuffle)
+    val edges0 = edgesIn.filter($"src" =!= $"dst")
       .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
-      .distinct().localCheckpoint()
-    val nodes = edges.select($"u".as("node"))
-      .union(edges.select($"v".as("node"))).distinct().localCheckpoint()
+      .distinct().as[(Long, Long)].rdd.persist(lvl)
+    val nodes = edges0.flatMap { case (u, v) => Iterator(u, v) }
+      .distinct().persist(lvl)
+    var edges = edges0
+    var edgeCount = edges.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       // large-star: every node attaches its strictly-larger neighbors to
       // the minimum of its closed neighborhood
-      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
-      val largeMin = sym.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
-      val large = sym.join(largeMin, "u").filter($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")).distinct()
+      val sym = (edges ++ edges.map(_.swap)).partitionBy(part).persist(lvl)
+      val largeMin = sym
+        .mapPartitions(_.map { case (u, v) => (u, math.min(v, u)) },
+          preservesPartitioning = true)
+        .reduceByKey(part, math.min(_: Long, _: Long)) // narrow: co-partitioned
+      val large = sym.join(largeMin) // narrow
+        .flatMap { case (u, (v, m)) =>
+          if (v > u) Iterator.single((v, m)) else Iterator.empty
+        }
+        .distinct().persist(lvl)
       // small-star: over (big → small) edges, connect each node and its
       // smaller neighbors to the smallest of them
-      val smallMin = large.groupBy($"u").agg(min($"v").as("m"))
-      val stepped = large.join(smallMin, "u")
-        .filter($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
-        .union(smallMin.select($"u", $"m".as("v")))
-        .distinct().localCheckpoint()
-      val grew = stepped.count() != edges.count()
-      done = !grew && stepped.except(edges).isEmpty
+      val smallMin = large.reduceByKey(part, math.min(_: Long, _: Long))
+      val stepped = large.partitionBy(part).join(smallMin) // narrow join
+        .flatMap { case (u, (v, m)) =>
+          if (v != m) Iterator.single((v, m)) else Iterator.empty
+        }
+        .union(smallMin)
+        .distinct().persist(lvl)
+      val steppedCount = stepped.count()
+      val grew = steppedCount != edgeCount
+      done = !grew && stepped.subtract(edges).isEmpty()
+      sym.unpersist(false); large.unpersist(false)
+      if (edges ne edges0) edges.unpersist(false)
       edges = stepped
+      edgeCount = steppedCount
       iter += 1
     }
     if (!done)
@@ -606,10 +631,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter star rounds")
     // fixpoint is a star forest: edges point non-roots at their component
     // min; roots (and only roots) never appear on the left
-    val labels = edges.select($"u".as("doc_id"), $"v".as("cluster"))
-    val roots = nodes.join(labels, nodes("node") === labels("doc_id"), "left_anti")
-      .select($"node".as("doc_id"), $"node".as("cluster"))
-    labels.union(roots)
+    val labels = edges.map { case (u, v) => (u, v) }
+    val roots = nodes.subtract(edges.keys).map(n => (n, n))
+    val out = labels.union(roots).toDF("doc_id", "cluster").localCheckpoint()
+    edges0.unpersist(false); nodes.unpersist(false)
+    if (edges ne edges0) edges.unpersist(false)
+    out
   }
 
   /** Shared oracle fragments — the ONE copy of the gram construction,
