@@ -97,8 +97,6 @@ object PlanCensus {
       "crossJoin(broadcast(single-row aggregates)) twice: global last-order date, then the nine quartile cuts — the scalar-subquery shape; build sides are exactly 1 row"),
     "corpus_domain_js" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row grand-total aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
-    "embed_power_iteration" -> Map("BroadcastNestedLoopJoin" ->
-      "final round's crossJoin(broadcast(single-row max|c| aggregate)) — the scalar-subquery shape; build side is exactly 1 row"),
     "layout_skipping_report" -> Map("BroadcastNestedLoopJoin" ->
       "crossJoin(broadcast(single-row min/max bounds aggregate)) twice: once per-row for bucket normalization, once onto the <=3*B-row bucket-stats frame for the probe windows — the scalar-subquery shape; build side is exactly 1 row"),
     "text_kn_bigram" -> Map("BroadcastNestedLoopJoin" ->
