@@ -160,10 +160,8 @@ object PlanCensus {
     "dedup_contamination_report" -> Map("BroadcastNestedLoopJoin" ->
       "inherited from the composed dedup_contamination_bloom leg: crossJoin(broadcast(single-row Bloom bitmap aggregate)); build side is exactly 1 row"),
     "ann_recall_report" -> Map(
-      "BroadcastNestedLoopJoin" ->
-        "inherits ann_brute_topk's bounded-N broadcast scoring inside each leg plus crossJoin(broadcast(single-row n_expected aggregate)); build sides are NumQueries rows / exactly 1 row",
       "ExistingRDD" ->
-        "localCheckpoint of the NumQueries*TopK-row brute truth, materialized ONCE and re-read by the four unfiltered legs instead of four brute recomputations"),
+        "sealed result checkpoint (r12): the 6-row report materializes inside the operator so the shared persisted vector frame / once-trained codebooks can be released at exit; the plan the census sees is the sealed scan (each leg's own census is audited under its standalone query)"),
     "train_token_budget" -> Map("BroadcastNestedLoopJoin" ->
       "bounded |sources|^2 remainder-rank theta self-join over the per-source aggregate (~20 rows) plus two crossJoin(broadcast(single-row total)) scalar subqueries"),
     "train_epoch_plan" -> Map(

@@ -180,6 +180,29 @@ object ExprHelpers {
     true
   }
 
+  /** Intersection of two SORTED-ASCENDING, DISTINCT, non-null long arrays
+    * by two-pointer merge — O(|a|+|b|) with zero per-call allocation
+    * beyond the result, vs `array_intersect`'s per-row hash-set build.
+    * Result is sorted ascending (trivially distinct). Callers own the
+    * precondition: both inputs must be sorted distinct (the oriented
+    * triangle closure builds them with sort_array over a distinct edge
+    * set); on unsorted input the result is undefined, which is why this
+    * is not a general array_intersect replacement. */
+  def sortedIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    new GenericArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
   /** MinHash signature (k seeded mins) over an array of shingle strings.
     * Formula identical to the engine's documented scheme:
     * sig(i) = min over shingles of mix64(fnv1a64(shingle) ^ seed(i)). */
@@ -369,6 +392,102 @@ case class BloomContains(left: Expression, right: Expression, k: Int, log2m: Int
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sorted_intersect(array<bigint>, array<bigint>)` → array<bigint>:
+  * two-pointer merge intersection of two sorted distinct long arrays — the
+  * triangle-closure hot path, where `array_intersect` paid a hash-set
+  * build per oriented edge. PRECONDITION (caller-owned): both inputs
+  * sorted ascending and distinct. */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.ExprHelpers.sortedIntersect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_capped_set(col, cap)` aggregate → array<bigint>: the distinct
+  * values of a long column per group, SORTED ascending — but the
+  * aggregation buffer never holds more than cap+1 elements. Once a group
+  * has seen cap+1 distinct values, further values are ignored: the group
+  * is already over cap and its (arbitrary) cap+1-sized result array exists
+  * only to be dropped by the caller's `size(ms) <= cap` filter. For groups
+  * at or under the cap the result is the EXACT full sorted distinct set —
+  * bit-identical to `sort_array(collect_set(col))` under the same filter.
+  *
+  * Why: `collect_set` materializes the full distinct set per group in one
+  * aggregation buffer BEFORE any size filter can drop it — a pathological
+  * mega-group (one basket with 10⁷ members at 100 TB) is an executor OOM.
+  * This buffer is O(cap) by construction, map-side partials included
+  * (guide §5 memory / §2 skew). */
+case class CappedDistinctSortedLongs(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.HashSet[Long]] with ExpectsInputTypes {
+  require(cap > 0 && cap <= (1 << 20), s"capped_set cap out of range: $cap")
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_capped_set"
+  override def createAggregationBuffer(): java.util.HashSet[Long] =
+    new java.util.HashSet[Long]()
+  private def add(buf: java.util.HashSet[Long], v: Long): Unit =
+    if (buf.size <= cap) buf.add(v) // size can reach cap+1, never more
+  override def update(buf: java.util.HashSet[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: java.util.HashSet[Long],
+      other: java.util.HashSet[Long]): java.util.HashSet[Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+  override def eval(buf: java.util.HashSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+  override def serialize(buf: java.util.HashSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.HashSet[Long](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedDistinctSortedLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedDistinctSortedLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedDistinctSortedLongs =
+    copy(child = newChildren.head)
+}
+
 /** `graft_wordgrams(text, n)` → array<string>: distinct word n-grams. */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -406,6 +525,11 @@ object GraftFunctions {
     ExpressionUtils.column(BloomPositions(expression(c), k, log2m))
   def bloomContains(bits: Column, c: Column, k: Int, log2m: Int): Column =
     ExpressionUtils.column(BloomContains(expression(bits), expression(c), k, log2m))
+  def sortedIntersect(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersect(expression(a), expression(b)))
+  def cappedSortedSet(c: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      CappedDistinctSortedLongs(expression(c), cap).toAggregateExpression())
 
   private def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -482,6 +606,19 @@ object GraftFunctions {
           if (exprs.length > 2) foldableInt("graft_bloom_contains", exprs(2)) else 5,
           if (exprs.length > 3) foldableInt("graft_bloom_contains", exprs(3)) else 20)
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_sorted_intersect takes 2 arguments, got ${exprs.length}")
+        SortedLongIntersect(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_capped_set",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_capped_set takes 2 arguments, got ${exprs.length}")
+        CappedDistinctSortedLongs(exprs.head,
+          foldableInt("graft_capped_set", exprs(1)))
+      }, "built-in")
   }
 }
 
@@ -537,6 +674,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_dot", classOf[ArrayDotProduct], exprs => {
       require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
       ArrayDotProduct(exprs.head, exprs(1))
+    })
+    inject(ext, "graft_sorted_intersect", classOf[SortedLongIntersect], exprs => {
+      require(exprs.length == 2,
+        s"graft_sorted_intersect takes 2 arguments, got ${exprs.length}")
+      SortedLongIntersect(exprs.head, exprs(1))
+    })
+    inject(ext, "graft_capped_set", classOf[CappedDistinctSortedLongs], exprs => {
+      require(exprs.length == 2,
+        s"graft_capped_set takes 2 arguments, got ${exprs.length}")
+      CappedDistinctSortedLongs(exprs.head,
+        foldableInt("graft_capped_set", exprs(1)))
     })
   }
 }

@@ -143,4 +143,68 @@ class ExpressionsSpec extends SparkTestBase {
     val jac = 20.0 / 60.0
     assert(math.abs(agree - jac) < 0.15, s"minhash agreement $agree vs jaccard $jac")
   }
+
+  test("graft_sorted_intersect equals array_intersect on sorted distinct arrays (property, 64 seeds)") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 64).map { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val got = cases.toDF("a", "b")
+      .select(GraftFunctions.sortedIntersect($"a", $"b").as("m"),
+        array_sort(array_intersect($"a", $"b")).as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.zip(cases).foreach { case ((m, ref), (a, b)) =>
+      assert(m === ref, s"mismatch for a=$a b=$b")
+      assert(m === m.sorted, "result must stay sorted")
+    }
+    // null propagation
+    val row = spark.sql(
+      "SELECT graft_sorted_intersect(CAST(NULL AS ARRAY<BIGINT>), array(1L))").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("graft_capped_set equals sort_array(collect_set) under the cap; buffer is bounded") {
+    val rnd = new scala.util.Random(11)
+    // groups straddling the cap: sizes 1..cap pass through exactly,
+    // over-cap groups emit arrays of size cap+1 (dropped by callers)
+    val cap = 8
+    val rows = (1 to 30).flatMap { g =>
+      val n = rnd.nextInt(2 * cap) + 1
+      // duplicates included: the aggregate must still dedup
+      (1 to n).flatMap(i => Seq((g.toLong, i.toLong), (g.toLong, i.toLong)))
+    }
+    val df = rows.toDF("gk", "node")
+    val got = df.groupBy($"gk")
+      .agg(GraftFunctions.cappedSortedSet($"node", cap).as("ms"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = df.groupBy($"gk")
+      .agg(sort_array(collect_set($"node")).as("ms"))
+      .as[(Long, Seq[Long])].collect().toMap
+    ref.foreach { case (g, full) =>
+      if (full.size <= cap) assert(got(g) === full, s"group $g under cap differs")
+      else {
+        assert(got(g).size === cap + 1, s"over-cap group $g must emit cap+1 elems")
+        assert(got(g).toSet.subsetOf(full.toSet))
+      }
+    }
+    // the buffer itself never exceeds cap+1 entries however many values
+    // stream in — the mega-group OOM guard this aggregate exists for
+    val agg = org.apache.spark.sql.graft.CappedDistinctSortedLongs(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false), cap)
+    val buf = agg.createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (1L to 1000000L).foreach { v =>
+      row.update(0, v)
+      agg.update(buf, row)
+      assert(buf.size <= cap + 1, s"buffer ballooned to ${buf.size}")
+    }
+    // merge of two over-cap partials stays bounded too
+    val buf2 = agg.createAggregationBuffer()
+    (2000000L to 2000100L).foreach { v => row.update(0, v); agg.update(buf2, row) }
+    agg.merge(buf, buf2)
+    assert(buf.size <= cap + 1, s"merged buffer ballooned to ${buf.size}")
+  }
 }
